@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2.4 — remaining aggregation operators: quantifiers, keyed
+  * reducers, pivot, explode/implode, shaping sinks, HLL. All single
+  * shuffle on the group key with map-side partial aggregation.
+  */
+object AggQueries extends QueryGroup {
+
+  /** `any(pred)` / `all(pred)` — M:56-59: existential / universal per
+    * group, as bool_or/bool_and (partial-aggregable, no row transfer). */
+  private val anyAll = q(
+    "q_any_all",
+    """SELECT user_id,
+      |  bool_or(value > 400) AS has_big,
+      |  bool_and(value > 0.05) AS all_pos,
+      |  COUNT(*) FILTER (WHERE value > 400) AS n_big
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          expr("bool_or(value > 400)").as("has_big"),
+          expr("bool_and(value > 0.05)").as("all_pos"),
+          count(when(col("value") > 400, 1)).as("n_big"))
+        .orderBy("user_id")
+  }
+
+  /** `partition(pred)` — M:162-163: split into pass/fail groups; the
+    * relational form is a groupBy on the predicate value. */
+  private val partition0 = q(
+    "q_partition",
+    """SELECT (value > 100) AS pass_side, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY pass_side ORDER BY pass_side""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("value") > 100).as("pass_side"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("total"))
+        .orderBy("pass_side")
+  }
+
+  /** `pivot(row, col, val)` — M:194-195: native Spark pivot with an
+    * explicit value list (no extra distinct-scan job); missing cells
+    * coalesced to 0 to match the FILTER-count oracle. */
+  private val pivot0 = q(
+    "q_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(
+        col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+  }
+
+  /** `index_by(key)` (last wins) — M:72-73: latest row per key via
+    * max_by on the sequence column — one agg pass, no window sort. */
+  private val indexBy = q(
+    "q_index_by",
+    """SELECT user_id, MAX(event_id) AS last_id,
+      |  max_by(event_type, event_id) AS last_type,
+      |  max_by(value, event_id) AS last_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max("event_id").as("last_id"),
+          expr("max_by(event_type, event_id)").as("last_type"),
+          expr("max_by(value, event_id)").as("last_value"))
+        .orderBy("user_id")
+  }
+
+  /** `approx_count_distinct()` — M:158-159: native HLL++. Estimates are
+    * engine-specific, so no SQL oracle (driver records rows-only). */
+  private val approxDistinct = q(
+    "q_approx_distinct",
+    null,
+    tags = Set("noOracle")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.05).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `fanout(e1, e2, …)` — M:168-169: N aggregates of one receiver
+    * packed into an array. */
+  private val fanout0 = q(
+    "q_fanout",
+    """SELECT event_type,
+      |  [CAST(COUNT(*) AS DOUBLE), MIN(value), MAX(value)] AS stats
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(array(
+          count(lit(1)).cast("double"),
+          min("value"), max("value")).as("stats"))
+        .orderBy("event_type")
+  }
+
+  /** `zip_shape(a: e1, b: e2)` — M:170-171: named exprs → struct. */
+  private val zipShape = q(
+    "q_zip_shape",
+    """SELECT event_type,
+      |  struct_pack(lo := MIN(value), hi := MAX(value)) AS rng
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(struct(
+          min("value").as("lo"), max("value").as("hi")).as("rng"))
+        .orderBy("event_type")
+  }
+
+  /** Time-bucketed aggregation (streaming §2.10 batch analogue):
+    * group by year over the orders date column. */
+  private val byYear = q(
+    "q_group_year",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr")
+  }
+
+  /** `count_by` on a computed bucket (histogram idiom). */
+  private val histogram = q(
+    "q_histogram",
+    """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** `explode(field)` — M:76-77: unnest array elements to rows with
+    * position. */
+  private val explode0 = q(
+    "q_explode",
+    """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |  unnest(embedding) AS val
+      |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id, pos""".stripMargin) {
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos")
+  }
+
+  /** `implode(field)` — M:78-79: inverse of explode — collapse rows
+    * sharing the residual key back into an array. */
+  private val implode0 = q(
+    "q_implode",
+    """SELECT event_type, list_sort(list(event_id)) AS ids, COUNT(*) AS n
+      |FROM events WHERE value > 495
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("value") > 495)
+      .groupBy("event_type")
+      .agg(
+        sort_array(collect_list("event_id")).as("ids"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  def defs = Seq(
+    anyAll, partition0, pivot0, indexBy, approxDistinct, fanout0,
+    zipShape, byYear, histogram, explode0, implode0)
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
   def groups: Seq[QueryGroup] = Seq(
-    CoreQueries)
+    CoreQueries, WindowQueries, SequenceQueries, AggQueries,
+    ArraySetQueries, ScalarQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** SURVEY §2.5 — window / rolling / sequence analytics, re-expressed as
+  * Spark window functions. The reference operates positionally over an
+  * array (array order = the only order); here the stable sequence is
+  * `event_id` within a `user_id` partition, which is the scalable analogue:
+  * partitions parallelise per user, and each frame is bounded.
+  */
+object WindowQueries extends QueryGroup {
+
+  private val winSql =
+    "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+  private def w = Window.partitionBy("user_id").orderBy("event_id")
+
+  /** `rolling_sum/avg/min/max(3)` — M:246-253. Exact decimal window sums
+    * (see [[Num]]): deterministic regardless of how the engine folds the
+    * frame. */
+  private val rolling = q(
+    "q_rolling",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) AS roll_sum,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+      |        / COUNT(*) OVER w3, 4) AS roll_avg,
+      |  MIN(value) OVER w3 AS roll_min,
+      |  MAX(value) OVER w3 AS roll_max
+      |FROM events
+      |WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      sum(Num.dec2(col("value"))).over(w3).cast("double").as("roll_sum"),
+      round(
+        sum(Num.dec2(col("value"))).over(w3).cast("double") /
+          count(lit(1)).over(w3), 4).as("roll_avg"),
+      min("value").over(w3).as("roll_min"),
+      max("value").over(w3).as("roll_max"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `lag(n)` / `lead(n)` + `diff_window()` — M:254-259. */
+  private val lagLead = q(
+    "q_lag_lead",
+    s"""SELECT event_id, user_id,
+      |  LAG(value, 1) OVER w AS prev_v,
+      |  LEAD(value, 1) OVER w AS next_v,
+      |  value - LAG(value, 1) OVER w AS diff
+      |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_v"),
+        lead("value", 1).over(w).as("next_v"),
+        (col("value") - lag("value", 1).over(w)).as("diff"))
+        .orderBy("user_id", "event_id")
+  }
+
+  /** `pct_change()` — M:260-261. Same-operand IEEE division: identical
+    * doubles on both engines, no rounding needed. */
+  private val pctChange = q(
+    "q_pct_change",
+    s"""SELECT event_id, user_id,
+      |  (value - LAG(value, 1) OVER w) / LAG(value, 1) OVER w AS pct
+      |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        ((col("value") - lag("value", 1).over(w)) /
+          lag("value", 1).over(w)).as("pct"))
+        .orderBy("user_id", "event_id")
+  }
+
+  /** `cum_max()` / `cum_min()` — M:262-265. */
+  private val cumExtrema = q(
+    "q_cum_extrema",
+    """SELECT event_id, user_id,
+      |  MAX(value) OVER wc AS cmax, MIN(value) OVER wc AS cmin
+      |FROM events
+      |WINDOW wc AS (PARTITION BY user_id ORDER BY event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      max("value").over(wc).as("cmax"),
+      min("value").over(wc).as("cmin"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `zscore()` — M:266-267 (O:collection.rs:322): per-partition mean and
+    * sample stddev from exact decimal sums so both engines see identical
+    * doubles before the final subtract/divide. */
+  private val zscore = q(
+    "q_zscore",
+    """SELECT event_id, event_type,
+      |  ROUND((value - m) / NULLIF(sqrt((ss - n * m * m) / (n - 1)), 0), 6) AS z
+      |FROM (
+      |  SELECT event_id, event_type, value,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wt AS DOUBLE)
+      |      / COUNT(*) OVER wt AS m,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |           OVER wt AS DOUBLE) AS ss,
+      |    COUNT(*) OVER wt AS n
+      |  FROM events
+      |  WINDOW wt AS (PARTITION BY event_type))
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val wt = Window.partitionBy("event_type")
+    val dv = Num.dec2(col("value"))
+    val base = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      (sum(dv).over(wt).cast("double") / count(lit(1)).over(wt)).as("m"),
+      sum(dv * dv).over(wt).cast("double").as("ss"),
+      count(lit(1)).over(wt).as("n"))
+    base.select(
+      col("event_id"), col("event_type"),
+      round(
+        (col("value") - col("m")) /
+          nullif(sqrt((col("ss") - col("n") * col("m") * col("m")) /
+            (col("n") - 1)), lit(0)), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** `enumerate()` — M:142-143: 0-based index in sequence order. */
+  private val enumerate0 = q(
+    "q_enumerate",
+    s"""SELECT event_id, user_id,
+      |  ROW_NUMBER() OVER w - 1 AS idx
+      |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (row_number().over(w) - 1).cast("long").as("idx"))
+        .orderBy("user_id", "event_id")
+  }
+
+  /** `pairwise()` — M:144-145: consecutive (prev, cur) pairs. */
+  private val pairwise0 = q(
+    "q_pairwise",
+    s"""SELECT user_id, LAG(event_id, 1) OVER w AS prev_id, event_id
+      |FROM events $winSql
+      |QUALIFY LAG(event_id, 1) OVER w IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("user_id"),
+      lag("event_id", 1).over(w).as("prev_id"),
+      col("event_id"))
+      .filter(col("prev_id").isNotNull)
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `chunk(4)` (alias `batch`) — M:148-149: non-overlapping chunks in
+    * sequence order, aggregated per chunk. */
+  private val chunk0 = q(
+    "q_chunk",
+    """SELECT user_id, chunk_id, COUNT(*) AS n,
+      |  list_sort(list(event_id)) AS ids
+      |FROM (SELECT user_id, event_id,
+      |        CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+      |             // 4 AS BIGINT) AS chunk_id
+      |      FROM events)
+      |GROUP BY user_id, chunk_id ORDER BY user_id, chunk_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("chunk_id",
+          floor((row_number().over(w) - 1) / 4).cast("long"))
+        .groupBy("user_id", "chunk_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sort_array(collect_list("event_id")).as("ids"))
+        .orderBy("user_id", "chunk_id")
+  }
+
+  /** `window(3)` sliding windows — M:146-147: materialised frames. */
+  private val sliding = q(
+    "q_window_sliding",
+    """SELECT event_id, user_id, list(event_id) OVER w3 AS frame
+      |FROM events
+      |WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      collect_list("event_id").over(w3).as("frame"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `accumulate(+, 0)` running fold — M:160-161: exact decimal running
+    * sum rendered as double. */
+  private val accumulate0 = q(
+    "q_accumulate",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wc AS DOUBLE) AS running
+      |FROM events
+      |WINDOW wc AS (PARTITION BY user_id ORDER BY event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      sum(Num.dec2(col("value"))).over(wc).cast("double").as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def defs = Seq(
+    rolling, lagLead, pctChange, cumExtrema, zscore, enumerate0,
+    pairwise0, chunk0, sliding, accumulate0)
+}
