@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, token counting, n-gram shingling, MinHash signatures,
+  * language ID, quality scoring, and document fingerprinting.
+  *
+  * Everything here is composed from native Spark functions / higher-order
+  * functions, so it runs inside whole-stage codegen with no UDFs and no
+  * driver-side state — each row is independent, which is what lets these
+  * scale linearly to 100 TB document sets.
+  */
+object Text {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count (whitespace tokens). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword-ish token count: runs of letters, runs of digits,
+    * and single non-alphanumeric marks each count as one token —
+    * approximates byte-pair-encoding token inflation for budget
+    * estimates without a vocab file. Takes a column NAME (the regex
+    * runs via a SQL expression). */
+  def bpeIshCount(textCol: String): Column =
+    size(expr(
+      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+      .cast("long")
+
+  /** Word n-grams over a token array (empty when fewer than n tokens). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Character k-gram shingles of a string column (by NAME — substring
+    * with a lambda-bound position is SQL-expression-only). */
+  def charShingles(textCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> substring($textCol, i, $k))")
+
+  /** One MinHash lane: min over the shingle set of a salted xxhash64.
+    * Salting with the lane index gives k independent hash functions
+    * without 64-bit modular arithmetic. */
+  def minhashLane(shingles: Column, lane: Int): Column =
+    coalesce(
+      array_min(transform(shingles, s => xxhash64(s, lit(lane)))),
+      lit(Long.MaxValue))
+
+  /** Full MinHash signature (k lanes) of a shingle array. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => minhashLane(shingles, i)): _*)
+
+  /** Rolling-hash document fingerprint: the minimum salted hash over
+    * char-8-gram shingles (one-lane MinHash == winnowing-style content
+    * fingerprint, stable under small reorderings of unrelated docs). */
+  def fingerprint(textCol: String): Column =
+    minhashLane(charShingles(textCol, 8), 0)
+
+  /** Tiny per-language stopword inventories for the heuristic
+    * language-ID below. Deliberately small: language ID at scale is a
+    * scoring pass over the token array, not a model invocation. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"))
+
+  /** Per-language hit count: distinct stopwords present. */
+  def langScore(toks: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits, 'und' when no
+    * language scores > 0. Ties resolve in `stopwords` order. */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(toks, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0 && acc === "und", lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Stopword ratio over all tokens (any language's stopwords). */
+  def stopwordRatio(toks: Column): Column = {
+    val all = stopwords.flatMap(_._2).distinct
+    (size(filter(toks, t => t.isInCollection(all))).cast("double") /
+      greatest(size(toks), lit(1))).cast("double")
+  }
+
+  /** Quality score in [0, 1]: length saturation, mean-token-length
+    * band, stopword presence. Deterministic arithmetic on integer
+    * counts — safe for cross-engine comparison after rounding. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = (length(text).cast("double") - (nTok - 1)) /
+      greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val meanScore = when(meanLen.between(3.0, 9.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(toks) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + meanScore * 0.3 + stopScore * 0.3, 4)
+  }
+}

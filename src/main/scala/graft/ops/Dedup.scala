@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle on a hash key:
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle, combiner-
+  *    friendly, no skew beyond true duplicate mass.
+  *  - MinHash + LSH: shingle → k-lane signature → band buckets →
+  *    bucket-local candidate pairs → exact Jaccard verify. The band
+  *    join shuffles on (band, bandHash), so candidate generation never
+  *    compares across buckets — the all-pairs O(n²) never materialises.
+  *  - SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+  *    prefix bands then Hamming ≤ radius verify.
+  *  - n-gram Jaccard: the exact verifier, also usable standalone on a
+  *    bounded candidate set.
+  *
+  * All signature math is native Spark HOFs except SimHash's bit fold
+  * (see [[simhash]]).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum id per content group. One shuffle on
+    * the digest; at 100 TB hash first so the shuffle key is 16 bytes,
+    * not the document. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Word-3-gram shingle set (distinct) — the unit for Jaccard. */
+  def shingles(text: Column): Column =
+    array_distinct(Text.wordNgrams(Text.tokens(text), 3))
+
+  /** MinHash signatures: (id, shingles, sig[k]). */
+  def withSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol)).as("sh"))
+      .withColumn("sig", Text.minhashSignature(col("sh"), k))
+
+  /** LSH candidate pairs + exact Jaccard, filtered at `minJaccard`.
+    * bands × rowsPerBand must equal k. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val signed = withSignature(df, idCol, textCol, k)
+
+    // band hash = xxhash64 of the band's signature slice + band index
+    val banded = signed.select(
+      col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+
+    // bucket-local pairs (shuffle on (band, bucket) only)
+    val l = banded.select(
+      col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val rr = banded.select(
+      col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(rr, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    (size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double"))
+
+  /** All-pairs n-gram Jaccard over a bounded subset (the exact
+    * verifier; quadratic — gate the input). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = df.select(col(idCol).as("id"), shingles(col(textCol)).as("gs"))
+    val a = g.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val b = g.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("gs_a"), col("gs_b")), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token array: per-token xxhash64, each bit
+    * votes ±1, the sign of each bit's total is the output bit.
+    *
+    * The bit fold uses a SQL aggregate over a constant 0..63 sequence
+    * — stays in codegen, no UDF: for bit j, count tokens with bit j
+    * set, compare against half the token count.
+    */
+  def simhash(toksCol: String): Column =
+    expr(s"""
+      aggregate(
+        transform(sequence(0, 63), j ->
+          CASE WHEN size(filter($toksCol,
+                 t -> ((shiftright(xxhash64(t), j) & 1) = 1)))
+               * 2 > size($toksCol)
+               THEN shiftleft(1L, j) ELSE 0L END),
+        0L, (acc, v) -> acc | v)""")
+
+  /** SimHash near-dup candidates: equal 16-bit band ⇒ candidate, then
+    * Hamming distance ≤ radius verify via bit_count(xor). */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 8): DataFrame = {
+    val h = df.select(
+      col(idCol).as("id"),
+      simhash(s"split(${textCol}, '\\\\s+')").as("sh64"))
+    val banded = h.select(
+      col("id"), col("sh64"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh64").as("h_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh64").as("h_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), three tiers:
+  *
+  *  - brute force: broadcast the (small) query set, scan the corpus
+  *    once, per-query top-k via window. Exact; linear in corpus size;
+  *    the 100 TB shape is "queries ≪ corpus", so the corpus is read
+  *    once with no shuffle of vector payloads.
+  *  - LSH (random hyperplanes): deterministic signed projections →
+  *    band buckets → bucket join → exact re-rank of candidates.
+  *    Sub-linear candidate sets; recall tunable via bits/bands.
+  *  - IVF: coarse centroids (deterministic seed vectors), assign each
+  *    corpus vector to its nearest centroid (one broadcast argmin),
+  *    probe the nprobe closest clusters per query. Partition-prunable
+  *    when the corpus is written bucketed by cluster id.
+  *
+  * All distance math is double-precision sequential folds via SQL HOFs
+  * (codegen; deterministic across engines).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (by SQL fragment),
+    * computed in double precision. */
+  def cosineExpr(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, CAST(0 AS DOUBLE),
+       |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |   * sqrt(aggregate($b, CAST(0 AS DOUBLE),
+       |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |""".stripMargin.replace("\n", " "))
+
+  /** Exact top-k: for each query vector, the k most-cosine-similar
+    * corpus vectors (excluding itself). Ranking uses the rounded
+    * similarity with id tie-break so results are stable across
+    * engines. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes in `dim`
+    * dimensions, seeded — identical across runs and executors. */
+  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the hyperplanes. */
+  def lshSignature(vecCol: String, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val ps = planes(dim, bits, seed)
+    val bitCols = ps.zipWithIndex.map { case (p, j) =>
+      val dot = expr(
+        s"aggregate(zip_with($vecCol, ${sqlArray(p)}, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  private def sqlArray(xs: Array[Double]): String =
+    xs.mkString("array(", "D, ", "D)")
+
+  /** LSH-bucketed ANN: band-equal signatures propose candidates, exact
+    * cosine re-ranks. Same output shape as [[bruteForceTopK]]; recall
+    * < 1 by construction. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int,
+      bits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits % bands == 0)
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        lshSignature(vecCol, dim, bits, seed).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band", "bucket")))
+    val qb = banded(queries, "qid", "qv")
+    val cb = banded(corpus, "cid", "cv")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    cand
+      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** IVF: nlist coarse centroids = the first nlist corpus vectors (a
+    * deterministic quantizer for testing; swap for trained centroids in
+    * production). Returns per-query top-k searching only the nprobe
+    * nearest clusters. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    // assign: argmax cosine against broadcast centroids
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosineExpr("cv", "centv"), 4))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select("cid", "cv", "centroid_id")
+    // probe lists per query
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", round(cosineExpr("qv", "centv"), 4))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select("qid", "qv", "centroid_id")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+}

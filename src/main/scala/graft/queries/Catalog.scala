@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   def groups: Seq[QueryGroup] = Seq(
     CoreQueries, WindowQueries, SequenceQueries, AggQueries,
-    ArraySetQueries, ScalarQueries)
+    ArraySetQueries, ScalarQueries, TextQueries, SimilarityQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

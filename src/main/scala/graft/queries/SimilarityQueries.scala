@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Multimodal, Similarity}
+
+/** Similarity-search and multimodal-plumbing queries over the
+  * embeddings/documents tables. Brute-force cosine results carry a
+  * full DuckDB oracle (identical double-precision formula on both
+  * sides); the hash-bucketed variants are rows-only with recall
+  * asserted in ScalaTest.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  /** Shared oracle scaffold: pairwise cosine in double precision. */
+  private def cosineSql(qFilter: String, cFilter: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qFilter),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE $cFilter),
+       |p AS (
+       |  SELECT qid, cid,
+       |    ROUND(SUM(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))
+       |      / (sqrt(SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+       |       * sqrt(SUM(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 4) AS sim
+       |  FROM q, c, generate_series(1, 64) t(i)
+       |  WHERE qid <> cid GROUP BY qid, cid)""".stripMargin
+
+  /** Brute-force cosine top-k neighbors for 5 query vectors. */
+  private val cosineTopK = q(
+    "q_cosine_topk",
+    cosineSql("vec_id < 5", "TRUE") +
+      """
+        |SELECT qid, cid, sim, rk FROM (
+        |  SELECT qid, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+        |  FROM p)
+        |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold on rounded sim,
+    * bounded slice — the exact verifier for embedding dedup). */
+  private val nearDup = q(
+    "q_embedding_neardup",
+    cosineSql("vec_id < 200", "vec_id < 200") +
+      """
+        |SELECT qid AS id_a, cid AS id_b, sim FROM p
+        |WHERE qid < cid AND sim >= 0.3 ORDER BY id_a, id_b""".stripMargin) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(Similarity.cosineExpr("va", "vb"), 4))
+        .filter(col("sim") >= 0.3)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-bucketed ANN (random hyperplanes) — rows-only; recall vs
+    * brute force asserted in SimilaritySpec. */
+  private val lshTopK = q("q_ann_lsh", null, tags = Set("noOracle")) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        dim = 64, k = 3, bits = 16, bands = 8)
+        .orderBy("qid", "rk")
+  }
+
+  /** IVF ANN with deterministic coarse centroids — rows-only. */
+  private val ivfTopK = q("q_ann_ivf", null, tags = Set("noOracle")) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 3)
+        .orderBy("qid", "rk")
+  }
+
+  /** Multimodal plumbing: synthesized binary payloads → byte length
+    * oracle (the decode stage itself is stubbed, see Multimodal). */
+  private val multimodalBytes = q(
+    "q_multimodal_bytes",
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    Multimodal.synthesize(Tables.documents(s, d))
+      .select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  /** Frame sampling over binary payloads — rows-only (struct arrays of
+    * binary have no clean DuckDB comparison). */
+  private val frames = q("q_multimodal_frames", null, tags = Set("noOracle")) {
+    (s, d) =>
+      Multimodal.frameSample(Multimodal.synthesize(Tables.documents(s, d)))
+        .select("media_id", "kind", "n_frames")
+        .orderBy("media_id")
+  }
+
+  def defs = Seq(
+    cosineTopK, nearDup, lshTopK, ivfTopK, multimodalBytes, frames)
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+import graft.ops.Dedup
+
+/** Training-data text operators over the documents/events tables:
+  * token counting, quality scoring, language ID, fingerprinting, and
+  * the dedup family. SQL-expressible ones carry DuckDB oracles; the
+  * hash-based ones (xxhash64 signatures) are rows-only and covered by
+  * ScalaTest invariants instead.
+  */
+object TextQueries extends QueryGroup {
+
+  /** Token counting — whitespace + BPE-ish regex counts. */
+  private val tokenCount = q(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(LENGTH(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.bpeIshCount("text").as("n_bpeish"),
+      col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring — length saturation + mean token length band +
+    * stopword ratio (SURVEY north-star text analysis). */
+  private val quality = q(
+    "q_text_quality",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ROUND(
+      |    LEAST(CAST(LENGTH(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |    (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) - (LENGTH(toks) - 1))
+      |               / GREATEST(CAST(LENGTH(toks) AS DOUBLE), 1.0)
+      |               BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+      |    LEAST(CAST(LENGTH(list_filter(toks, x -> x IN (${sqlStops}))) AS DOUBLE)
+      |          / GREATEST(LENGTH(toks), 1) * 4.0, 1.0) * 0.3, 4) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private def sqlStops: String =
+    Text.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+
+  /** Heuristic language ID — stopword-hit argmax (ties → declaration
+    * order, no hits → 'und'). */
+  private val langId = q(
+    "q_lang_id",
+    {
+      val scores = Text.stopwords.map { case (l, ws) =>
+        l -> s"LENGTH(list_intersect(list_distinct(toks), [${ws.map(w => s"'$w'").mkString(", ")}]))"
+      }
+      val best = scores.map(_._2).reduce((a, b) => s"GREATEST($a, $b)")
+      val caseChain = scores.map { case (l, s) =>
+        s"WHEN $s = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, $best AS best FROM t)
+        |SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.langId(Text.tokens(col("text"))).as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup over real duplicates (events.props: ~100 distinct
+    * payloads over 10k rows): digest → keep-min-id + multiplicity. */
+  private val dedupExactProps = q(
+    "q_dedup_exact_props",
+    """SELECT md5(props) AS content_hash, MIN(event_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM events GROUP BY content_hash ORDER BY keep_id""".stripMargin) {
+    (s, d) =>
+      Dedup.exact(Tables.events(s, d), "event_id", "props")
+        .orderBy("keep_id")
+  }
+
+  /** Exact dedup on documents (no duplicates in testdata — the
+    * all-singleton result is itself the assertion). */
+  private val dedupExactDocs = q(
+    "q_dedup_exact_docs",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY content_hash ORDER BY keep_id""".stripMargin) {
+    (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")
+  }
+
+  /** n-gram Jaccard similarity, all pairs over a bounded slice —
+    * the exact near-dup verifier (word 3-grams). */
+  private val ngramJaccard = q(
+    "q_ngram_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ss
+      |  FROM documents WHERE doc_id < 25),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN LENGTH(ss) < 3 THEN []
+      |      ELSE list_transform(generate_series(1, LENGTH(ss) - 2),
+      |           i -> ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2]) END) AS gs
+      |  FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(LENGTH(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      |        / GREATEST(LENGTH(list_distinct(a.gs || b.gs)), 1), 4) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 25), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signatures — xxhash64-based, no DuckDB equivalent →
+    * rows-only check; invariants asserted in DedupSpec. */
+  private val minhashSig = q("q_minhash_sig", null, tags = Set("noOracle")) {
+    (s, d) =>
+      Dedup.withSignature(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id"), col("sig"))
+        .orderBy("id")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify. */
+  private val minhashPairs = q("q_minhash_pairs", null, tags = Set("noOracle")) {
+    (s, d) =>
+      Dedup.minhashNearDups(
+        Tables.documents(s, d), "doc_id", "text", minJaccard = 0.2)
+        .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash values + banded near-dup pairs (Hamming ≤ 12). */
+  private val simhashPairs = q("q_simhash_pairs", null, tags = Set("noOracle")) {
+    (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", radius = 4)
+        .orderBy("id_a", "id_b")
+  }
+
+  /** Content fingerprint (char-8-gram min-hash). */
+  private val fingerprint = q("q_fingerprint", null, tags = Set("noOracle")) {
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.fingerprint("text").as("fp"))
+        .orderBy("doc_id")
+  }
+
+  def defs = Seq(
+    tokenCount, quality, langId, dedupExactProps, dedupExactDocs,
+    ngramJaccard, minhashSig, minhashPairs, simhashPairs, fingerprint)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Invariants for the hash-based dedup family (no SQL oracle — these
+  * are the correctness checks for the rows-only queries). */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("exact dedup partitions the table: sum of copies == row count") {
+    val total = docs.count()
+    val agg = Dedup.exact(docs, "doc_id", "text")
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(agg == total)
+  }
+
+  test("minhash signatures are deterministic and k-wide") {
+    val a = Dedup.withSignature(docs, "doc_id", "text", k = 16)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val b = Dedup.withSignature(docs, "doc_id", "text", k = 16)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.toMap == b.toMap)
+    assert(a.forall(_._2.length == 16))
+  }
+
+  test("minhash LSH candidates include the highest-jaccard exact pairs") {
+    // exact all-pairs jaccard on a slice; every pair >= 0.9 must be
+    // recalled by the banded LSH (16 lanes / 4 bands recalls J>=0.9
+    // with probability ~1 - (1-0.9^4)^4 ~ 0.996 per pair)
+    val slice = docs.filter(col("doc_id") < 200)
+    val exact = Dedup.ngramJaccardPairs(slice, "doc_id", "text")
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(slice, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    val recalled = exact.intersect(lsh)
+    assert(recalled.size.toDouble / exact.size >= 0.9,
+      s"LSH recall too low: ${recalled.size}/${exact.size}")
+  }
+
+  test("simhash near-dups are symmetric-free (a<b) and within radius") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", radius = 4)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getAs[Number](2).longValue <= 4))
+  }
+}
