@@ -1,0 +1,732 @@
+package graft.jexpr
+
+import scala.collection.immutable.VectorMap
+import Expr.Arg
+import Interp.err
+
+/** Document-mode builtin methods — the §2 operator inventory of
+  * SURVEY.md implemented over [[JValue]].
+  *
+  * Mirrors the catalog declared by the reference's `BuiltinMethod` enum
+  * (/root/reference/jetro-core/src/builtins/mod.rs:18-401) with runtime
+  * semantics re-derived from its published docs and op signatures
+  * (builtins/ops/array.rs, collection.rs, string.rs, path.rs, misc.rs);
+  * the code is written fresh for Scala. In
+  * relational mode the same names lower to Catalyst (see
+  * graft.queries.*); this registry is the completeness/semantics anchor.
+  */
+object Builtins {
+
+  // ── helpers ──────────────────────────────────────────────────────────
+
+  private def ev(a: Arg, env: Env): JValue = Interp.eval(a.e, env)
+
+  private def evOpt(args: Vector[Arg], i: Int, env: Env): Option[JValue] =
+    if (i < args.length) Some(ev(args(i), env)) else None
+
+  private def intArg(args: Vector[Arg], i: Int, env: Env, default: Long = 0): Long =
+    evOpt(args, i, env) match {
+      case Some(JInt(n))   => n
+      case Some(JFloat(f)) => f.toLong
+      case Some(other)     => err(s"expected integer argument, got ${other.kind}")
+      case None            => default
+    }
+
+  private def strArg(args: Vector[Arg], i: Int, env: Env): String =
+    evOpt(args, i, env) match {
+      case Some(JStr(s)) => s
+      case Some(other)   => JValue.display(other)
+      case None          => err("missing string argument")
+    }
+
+  /** Body arg: the per-element expression/lambda, or identity when absent. */
+  private def bodyOr(args: Vector[Arg], i: Int, env: Env): JValue => JValue =
+    if (i < args.length) Interp.body(args(i).e, env) else identity
+
+  private def elems(v: JValue): Vector[JValue] = v match {
+    case JArr(xs) => xs
+    case JNull    => Vector.empty
+    case other    => Vector(other)
+  }
+
+  private def arrOnly(v: JValue, what: String): Vector[JValue] = v match {
+    case JArr(xs) => xs
+    case JNull    => Vector.empty
+    case other    => err(s"$what requires an array, got ${other.kind}")
+  }
+
+  private def objOnly(v: JValue, what: String): VectorMap[String, JValue] = v match {
+    case JObj(fs) => fs
+    case JNull    => VectorMap.empty
+    case other    => err(s"$what requires an object, got ${other.kind}")
+  }
+
+  private def strOnly(v: JValue): String = v match {
+    case JStr(s) => s
+    case other   => JValue.display(other)
+  }
+
+  /** val_to_key (reference util.rs:215-226). */
+  def keyStr(v: JValue): String = JValue.display(v)
+
+  /** Numeric lane extraction: numbers → Some, null → None; any other
+    * element kind aborts (reference collection.rs numeric_options). */
+  private def nums(v: JValue): Vector[Option[Double]] =
+    arrOnly(v, "numeric op").map {
+      case JInt(n)   => Some(n.toDouble)
+      case JFloat(f) => Some(f)
+      case JNull     => None
+      case other     => err(s"numeric op on ${other.kind}")
+    }
+
+  private def numArr(xs: Vector[Option[Double]]): JValue =
+    JArr(xs.map { case Some(f) => JFloat(f); case None => JNull })
+
+  /** `has` / includes / contains (reference D:2564): array → element
+    * equality, object → key existence, string → substring. */
+  def membership(container: JValue, item: JValue): Boolean = container match {
+    case JArr(xs) => xs.exists(JValue.eq(_, item))
+    case JObj(fs) => item match { case JStr(k) => fs.contains(k); case _ => false }
+    case JStr(s)  => s.contains(JValue.display(item))
+    case _        => false
+  }
+
+  def deepMerge(a: JValue, b: JValue): JValue = (a, b) match {
+    case (JObj(x), JObj(y)) =>
+      var out = x
+      y.foreach { case (k, v) =>
+        out += k -> (x.get(k) match {
+          case Some(xv) => deepMerge(xv, v)
+          case None     => v
+        })
+      }
+      JObj(out)
+    case (_, other) => other
+  }
+
+  private def uniqueBy(xs: Vector[JValue], key: JValue => JValue): Vector[JValue] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    xs.filter(x => seen.add(key(x).render)) // keep-first (M:94-97)
+  }
+
+  /** sort with `-key` meaning descending (SortSpec, pipeline.rs:182-205). */
+  private def sorted(xs: Vector[JValue], args: Vector[Arg], env: Env): Vector[JValue] = {
+    val (keyFn, desc) =
+      if (args.isEmpty) (identity[JValue] _, false)
+      else args(0).e match {
+        case Expr.Unary("-", inner) => (Interp.body(inner, env), true)
+        case other                  => (Interp.body(other, env), false)
+      }
+    val s = xs.sortWith((a, b) => JValue.cmp(keyFn(a), keyFn(b)) < 0)
+    if (desc) s.reverse else s
+  }
+
+  private def groupedBy(xs: Vector[JValue], key: JValue => JValue): Vector[(String, Vector[JValue])] = {
+    var order = Vector.empty[String]
+    val m = scala.collection.mutable.HashMap.empty[String, Vector[JValue]]
+    xs.foreach { x =>
+      val k = keyStr(key(x))
+      if (!m.contains(k)) order :+= k
+      m(k) = m.getOrElse(k, Vector.empty) :+ x
+    }
+    order.map(k => k -> m(k))
+  }
+
+  // ── deep (`$..find` / `..shape` / `..like`) ─────────────────────────
+
+  def deepCall(name: String, recv: JValue, args: Vector[Arg], env: Env): JValue = name match {
+    case "find" | "deep_find" =>
+      val p = bodyOr(args, 0, env)
+      JArr(Deep.find(recv, x => p(x).truthy))
+    case "shape" | "deep_shape" =>
+      JArr(Deep.shape(recv, shapeKeys(args, env)))
+    case "like" | "deep_like" =>
+      JArr(Deep.like(recv, likeFields(args, env)))
+    case other =>
+      // `$..method(...)`: descend then call — e.g. `$..price.sum()` parses
+      // as Descendant+Method, so only find/shape/like land here.
+      call(other, JArr(Deep.allNodes(recv).drop(1)), args, env)
+  }
+
+  private def shapeKeys(args: Vector[Arg], env: Env): Vector[String] = args.headOption.map(_.e) match {
+    case Some(Expr.ObjLit(fields)) => fields.collect {
+      case Expr.ObjField.Short(n)                        => n
+      case Expr.ObjField.KV(Expr.Lit(JStr(n)), _, _)     => n
+    }
+    case Some(e) => Interp.eval(e, env) match {
+      case JArr(xs) => xs.map(keyStr)
+      case JStr(s)  => Vector(s)
+      case _        => Vector.empty
+    }
+    case None => Vector.empty
+  }
+
+  private def likeFields(args: Vector[Arg], env: Env): Vector[(String, JValue)] =
+    args.headOption.map(_.e) match {
+      case Some(Expr.ObjLit(fields)) => fields.collect {
+        case Expr.ObjField.KV(Expr.Lit(JStr(n)), v, _) => n -> Interp.eval(v, env)
+      }
+      case Some(e) => Interp.eval(e, env) match {
+        case JObj(fs) => fs.toVector
+        case _        => Vector.empty
+      }
+      case None => Vector.empty
+    }
+
+  // ── the registry ─────────────────────────────────────────────────────
+
+  def call(name: String, recv: JValue, args: Vector[Arg], env: Env): JValue = name match {
+
+    // ═══ filters / projections (§2.2) ═══
+    case "filter" | "find" | "find_all" | "where" =>
+      val p = bodyOr(args, 0, env)
+      JArr(elems(recv).filter(x => p(x).truthy))
+    case "map" =>
+      val f = bodyOr(args, 0, env)
+      JArr(elems(recv).map(f))
+    case "flat_map" =>
+      val f = bodyOr(args, 0, env)
+      JArr(elems(recv).flatMap(x => f(x) match {
+        case JArr(ys) => ys
+        case JNull    => Vector.empty
+        case other    => Vector(other)
+      }))
+    case "collect" => recv match { // M:98-99: scalar→[scalar], array→id, null→[]
+      case JArr(_) => recv
+      case JNull   => JArr(Vector.empty)
+      case other   => JArr(Vector(other))
+    }
+    case "compact" => recv match { // drop nulls (M:116-117)
+      case JArr(xs) => JArr(xs.filterNot(_ == JNull))
+      case JObj(fs) => JObj(fs.filterNot(_._2 == JNull))
+      case other    => other
+    }
+    case "remove" => // value or predicate form (M:134-135, D:148-163)
+      val xs = arrOnly(recv, "remove")
+      args.headOption.map(_.e) match {
+        case Some(l @ Expr.Lambda(_, _)) =>
+          val p = Interp.body(l, env); JArr(xs.filterNot(x => p(x).truthy))
+        case Some(e) =>
+          val v = Interp.eval(e, env)
+          if (v.isInstanceOf[JFun]) {
+            val p = Interp.body(e, env); JArr(xs.filterNot(x => p(x).truthy))
+          } else JArr(xs.filterNot(JValue.eq(_, v)))
+        case None => err("remove requires an argument")
+      }
+    case "pick" => pick(recv, args, env)
+    case "omit" =>
+      val keys = args.map(a => a.e match {
+        case Expr.Ident(n)       => n
+        case Expr.Lit(JStr(s))   => s
+        case e                   => keyStr(Interp.eval(e, env))
+      }).toSet
+      recv match {
+        case JObj(fs) => JObj(fs.filterNot { case (k, _) => keys(k) })
+        case JArr(xs) => JArr(xs.map {
+          case JObj(fs) => JObj(fs.filterNot { case (k, _) => keys(k) })
+          case other    => other
+        })
+        case other => other
+      }
+
+    // ═══ sorts / limits / dedup (§2.6) ═══
+    case "sort" | "sort_by" => JArr(sorted(arrOnly(recv, "sort"), args, env))
+    case "reverse" => recv match {
+      case JArr(xs) => JArr(xs.reverse)
+      case JStr(s)  => JStr(s.reverse)
+      case other    => other
+    }
+    case "take"  => JArr(elems(recv).take(intArg(args, 0, env).toInt))
+    case "skip" | "drop" => JArr(elems(recv).drop(intArg(args, 0, env).toInt))
+    case "take_while" =>
+      val p = bodyOr(args, 0, env)
+      JArr(elems(recv).takeWhile(x => p(x).truthy))
+    case "drop_while" =>
+      val p = bodyOr(args, 0, env)
+      JArr(elems(recv).dropWhile(x => p(x).truthy))
+    case "unique" | "distinct" => JArr(uniqueBy(arrOnly(recv, "unique"), identity))
+    case "unique_by" => JArr(uniqueBy(arrOnly(recv, "unique_by"), bodyOr(args, 0, env)))
+
+    // ═══ positional selection / aggregates (§2.4) ═══
+    case "first" =>
+      if (args.isEmpty) elems(recv).headOption.getOrElse(JNull)
+      else JArr(elems(recv).take(intArg(args, 0, env).toInt))
+    case "last" =>
+      if (args.isEmpty) elems(recv).lastOption.getOrElse(JNull)
+      else JArr(elems(recv).takeRight(intArg(args, 0, env).toInt))
+    case "nth" => Interp.indexOf(recv, intArg(args, 0, env))
+    case "count" =>
+      if (args.isEmpty) JInt(elems(recv).length.toLong)
+      else { val p = bodyOr(args, 0, env); JInt(elems(recv).count(x => p(x).truthy).toLong) }
+    case "sum" => // empty → 0, Int/Float polymorphic (D:551, pipeline.rs:320-328)
+      val f = bodyOr(args, 0, env)
+      elems(recv).map(f).foldLeft(JInt(0L): JValue) {
+        case (JInt(a), JInt(b))     => JInt(a + b)
+        case (JInt(a), JFloat(b))   => JFloat(a + b)
+        case (JFloat(a), JInt(b))   => JFloat(a + b)
+        case (JFloat(a), JFloat(b)) => JFloat(a + b)
+        case (acc, JNull)           => acc
+        case (_, other)             => err(s"sum on ${other.kind}")
+      }
+    case "avg" | "mean" => // empty → null (D:562)
+      val f = bodyOr(args, 0, env)
+      val vs = elems(recv).map(f).flatMap(JValue.asNum)
+      if (vs.isEmpty) JNull else JFloat(vs.sum / vs.length)
+    case "min" | "max" =>
+      val f = bodyOr(args, 0, env)
+      val vs = elems(recv).map(f).filterNot(_ == JNull)
+      if (vs.isEmpty) JNull
+      else if (name == "min") vs.reduce((a, b) => if (JValue.cmp(a, b) <= 0) a else b)
+      else vs.reduce((a, b) => if (JValue.cmp(a, b) >= 0) a else b)
+    case "min_by" | "max_by" =>
+      val f = bodyOr(args, 0, env)
+      val xs = arrOnly(recv, name)
+      if (xs.isEmpty) JNull
+      else if (name == "min_by") xs.minBy(f)(Ordering.fromLessThan((a, b) => JValue.cmp(a, b) < 0))
+      else xs.maxBy(f)(Ordering.fromLessThan((a, b) => JValue.cmp(a, b) < 0))
+    case "any" | "exists" =>
+      val p = bodyOr(args, 0, env)
+      JBool(elems(recv).exists(x => p(x).truthy))
+    case "all" =>
+      val p = bodyOr(args, 0, env)
+      JBool(elems(recv).forall(x => p(x).truthy))
+    case "find_index" =>
+      val p = bodyOr(args, 0, env)
+      val i = elems(recv).indexWhere(x => p(x).truthy)
+      if (i < 0) JNull else JInt(i.toLong)
+    case "indices_where" =>
+      val p = bodyOr(args, 0, env)
+      JArr(elems(recv).zipWithIndex.collect { case (x, i) if p(x).truthy => JInt(i.toLong) })
+    case "approx_count_distinct" => // doc mode runs exact (estimate superset)
+      JInt(elems(recv).map(_.render).distinct.length.toLong)
+    case "accumulate" => // running fold / scan (M:160-161)
+      val xs = arrOnly(recv, "accumulate")
+      val f = args.headOption.map(_.e).map(Interp.eval(_, env)) match {
+        case Some(fn: JFun) => fn
+        case _              => err("accumulate requires a lambda")
+      }
+      val init = evOpt(args, 1, env)
+      var acc = init.getOrElse(JNull)
+      var started = init.isDefined
+      val out = Vector.newBuilder[JValue]
+      xs.foreach { x =>
+        if (!started) { acc = x; started = true }
+        else acc = Interp.applyFun(f, Vector(acc, x), env)
+        out += acc
+      }
+      JArr(out.result())
+    case "partition" =>
+      val p = bodyOr(args, 0, env)
+      val (pass, failV) = arrOnly(recv, "partition").partition(x => p(x).truthy)
+      JObj.of("pass" -> JArr(pass), "fail" -> JArr(failV))
+
+    // ═══ grouping (§2.4) ═══
+    case "group_by" =>
+      val k = bodyOr(args, 0, env)
+      JObj(VectorMap.from(groupedBy(arrOnly(recv, "group_by"), k).map { case (g, xs) => g -> JArr(xs) }))
+    case "count_by" =>
+      val k = bodyOr(args, 0, env)
+      JObj(VectorMap.from(groupedBy(arrOnly(recv, "count_by"), k).map { case (g, xs) => g -> JInt(xs.length.toLong) }))
+    case "index_by" => // last wins (M:72-73)
+      val k = bodyOr(args, 0, env)
+      var out = VectorMap.empty[String, JValue]
+      arrOnly(recv, "index_by").foreach(x => out += keyStr(k(x)) -> x)
+      JObj(out)
+    case "group_shape" =>
+      val k = bodyOr(args, 0, env)
+      val shape = bodyOr(args, 1, env)
+      JObj(VectorMap.from(groupedBy(arrOnly(recv, "group_shape"), k).map {
+        case (g, xs) => g -> shape(JArr(xs))
+      }))
+    case "pivot" => pivot(recv, args, env)
+    case "explode" =>
+      val field = strArg(args, 0, env)
+      JArr(arrOnly(recv, "explode").flatMap {
+        case JObj(fs) => fs.getOrElse(field, JNull) match {
+          case JArr(items) => items.map(it => JObj(fs + (field -> it)))
+          case JNull       => Vector.empty
+          case other       => Vector(JObj(fs + (field -> other)))
+        }
+        case _ => Vector.empty
+      })
+    case "implode" =>
+      val field = strArg(args, 0, env)
+      val rows = arrOnly(recv, "implode")
+      val grouped = groupedBy(rows, {
+        case JObj(fs) => JObj(fs - field)
+        case other    => other
+      })
+      JArr(grouped.map { case (_, xs) =>
+        xs.head match {
+          case JObj(fs) =>
+            JObj((fs - field) + (field -> JArr(xs.map {
+              case JObj(g) => g.getOrElse(field, JNull)
+              case _       => JNull
+            })))
+          case other => other
+        }
+      })
+    case "fanout" => JArr(args.map(a => Interp.body(a.e, env)(recv)))
+    case "zip_shape" =>
+      var out = VectorMap.empty[String, JValue]
+      args.foreach { a =>
+        val k = a.name.getOrElse(err("zip_shape requires named args"))
+        out += k -> Interp.body(a.e, env)(recv)
+      }
+      JObj(out)
+
+    // ═══ windows / sequences (§2.5) ═══
+    case "window" =>
+      val n = intArg(args, 0, env).toInt
+      val xs = arrOnly(recv, "window")
+      if (n <= 0 || xs.length < n) JArr(Vector.empty)
+      else JArr(xs.sliding(n).map(w => JArr(w.toVector)).toVector)
+    case "chunk" | "batch" =>
+      val n = intArg(args, 0, env).toInt
+      if (n <= 0) err("chunk size must be positive")
+      JArr(arrOnly(recv, "chunk").grouped(n).map(g => JArr(g.toVector)).toVector)
+    case "pairwise" =>
+      val xs = arrOnly(recv, "pairwise")
+      JArr(xs.lazyZip(xs.drop(1)).map((a, b) => JArr(Vector(a, b))).toVector)
+    case "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
+      rolling(name, nums(recv), intArg(args, 0, env).toInt)
+    case "lag" =>
+      val n = intArg(args, 0, env, 1).toInt
+      val xs = nums(recv)
+      numArr(xs.indices.map(i => if (i >= n) xs(i - n) else None).toVector)
+    case "lead" =>
+      val n = intArg(args, 0, env, 1).toInt
+      val xs = nums(recv)
+      numArr(xs.indices.map(i => if (i + n < xs.length) xs(i + n) else None).toVector)
+    case "diff_window" =>
+      val xs = nums(recv)
+      numArr(xs.indices.map(i =>
+        if (i == 0) None
+        else (xs(i - 1), xs(i)) match { case (Some(p), Some(c)) => Some(c - p); case _ => None }).toVector)
+    case "pct_change" =>
+      val xs = nums(recv)
+      numArr(xs.indices.map(i =>
+        if (i == 0) None
+        else (xs(i - 1), xs(i)) match {
+          case (Some(p), Some(c)) if p != 0.0 => Some((c - p) / p)
+          case _                              => None
+        }).toVector)
+    case "cum_max" | "cum_min" =>
+      val xs = nums(recv)
+      var best: Option[Double] = None
+      numArr(xs.map { v =>
+        (v, best) match {
+          case (Some(x), Some(b)) => best = Some(if (name == "cum_max") math.max(x, b) else math.min(x, b))
+          case (Some(x), None)    => best = Some(x)
+          case _                  =>
+        }
+        best
+      })
+    case "zscore" =>
+      val xs = nums(recv)
+      val vs = xs.flatten
+      if (vs.isEmpty) numArr(xs.map(_ => None))
+      else {
+        val mean = vs.sum / vs.length
+        val sd = math.sqrt(vs.map(y => (y - mean) * (y - mean)).sum / vs.length)
+        numArr(xs.map(_.map(x => if (sd == 0.0) 0.0 else (x - mean) / sd)))
+      }
+    case "enumerate" =>
+      JArr(arrOnly(recv, "enumerate").zipWithIndex.map { case (x, i) =>
+        JObj.of("index" -> JInt(i.toLong), "value" -> x)
+      })
+
+    // ═══ joins / zips / set ops (§2.3, §2.7) ═══
+    case "equi_join" => // inner hash join, right wins on collision (O:array.rs:489-548)
+      val right = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "equi_join")
+      val lk = bodyOr(args, 1, env)
+      val rk = if (args.length > 2) bodyOr(args, 2, env) else bodyOr(args, 1, env)
+      val idx = right.groupBy(r => keyStr(rk(r)))
+      JArr(arrOnly(recv, "equi_join").flatMap { l =>
+        idx.getOrElse(keyStr(lk(l)), Vector.empty).map { r =>
+          (l, r) match {
+            case (JObj(a), JObj(b)) => JObj(a ++ b)
+            case _                  => JArr(Vector(l, r))
+          }
+        }
+      })
+    case "zip" =>
+      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "zip")
+      JArr(arrOnly(recv, "zip").lazyZip(other).map((a, b) => JArr(Vector(a, b))).toVector)
+    case "zip_longest" =>
+      val a = arrOnly(recv, "zip_longest")
+      val b = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "zip_longest")
+      JArr((0 until math.max(a.length, b.length)).map { i =>
+        JArr(Vector(if (i < a.length) a(i) else JNull, if (i < b.length) b(i) else JNull))
+      }.toVector)
+    case "diff" =>
+      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "diff")
+      JArr(arrOnly(recv, "diff").filterNot(x => other.exists(JValue.eq(_, x))))
+    case "intersect" =>
+      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "intersect")
+      JArr(uniqueBy(arrOnly(recv, "intersect").filter(x => other.exists(JValue.eq(_, x))), identity))
+    case "union" =>
+      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "union")
+      JArr(uniqueBy(arrOnly(recv, "union") ++ other, identity))
+    case "includes" | "contains" if recv.isInstanceOf[JArr] || recv.isInstanceOf[JObj] =>
+      JBool(membership(recv, evOpt(args, 0, env).getOrElse(JNull)))
+
+    // ═══ object / map ops (§2.8) ═══
+    case "keys"     => JArr(objOnly(recv, "keys").keysIterator.map(JStr(_)).toVector)
+    case "values"   => JArr(objOnly(recv, "values").valuesIterator.toVector)
+    case "entries" | "to_pairs" =>
+      JArr(objOnly(recv, name).toVector.map { case (k, v) => JArr(Vector(JStr(k), v)) })
+    case "from_pairs" =>
+      var out = VectorMap.empty[String, JValue]
+      arrOnly(recv, "from_pairs").foreach {
+        case JArr(Vector(k, v)) => out += keyStr(k) -> v
+        case JObj(fs) if fs.size == 2 =>
+          (fs.get("key"), fs.get("value")) match {
+            case (Some(k), Some(v)) => out += keyStr(k) -> v
+            case _                  =>
+          }
+        case _ =>
+      }
+      JObj(out)
+    case "invert" =>
+      var out = VectorMap.empty[String, JValue]
+      objOnly(recv, "invert").foreach { case (k, v) => out += keyStr(v) -> JStr(k) }
+      JObj(out)
+    case "merge" =>
+      JObj(args.foldLeft(objOnly(recv, "merge")) { (acc, a) => acc ++ objOnly(ev(a, env), "merge") })
+    case "deep_merge" =>
+      args.foldLeft(recv) { (acc, a) => deepMerge(acc, ev(a, env)) }
+    case "defaults" => // fill only missing keys
+      val d = objOnly(evOpt(args, 0, env).getOrElse(JNull), "defaults")
+      val fs = objOnly(recv, "defaults")
+      JObj(fs ++ d.filterNot { case (k, _) => fs.contains(k) })
+    case "rename" =>
+      var fs = objOnly(recv, "rename")
+      if (args.length == 2 && args.forall(_.name.isEmpty)) {
+        val from = strArg(args, 0, env); val to = strArg(args, 1, env)
+        fs.get(from).foreach { v => fs = (fs - from) + (to -> v) }
+      } else args.foreach { a => // rename(new: old)
+        val to = a.name.getOrElse(err("rename: use rename(old, new) or rename(new: old)"))
+        val from = a.e match { case Expr.Ident(n) => n; case e => keyStr(Interp.eval(e, env)) }
+        fs.get(from).foreach { v => fs = (fs - from) + (to -> v) }
+      }
+      JObj(fs)
+    case "transform_keys" =>
+      val f = bodyOr(args, 0, env)
+      var out = VectorMap.empty[String, JValue]
+      objOnly(recv, name).foreach { case (k, v) => out += keyStr(f(JStr(k))) -> v }
+      JObj(out)
+    case "transform_values" =>
+      val f = bodyOr(args, 0, env)
+      JObj(objOnly(recv, name).map { case (k, v) => k -> f(v) })
+    case "filter_keys" =>
+      val p = bodyOr(args, 0, env)
+      JObj(objOnly(recv, name).filter { case (k, _) => p(JStr(k)).truthy })
+    case "filter_values" =>
+      val p = bodyOr(args, 0, env)
+      JObj(objOnly(recv, name).filter { case (_, v) => p(v).truthy })
+    case "set" if args.length == 2 =>
+      JObj(objOnly(recv, "set") + (strArg(args, 0, env) -> ev(args(1), env)))
+    case "update" =>
+      val k = strArg(args, 0, env)
+      val f = bodyOr(args, 1, env)
+      val fs = objOnly(recv, "update")
+      JObj(fs + (k -> f(fs.getOrElse(k, JNull))))
+    case "has" => JBool(membership(recv, evOpt(args, 0, env).getOrElse(JNull)))
+    case "missing" => JBool(!membership(recv, evOpt(args, 0, env).getOrElse(JNull)))
+    case "type" | "type_of" => JStr(recv.kind)
+    case "len" | "length" => recv match {
+      case JStr(s)  => JInt(s.length.toLong)
+      case JArr(xs) => JInt(xs.length.toLong)
+      case JObj(fs) => JInt(fs.size.toLong)
+      case JNull    => JInt(0L)
+      case other    => err(s"len on ${other.kind}")
+    }
+
+    // ═══ dot-path ops (§2.8, O:path.rs) ═══
+    case "get_path" => getPath(recv, strArg(args, 0, env))
+    case "has_path" => JBool(getPath(recv, strArg(args, 0, env)) != JNull)
+    case "set_path" => setPath(recv, strArg(args, 0, env).split('.').toList, ev(args(1), env))
+    case "del_path" => delPath(recv, strArg(args, 0, env).split('.').toList)
+    case "del_paths" =>
+      arrOnly(evOpt(args, 0, env).getOrElse(JNull), "del_paths").foldLeft(recv) {
+        (acc, p) => delPath(acc, strOnly(p).split('.').toList)
+      }
+    case "flatten_keys" =>
+      var out = VectorMap.empty[String, JValue]
+      def go(prefix: String, v: JValue): Unit = v match {
+        case JObj(fs) if fs.nonEmpty =>
+          fs.foreach { case (k, x) => go(if (prefix.isEmpty) k else s"$prefix.$k", x) }
+        case leaf => out += prefix -> leaf
+      }
+      go("", recv)
+      JObj(out)
+    case "unflatten_keys" =>
+      objOnly(recv, "unflatten_keys").foldLeft(JObj.empty: JValue) {
+        case (acc, (k, v)) => setPath(acc, k.split('.').toList, v)
+      }
+
+    // ═══ deep traversal, method form (§2.8) ═══
+    case "deep_find" | "deep_shape" | "deep_like" => deepCall(name, recv, args, env)
+    case "walk"      => Deep.walkPost(recv, bodyOr(args, 0, env))
+    case "walk_pre"  => Deep.walkPre(recv, bodyOr(args, 0, env))
+    case "rec" => // fixpoint of a transform, bounded
+      val f = bodyOr(args, 0, env)
+      var cur = recv
+      var i = 0
+      var done = false
+      while (i < 64 && !done) {
+        val next = f(cur)
+        if (JValue.eq(next, cur)) done = true else cur = next
+        i += 1
+      }
+      cur
+    case "trace_path" => JArr(Deep.tracePaths(recv))
+
+    // ═══ serialisation (§2.1) ═══
+    case "to_json"   => JStr(recv.render)
+    case "from_json" => JValue.parse(strOnly(recv))
+    case "to_csv"    => csv(recv, ",")
+    case "to_tsv"    => csv(recv, "\t")
+
+    // ═══ math (§2.8) ═══
+    case "ceil"  => mathOp(recv, math.ceil)
+    case "floor" => mathOp(recv, math.floor)
+    case "round" =>
+      if (args.isEmpty) mathOp(recv, f => math.round(f).toDouble)
+      else {
+        val d = intArg(args, 0, env).toInt
+        val scale = math.pow(10, d)
+        recv match {
+          case JFloat(f) => JFloat(math.round(f * scale) / scale)
+          case JInt(_)   => recv
+          case _         => err("round on non-number")
+        }
+      }
+    case "abs" => recv match {
+      case JInt(n)   => JInt(math.abs(n))
+      case JFloat(f) => JFloat(math.abs(f))
+      case _         => err("abs on non-number")
+    }
+
+    // ═══ coalesce-ish (§2.2) ═══
+    case "or" => if (recv != JNull) recv else evOpt(args, 0, env).getOrElse(JNull)
+
+    // ═══ strings & regex (§2.8) ═══
+    case _ if Strings.handles(name) => Strings.call(name, recv, args.map(a => ev(a, env)))
+
+    case other => err(s"unknown method .$other()")
+  }
+
+  // ── helpers for specific ops ─────────────────────────────────────────
+
+  private def pick(recv: JValue, args: Vector[Arg], env: Env): JValue = {
+    def one(o: JValue): JValue = {
+      var out = VectorMap.empty[String, JValue]
+      args.foreach { a =>
+        a.name match {
+          case Some(alias) => out += alias -> Interp.body(a.e, env)(o)
+          case None => a.e match {
+            case Expr.Ident(n)     => out += n -> Interp.fieldOf(o, n)
+            case Expr.Lit(JStr(n)) => out += n -> Interp.fieldOf(o, n)
+            case e                 => err(s"pick: unsupported selector $e")
+          }
+        }
+      }
+      JObj(out)
+    }
+    recv match {
+      case JArr(xs) => JArr(xs.map(one))
+      case JNull    => JNull
+      case o        => one(o)
+    }
+  }
+
+  private def pivot(recv: JValue, args: Vector[Arg], env: Env): JValue = {
+    val xs = arrOnly(recv, "pivot")
+    if (args.length >= 3) { // pivot(row, col, val) → {rowK: {colK: v}}
+      val rk = bodyOr(args, 0, env); val ck = bodyOr(args, 1, env); val vk = bodyOr(args, 2, env)
+      var out = VectorMap.empty[String, JValue]
+      xs.foreach { x =>
+        val r = keyStr(rk(x)); val c = keyStr(ck(x)); val v = vk(x)
+        val inner = out.get(r) match { case Some(JObj(m)) => m; case _ => VectorMap.empty[String, JValue] }
+        out += r -> JObj(inner + (c -> v))
+      }
+      JObj(out)
+    } else { // pivot(k, v) → flat {k: v}
+      val kf = bodyOr(args, 0, env); val vf = bodyOr(args, 1, env)
+      var out = VectorMap.empty[String, JValue]
+      xs.foreach(x => out += keyStr(kf(x)) -> vf(x))
+      JObj(out)
+    }
+  }
+
+  private def rolling(name: String, xs: Vector[Option[Double]], n: Int): JValue = {
+    if (n <= 0) err("window size must be positive")
+    numArr(xs.indices.map { i =>
+      if (i + 1 < n) None
+      else {
+        val w = xs.slice(i + 1 - n, i + 1).flatten
+        if (w.isEmpty) None
+        else name match {
+          case "rolling_sum" => Some(w.sum)
+          case "rolling_avg" => Some(w.sum / w.length)
+          case "rolling_min" => Some(w.min)
+          case "rolling_max" => Some(w.max)
+        }
+      }
+    }.toVector)
+  }
+
+  private def mathOp(v: JValue, f: Double => Double): JValue = v match {
+    case JInt(_)   => v
+    case JFloat(x) => JFloat(f(x))
+    case _         => err("math op on non-number")
+  }
+
+  /** Array-of-objects → CSV/TSV text; header = union of keys in
+    * first-seen order (M:215-217, O:misc.rs:5-13). */
+  private def csv(recv: JValue, sep: String): JValue = {
+    val rows = arrOnly(recv, "to_csv")
+    var header = Vector.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    rows.foreach {
+      case JObj(fs) => fs.keysIterator.foreach(k => if (seen.add(k)) header :+= k)
+      case _        =>
+    }
+    def cell(v: JValue): String = {
+      val s = JValue.display(v match { case JNull => JStr(""); case x => x })
+      if (s.contains(sep) || s.contains('"') || s.contains('\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val sb = new StringBuilder(header.mkString(sep))
+    rows.foreach {
+      case JObj(fs) =>
+        sb.append('\n')
+        sb.append(header.map(k => cell(fs.getOrElse(k, JNull))).mkString(sep))
+      case _ =>
+    }
+    JStr(sb.toString)
+  }
+
+  private def getPath(v: JValue, path: String): JValue =
+    path.split('.').foldLeft(v)((acc, k) => Interp.fieldOf(acc, k))
+
+  private def setPath(v: JValue, path: List[String], nv: JValue): JValue = path match {
+    case Nil => nv
+    case k :: rest =>
+      val fs = v match { case JObj(m) => m; case _ => VectorMap.empty[String, JValue] }
+      JObj(fs + (k -> setPath(fs.getOrElse(k, JNull), rest, nv)))
+  }
+
+  private def delPath(v: JValue, path: List[String]): JValue = (v, path) match {
+    case (JObj(fs), k :: Nil)  => JObj(fs - k)
+    case (JObj(fs), k :: rest) =>
+      fs.get(k) match {
+        case Some(child) => JObj(fs + (k -> delPath(child, rest)))
+        case None        => v
+      }
+    case _ => v
+  }
+}

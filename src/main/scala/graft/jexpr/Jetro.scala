@@ -1,0 +1,76 @@
+package graft.jexpr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Public document-mode API.
+  *
+  * `Jetro.compile(expr)` parses once; `query(jsonText)` evaluates against
+  * one document — the Spark-free analogue of the reference's
+  * `Jetro::from_bytes(b).collect(expr)` (README.md:89-92). On a cluster
+  * the same engine runs per row via `jetro_eval(expr, jsonCol)`:
+  * the expression string is parsed once per executor JVM (plan cache
+  * below, mirroring the reference's `JetroEngine` plan cache,
+  * lib.rs:155-285) and the compiled AST is reused across all rows of
+  * every partition — scale comes from Spark partitioning the rows, with
+  * zero coordination between executors.
+  */
+object Jetro {
+
+  final class Compiled private[Jetro] (val ast: Expr) {
+    /** Evaluate against a JSON document text; returns JSON text. */
+    def eval(json: String): String = Interp.evalQuery(ast, JValue.parse(json)).render
+    def evalValue(doc: JValue): JValue = Interp.evalQuery(ast, doc)
+  }
+
+  def compile(expr: String): Compiled = new Compiled(Parser.parse(expr))
+
+  /** One-shot convenience: parse + eval. */
+  def collect(json: String, expr: String): String = cached(expr).eval(json)
+
+  // Per-JVM plan cache (executor-side): expr string → compiled AST.
+  // Bounded like the reference's engine cache (lib.rs:269-284).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Compiled]()
+  private val MaxEntries = 256
+
+  private def cached(expr: String): Compiled = {
+    var c = cache.get(expr)
+    if (c == null) {
+      c = compile(expr)
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.put(expr, c)
+    }
+    c
+  }
+
+  /** `jetro_eval(expr, json)` → JSON text of the query result, null on
+    * parse/eval failure (document mode is the semantics long-tail; a
+    * malformed row must not kill a 100 TB job). */
+  val jetroEvalUdf = udf { (expr: String, json: String) =>
+    if (expr == null || json == null) null
+    else
+      try cached(expr).eval(json)
+      catch { case _: EvalException | _: ParseException | _: JsonParseException => null }
+  }
+
+  /** `jetro_eval_str`: like jetro_eval but unwraps a string/number result
+    * to its display text (no JSON quoting) — handy for joining/grouping
+    * on extracted scalars. */
+  val jetroEvalStrUdf = udf { (expr: String, json: String) =>
+    if (expr == null || json == null) null
+    else
+      try JValue.display(cached(expr).evalValue(JValue.parse(json)))
+      catch { case _: EvalException | _: ParseException | _: JsonParseException => null }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("jetro_eval", jetroEvalUdf)
+    spark.udf.register("jetro_eval_str", jetroEvalStrUdf)
+  }
+
+  def jetroEval(expr: String, col: Column): Column =
+    jetroEvalUdf(org.apache.spark.sql.functions.lit(expr), col)
+
+  def jetroEvalStr(expr: String, col: Column): Column =
+    jetroEvalStrUdf(org.apache.spark.sql.functions.lit(expr), col)
+}
