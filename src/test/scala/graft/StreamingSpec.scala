@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+/** Structured-streaming surface: each op runs as a real file-source
+  * stream (Trigger.AvailableNow → memory sink) and is checked against
+  * the equivalent batch computation on the same events data — the
+  * batch/stream parity contract that makes the surface trustworthy.
+  */
+class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
+
+  /** Stage the single events.parquet file into a directory so the
+    * streaming file source (which monitors directories) can read it. */
+  private lazy val streamDir: String = {
+    val dir = Paths.get("target", "stream-events")
+    Files.createDirectories(dir)
+    Files.copy(
+      Paths.get(sf, "events.parquet"),
+      dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toAbsolutePath.toString
+  }
+
+  private def runToTable(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(
+        if (df.isStreaming && df.queryExecution.analyzed.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isDefined) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private lazy val batchEvents: DataFrame = Tables.events(spark, sf)
+  private lazy val streamEvents: DataFrame =
+    StreamOps.readEventStream(spark, streamDir)
+
+  test("stateless filter/shape parity") {
+    val got = runToTable(StreamOps.filterShape(streamEvents), "t_filter")
+    val want = StreamOps.filterShape(batchEvents)
+    assert(got.count() === want.count())
+    assert(got.agg(sum("amount")).head.getDouble(0)
+      === want.agg(sum("amount")).head.getDouble(0) +- 1e-6)
+  }
+
+  test("windowed count_by parity with batch window agg") {
+    val got = runToTable(
+      StreamOps.countByWindow(streamEvents), "t_countby")
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(got.count() === want.count())
+    assert(got.agg(sum("cnt")).head.getLong(0) === batchEvents.count())
+  }
+
+  test("sliding window agg produces overlapping windows") {
+    val got = runToTable(StreamOps.slidingAgg(streamEvents), "t_sliding")
+    // each event lands in exactly 2 windows (2h window, 1h slide)
+    assert(got.agg(sum("cnt")).head.getLong(0) === 2 * batchEvents.count())
+  }
+
+  test("watermarked dedup keeps one row per event_id") {
+    val doubled = Paths.get("target", "stream-events-dup")
+    Files.createDirectories(doubled)
+    Files.copy(Paths.get(sf, "events.parquet"),
+      doubled.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(sf, "events.parquet"),
+      doubled.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val s = StreamOps.readEventStream(spark, doubled.toAbsolutePath.toString)
+    val got = runToTable(
+      StreamOps.dedupeByIdWithinWatermark(s), "t_dedup")
+    assert(got.count() === batchEvents.count())
+  }
+
+  test("sessionize emits per-user session windows") {
+    val got = runToTable(StreamOps.sessionize(streamEvents), "t_sess")
+    assert(got.count() > 0)
+    assert(got.agg(sum("n_events")).head.getLong(0) === batchEvents.count())
+    // sessions never overlap per user: start times unique per user
+    assert(
+      got.select("user_id", "sess_start").distinct().count() === got.count())
+  }
+
+  test("flatMapGroupsWithState running totals match batch group sums") {
+    val got = runToTable(
+      StreamOps.runningTotals(spark, streamEvents).toDF(), "t_state")
+    // single batch → one emitted record per user, equal to the batch fold
+    val want = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    assert(got.count() === want.count())
+    val gotMap = got.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    want.collect().foreach { r =>
+      val (n, t) = gotMap(r.getLong(0))
+      assert(n === r.getLong(1))
+      assert(t === r.getDouble(2) +- 1e-6)
+    }
+  }
+}
