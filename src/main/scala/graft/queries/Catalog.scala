@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   def groups: Seq[QueryGroup] = Seq(
     CoreQueries, WindowQueries, SequenceQueries, AggQueries,
-    ArraySetQueries, ScalarQueries, TextQueries, SimilarityQueries)
+    ArraySetQueries, ScalarQueries, ShapeQueries, DocQueries,
+    TextQueries, SimilarityQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

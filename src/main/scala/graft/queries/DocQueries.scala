@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.jexpr.Jetro
+
+/** Document mode at scale (SURVEY §7.0 mode 2): full jetro expressions —
+  * pipelines, recursive descent, patches — evaluated per row over a JSON
+  * column by the broadcast-compiled interpreter, with the SAME answers
+  * computed relationally by the DuckDB oracle. This is the strongest
+  * differential test in the suite: two unrelated execution paths
+  * (tree-walk interpreter vs SQL) must agree on every row.
+  *
+  * Scale design: the expression is parsed once per executor JVM
+  * (Jetro's plan cache); evaluation is embarrassingly parallel across
+  * rows — no shuffle beyond the doc-construction groupBy.
+  */
+object DocQueries extends QueryGroup {
+
+  /** Per-order nested JSON doc built from lineitem: `{"items":[{"qty":…,
+    * "price":…}, …]}`. Quantities are integral doubles, so float sums
+    * are order-independent (exact in FP). */
+  private def orderDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))).as("items"))
+      .select(col("okey"), to_json(struct(col("items"))).as("doc"))
+
+  /** The reference's headline pipeline shape (README.md:43-62) —
+    * `$.items.filter(qty > 25).count()` + jetro's `sum` (empty → 0,
+    * pipeline.rs:320-328) run per document. */
+  private val docPipeline = q(
+    "q_doc_pipeline",
+    """SELECT l_orderkey AS okey,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(COALESCE(SUM(l_quantity) FILTER (WHERE l_quantity > 25), 0)
+      |       AS DOUBLE) AS qty_big
+      |FROM lineitem GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    orderDocs(s, d)
+      .select(
+        col("okey"),
+        Jetro.jetroEvalStr("$.items.filter(qty > 25).count()", col("doc"))
+          .cast("long").as("n_big"),
+        Jetro.jetroEvalStr("$.items.filter(qty > 25).map(qty).sum()", col("doc"))
+          .cast("double").as("qty_big"))
+      .orderBy("okey")
+  }
+
+  /** Recursive descent `$..k` (opcode.rs:206-209) over a two-level doc:
+    * `{"root":{"k":okey},"items":[{"k":qty},…]}` — deep-sum must equal
+    * okey + Σqty. */
+  private val docDeep = q(
+    "q_doc_deep",
+    """SELECT l_orderkey AS okey,
+      |  CAST(l_orderkey + SUM(l_quantity) AS DOUBLE) AS deep_sum
+      |FROM lineitem GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(col("l_quantity").as("k"))).as("items"))
+      .select(col("okey"), to_json(struct(
+        struct(col("okey").as("k")).as("root"), col("items"))).as("doc"))
+      .select(
+        col("okey"),
+        Jetro.jetroEvalStr("$..k.sum()", col("doc"))
+          .cast("double").as("deep_sum"))
+      .orderBy("okey")
+  }
+
+  /** Patch blocks (ast.rs:168-208): structural update `patch $ {k: @*2+1}`
+    * over the events props column, then read the patched leaf back. */
+  private val docPatch = q(
+    "q_doc_patch",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS patched
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        Jetro.jetroEvalStr("patch $ { k: @ * 2 + 1 }.k", col("props"))
+          .cast("long").as("patched"))
+      .orderBy("event_id")
+  }
+
+  /** Comprehension + f-string + sort_by/take through the interpreter:
+    * top-2 items per order doc as formatted tags (SYNTAX.md
+    * comprehensions + f-strings). Output is a JSON array of strings per
+    * row; oracle rebuilds it with DuckDB list ops. */
+  private val docTop2 = q(
+    "q_doc_top2",
+    """SELECT okey, '[' || string_agg('"q' || qty || '"', ',') || ']' AS tags
+      |FROM (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_quantity DESC, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 2 GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(
+        col("l_quantity").cast("long").as("qty"),
+        col("l_linenumber").as("ln"))).as("items"))
+      .select(col("okey"), to_json(struct(col("items"))).as("doc"))
+      .select(
+        col("okey"),
+        Jetro.jetroEval(
+          "$.items.sort_by(-qty * 1000 + ln).take(2).map(f\"q{qty}\")",
+          col("doc")).as("tags"))
+      .orderBy("okey")
+  }
+
+  def defs = Seq(docPipeline, docDeep, docPatch, docTop2)
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2.2 / §2.8 long tail: object shaping (`pick` / `omit` /
+  * `group_shape`), dynamic indexing, map/object ops over a JSON column,
+  * kind checks, and `to_csv`. All relational-mode: plain Column
+  * expressions that stay inside whole-stage codegen.
+  */
+object ShapeQueries extends QueryGroup {
+
+  /** `pick(key: src, …)` — project-with-rename (M:174-175,
+    * O:path.rs:225). */
+  private val pick0 = q(
+    "q_pick",
+    """SELECT p_partkey AS key, p_brand AS brand, p_retailprice AS price
+      |FROM part ORDER BY key""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey").as("key"),
+        col("p_brand").as("brand"),
+        col("p_retailprice").as("price"))
+      .orderBy("key")
+  }
+
+  /** `omit(keys…)` — drop fields (M:176-177, O:path.rs:292). */
+  private val omit0 = q(
+    "q_omit",
+    """SELECT * EXCLUDE (c_mktsegment) FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .drop("c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** `group_shape(key, shape)` — group then shape each group into an
+    * object (M:74-75, O:array.rs:841). */
+  private val groupShape = q(
+    "q_group_shape",
+    """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM customer GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total"))
+      .orderBy("seg")
+  }
+
+  /** `[expr]` dynamic index (ast.rs:310-311): runtime-computed index
+    * into the word array of p_name. `try_element_at` mirrors jetro's
+    * null-on-OOB (ANSI mode would throw). */
+  private val dynIndex = q(
+    "q_dyn_index",
+    """SELECT p_partkey,
+      |  list_extract(string_split(p_name, ' '),
+      |               CAST(p_partkey % 3 + 1 AS INT)) AS word
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        expr("try_element_at(split(p_name, ' '), CAST(p_partkey % 3 + 1 AS INT))")
+          .as("word"))
+      .orderBy("p_partkey")
+  }
+
+  /** Object/map ops over the events `props` JSON column —
+    * keys/values/element access (M:20-33: `keys values entries`,
+    * `get_path`). Spark parses to a real MapType; DuckDB stays in
+    * json-land — same answers. */
+  private val mapOps = q(
+    "q_map_ops",
+    """SELECT event_id,
+      |  list_sort(json_keys(props)) AS ks,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS kval,
+      |  CAST(LENGTH(json_keys(props)) AS BIGINT) AS n_keys
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) {
+    (s, d) =>
+      val m = from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]())
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          sort_array(map_keys(m)).as("ks"),
+          m.getItem("k").as("kval"),
+          size(map_keys(m)).cast("long").as("n_keys"))
+        .orderBy("event_id")
+  }
+
+  /** `kind` / `is [not]` runtime type checks (ast.rs:43-51) — document
+    * mode per row via the jetro interpreter; DuckDB oracle maps its
+    * json_type names onto jetro kind names. */
+  private val kind0 = q(
+    "q_kind",
+    """SELECT event_id,
+      |  CASE WHEN json_type(props, '$.k') IN
+      |    ('UBIGINT','BIGINT','DOUBLE') THEN 'true' ELSE 'false' END AS k_is_num,
+      |  CASE WHEN json_type(props, '$.missing') IS NULL
+      |    THEN 'true' ELSE 'false' END AS miss_is_null
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          graft.jexpr.Jetro.jetroEvalStr("$.k is number", col("props"))
+            .as("k_is_num"),
+          graft.jexpr.Jetro.jetroEvalStr("$.missing is null", col("props"))
+            .as("miss_is_null"))
+        .orderBy("event_id")
+  }
+
+  /** `to_csv()` (M:215-217, O:misc.rs:5): array-of-objects → CSV text,
+    * header + one line per element. Lines sorted for determinism (the
+    * distributed collect has no inherent order). */
+  private val toCsv = q(
+    "q_to_csv",
+    """SELECT 's_suppkey,s_name' || chr(10) ||
+      |  string_agg(s_suppkey || ',' || s_name, chr(10) ORDER BY s_suppkey)
+      |  AS csv
+      |FROM supplier""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .select(struct(
+        col("s_suppkey").as("k"),
+        concat_ws(",", col("s_suppkey"), col("s_name")).as("v")).as("kv"))
+      .agg(concat(
+        lit("s_suppkey,s_name\n"),
+        array_join(
+          transform(array_sort(collect_list("kv")), x => x.getField("v")),
+          "\n")).as("csv"))
+  }
+
+  def defs = Seq(pick0, omit0, groupShape, dynIndex, mapOps, kind0, toCsv)
+}
