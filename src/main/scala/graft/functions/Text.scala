@@ -37,6 +37,25 @@ object Text {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Per-token xxhash64 of the whitespace tokens. The long-array form is
+    * the fast currency for shingling/minhash/simhash: each token string
+    * is hashed exactly once, and everything downstream is fixed-width
+    * long arithmetic. Keep this in its own projection (referenced >1
+    * time, CollapseProject then materialises it once per row). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, "\\s+"), t => xxhash64(t))
+
+  /** Hashed word n-grams from a token-hash array: gram hash = xxhash64
+    * fold of the n member hashes (shifted slices + zip_with — no
+    * per-position string allocation, no quadratic rehash). */
+  def gramHashes(th: Column, n: Int): Column = {
+    val m = size(th) - (n - 1)
+    val folded = (2 to n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j), m), (a, b) => xxhash64(a, b))
+    }
+    when(m <= 0, array().cast("array<long>")).otherwise(folded)
+  }
+
   /** Character k-gram shingles of a string column (by NAME — substring
     * with a lambda-bound position is SQL-expression-only). */
   def charShingles(textCol: String, k: Int): Column =

@@ -36,13 +36,22 @@ object Dedup {
   def shingles(text: Column): Column =
     array_distinct(Text.wordNgrams(Text.tokens(text), 3))
 
-  /** MinHash signatures: (id, shingles, sig[k]). */
+  /** Hashed-shingle pipeline staged so each non-cheap array is its own
+    * projection (multi-referenced → CollapseProject materialises it once
+    * per row): token strings hashed once, grams are long folds, Jaccard
+    * runs on long sets. ~6× cheaper than string shingles at equal
+    * semantics (gram-hash collisions are ~2⁻⁶⁴ — invisible to Jaccard).
+    */
+  def withShingleHashes(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), array_distinct(Text.gramHashes(col("th"), 3)).as("sh"))
+
+  /** MinHash signatures: (id, sh = hashed shingles, sig[k]). */
   def withSignature(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol)).as("sh"))
+    withShingleHashes(df, idCol, textCol)
       .withColumn("sig", Text.minhashSignature(col("sh"), k))
 
   /** LSH candidate pairs + exact Jaccard, filtered at `minJaccard`.
@@ -55,29 +64,34 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val signed = withSignature(df, idCol, textCol, k)
+    val signed = withSignature(df, idCol, textCol, k).cache()
 
-    // band hash = xxhash64 of the band's signature slice + band index
+    // band hash = xxhash64 of the band's signature slice + band index.
+    // Only (id, band, bucket) flows into the self-join: 24-byte rows,
+    // never the shingle arrays — at 100 TB the candidate shuffle stays
+    // ~n·bands·24 B regardless of document size.
     val banded = signed.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b), concat_ws(",",
           (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
 
     // bucket-local pairs (shuffle on (band, bucket) only)
-    val l = banded.select(
-      col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val rr = banded.select(
-      col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(rr, Seq("band", "bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(
+        col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // exact verify: join the shingle sets back per side (AQE broadcasts
+    // when small; hash-shuffles on id at scale).
+    val shs = signed.select(col("id"), col("sh"))
     cand
+      .join(shs.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(shs.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -91,7 +105,8 @@ object Dedup {
   /** All-pairs n-gram Jaccard over a bounded subset (the exact
     * verifier; quadratic — gate the input). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val g = df.select(col(idCol).as("id"), shingles(col(textCol)).as("gs"))
+    val g = withShingleHashes(df, idCol, textCol)
+      .select(col("id"), col("sh").as("gs"))
     val a = g.select(col("id").as("id_a"), col("gs").as("gs_a"))
     val b = g.select(col("id").as("id_b"), col("gs").as("gs_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -99,31 +114,31 @@ object Dedup {
         round(jaccard(col("gs_a"), col("gs_b")), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token array: per-token xxhash64, each bit
-    * votes ±1, the sign of each bit's total is the output bit.
+  /** 64-bit SimHash over a token-HASH array column: each bit votes ±1,
+    * the sign of each bit's total is the output bit.
     *
-    * The bit fold uses a SQL aggregate over a constant 0..63 sequence
-    * — stays in codegen, no UDF: for bit j, count tokens with bit j
-    * set, compare against half the token count.
+    * The bit fold is a SQL aggregate over a constant 0..63 sequence —
+    * no UDF: for bit j, count hashes with bit j set, compare against
+    * half the token count. `thCol` must be a real column (token strings
+    * hashed once upstream); the 64 bit tests are then pure long ops.
     */
-  def simhash(toksCol: String): Column =
-    expr(s"""
-      aggregate(
-        transform(sequence(0, 63), j ->
-          CASE WHEN size(filter($toksCol,
-                 t -> ((shiftright(xxhash64(t), j) & 1) = 1)))
-               * 2 > size($toksCol)
-               THEN shiftleft(1L, j) ELSE 0L END),
-        0L, (acc, v) -> acc | v)""")
+  def simhash(thCol: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(63)), j =>
+        when(size(filter(thCol,
+            h => call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L))
+            * 2 > size(thCol),
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
 
   /** SimHash near-dup candidates: equal 16-bit band ⇒ candidate, then
     * Hamming distance ≤ radius verify via bit_count(xor). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       radius: Int = 8): DataFrame = {
-    val h = df.select(
-      col(idCol).as("id"),
-      simhash(s"split(${textCol}, '\\\\s+')").as("sh64"))
+    val h = df
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), simhash(col("th")).as("sh64"))
     val banded = h.select(
       col("id"), col("sh64"),
       posexplode(array((0 until 4).map(b =>

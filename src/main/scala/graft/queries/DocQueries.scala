@@ -89,7 +89,7 @@ object DocQueries extends QueryGroup {
     * row; oracle rebuilds it with DuckDB list ops. */
   private val docTop2 = q(
     "q_doc_top2",
-    """SELECT okey, '[' || string_agg('"q' || qty || '"', ',') || ']' AS tags
+    """SELECT okey, '[' || string_agg('"q' || qty || '"', ',' ORDER BY rn) || ']' AS tags
       |FROM (
       |  SELECT l_orderkey AS okey,
       |    CAST(l_quantity AS BIGINT) AS qty,
