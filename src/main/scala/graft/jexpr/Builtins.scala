@@ -213,6 +213,23 @@ object Builtins {
           } else JArr(xs.filterNot(JValue.eq(_, v)))
         case None => err("remove requires an argument")
       }
+    case "find_first" | "find_one" => // filter → first element (D:975-1005)
+      val p = bodyOr(args, 0, env)
+      elems(recv).find(x => p(x).truthy).getOrElse(JNull)
+    case "append" => // push to end (O:collection.rs:379)
+      JArr(arrOnly(recv, "append") :+ evOpt(args, 0, env).getOrElse(JNull))
+    case "prepend" => // insert at front (O:collection.rs:387)
+      JArr(evOpt(args, 0, env).getOrElse(JNull) +: arrOnly(recv, "prepend"))
+    case "flatten" => // concat nested arrays to depth, default 1 (D:850-862)
+      def flat(v: JValue, d: Long): JValue = v match {
+        case JArr(xs) if d > 0 =>
+          JArr(xs.flatMap(x => flat(x, d - 1) match {
+            case JArr(ys) if x.isInstanceOf[JArr] => ys
+            case other                            => Vector(other)
+          }))
+        case other => other
+      }
+      flat(recv, intArg(args, 0, env, 1))
     case "pick" => pick(recv, args, env)
     case "omit" =>
       val keys = args.map(a => a.e match {
@@ -470,6 +487,18 @@ object Builtins {
       JArr(uniqueBy(arrOnly(recv, "union") ++ other, identity))
     case "includes" | "contains" if recv.isInstanceOf[JArr] || recv.isInstanceOf[JObj] =>
       JBool(membership(recv, evOpt(args, 0, env).getOrElse(JNull)))
+    case "index" => // first index of value, null if absent (O:collection.rs:470)
+      val target = evOpt(args, 0, env).getOrElse(JNull)
+      val i = arrOnly(recv, "index").indexWhere(JValue.eq(_, target))
+      if (i < 0) JNull else JInt(i.toLong)
+    case "indices_of" => // all indices of value (O:collection.rs:483)
+      val target = evOpt(args, 0, env).getOrElse(JNull)
+      JArr(arrOnly(recv, "indices_of").zipWithIndex.collect {
+        case (x, i) if JValue.eq(x, target) => JInt(i.toLong)
+      })
+    case "join" => // coercing string join (O:collection.rs:421)
+      val sep = if (args.isEmpty) "" else strArg(args, 0, env)
+      JStr(arrOnly(recv, "join").map(JValue.display).mkString(sep))
 
     // ═══ object / map ops (§2.8) ═══
     case "keys"     => JArr(objOnly(recv, "keys").keysIterator.map(JStr(_)).toVector)
@@ -582,6 +611,7 @@ object Builtins {
       }
       cur
     case "trace_path" => JArr(Deep.tracePaths(recv))
+    case "schema" => schemaOf(recv) // structural schema inference (O:schema.rs:219)
 
     // ═══ serialisation (§2.1) ═══
     case "to_json"   => JStr(recv.render)
@@ -708,6 +738,106 @@ object Builtins {
       case _ =>
     }
     JStr(sb.toString)
+  }
+
+  /** Structural schema descriptor (reference ops/schema.rs:5-223):
+    * scalars → {type}, arrays → {type:"Array", len, items} with items
+    * unified across elements, objects → {type:"Object", required, fields}
+    * where null-valued fields are nullable and not required. Unification
+    * widens mismatched types to "Mixed" and absent fields to optional.
+    */
+  private def schemaOf(v: JValue): JValue = v match {
+    case JNull      => tyObj("Null")
+    case JBool(_)   => tyObj("Bool")
+    case JInt(_)    => tyObj("Int")
+    case JFloat(_)  => tyObj("Float")
+    case JStr(_)    => tyObj("String")
+    case JArr(xs)   =>
+      val items =
+        if (xs.isEmpty) tyObj("Unknown")
+        else xs.map(schemaOf).reduce(unifySchema)
+      JObj.of("type" -> JStr("Array"), "len" -> JInt(xs.length.toLong), "items" -> items)
+    case JObj(fs) =>
+      var required = Vector.empty[JValue]
+      var fields = VectorMap.empty[String, JValue]
+      fs.foreach { case (k, child) =>
+        var f = schemaOf(child)
+        if (child == JNull) f = setField(f, "nullable", JBool(true))
+        else required :+= JStr(k)
+        fields += k -> f
+      }
+      JObj.of("type" -> JStr("Object"), "required" -> JArr(required), "fields" -> JObj(fields))
+    case _ => tyObj("Mixed")
+  }
+
+  private def tyObj(name: String): JValue = JObj.of("type" -> JStr(name))
+
+  private def setField(o: JValue, k: String, v: JValue): JValue = o match {
+    case JObj(fs) => JObj(fs + (k -> v))
+    case other    => other
+  }
+
+  private def schemaTy(v: JValue): Option[String] = v match {
+    case JObj(fs) => fs.get("type").collect { case JStr(s) => s }
+    case _        => None
+  }
+
+  private def schemaNullable(v: JValue): Boolean = v match {
+    case JObj(fs) => fs.get("nullable").contains(JBool(true))
+    case _        => false
+  }
+
+  private def unifySchema(a: JValue, b: JValue): JValue =
+    (schemaTy(a), schemaTy(b)) match {
+      case (Some(x), Some(y)) if x == y => x match {
+        case "Object" => unifyObjSchemas(a, b)
+        case "Array"  => unifyArrSchemas(a, b)
+        case _ => if (schemaNullable(a) || schemaNullable(b)) setField(a, "nullable", JBool(true)) else a
+      }
+      case (Some("Null"), _) => setField(b, "nullable", JBool(true))
+      case (_, Some("Null")) => setField(a, "nullable", JBool(true))
+      case _                 => tyObj("Mixed")
+    }
+
+  private def unifyArrSchemas(a: JValue, b: JValue): JValue = {
+    def field(v: JValue, k: String) = v match { case JObj(fs) => fs.get(k); case _ => None }
+    val items = (field(a, "items"), field(b, "items")) match {
+      case (Some(x), Some(y)) => unifySchema(x, y)
+      case (Some(x), None)    => x
+      case (None, Some(y))    => y
+      case _                  => tyObj("Unknown")
+    }
+    val len = Seq(a, b).flatMap(v => field(v, "len").collect { case JInt(n) => n }).sum
+    JObj.of("type" -> JStr("Array"), "len" -> JInt(len), "items" -> items)
+  }
+
+  private def unifyObjSchemas(a: JValue, b: JValue): JValue = {
+    def fields(v: JValue) = v match {
+      case JObj(fs) => fs.get("fields") match { case Some(JObj(m)) => m; case _ => VectorMap.empty[String, JValue] }
+      case _        => VectorMap.empty[String, JValue]
+    }
+    def req(v: JValue): Set[String] = v match {
+      case JObj(fs) => fs.get("required") match {
+        case Some(JArr(xs)) => xs.collect { case JStr(s) => s }.toSet
+        case _              => Set.empty
+      }
+      case _ => Set.empty
+    }
+    val (fa, fb) = (fields(a), fields(b))
+    val (ra, rb) = (req(a), req(b))
+    var required = Vector.empty[JValue]
+    var out = VectorMap.empty[String, JValue]
+    (fa.keysIterator ++ fb.keysIterator.filterNot(fa.contains)).foreach { k =>
+      val f = (fa.get(k), fb.get(k)) match {
+        case (Some(x), Some(y)) => unifySchema(x, y)
+        case (Some(x), None)    => setField(x, "optional", JBool(true))
+        case (None, Some(y))    => setField(y, "optional", JBool(true))
+        case _                  => tyObj("Unknown")
+      }
+      if (ra.contains(k) && rb.contains(k)) required :+= JStr(k)
+      out += k -> f
+    }
+    JObj.of("type" -> JStr("Object"), "required" -> JArr(required), "fields" -> JObj(out))
   }
 
   private def getPath(v: JValue, path: String): JValue =

@@ -13,7 +13,7 @@ object Strings {
     "upper", "lower", "capitalize", "title_case", "trim", "trim_left",
     "lstrip", "trim_right", "rstrip", "snake_case", "kebab_case",
     "camel_case", "pascal_case", "reverse_str", "lines", "words",
-    "chars", "bytes", "byte_len", "is_blank", "is_numeric", "is_alpha",
+    "chars", "chars_of", "bytes", "byte_len", "is_blank", "is_numeric", "is_alpha",
     "is_ascii", "to_number", "to_bool", "parse_int", "parse_float",
     "parse_bool", "to_base64", "from_base64", "url_encode", "url_decode",
     "html_escape", "html_unescape", "repeat", "pad_left", "pad_right",
@@ -69,7 +69,11 @@ object Strings {
       case "reverse_str" => JStr(s.reverse)
       case "lines"       => JArr(s.split("\n", -1).toVector.map(JStr(_)))
       case "words"       => JArr(s.split("\\s+").toVector.filter(_.nonEmpty).map(JStr(_)))
+      // chars_of iterates Unicode code points (string.rs:414); chars is
+      // per-UTF-16-char — identical for BMP text, kept separate for parity.
       case "chars"       => JArr(s.map(c => JStr(c.toString)).toVector)
+      case "chars_of" =>
+        JArr(s.codePoints().toArray.toVector.map(cp => JStr(new String(Character.toChars(cp)))))
       case "bytes"       => JArr(s.getBytes("UTF-8").toVector.map(b => JInt((b & 0xff).toLong)))
       case "byte_len"    => JInt(s.getBytes("UTF-8").length.toLong)
       case "is_blank"    => JBool(s.trim.isEmpty)

@@ -256,6 +256,33 @@ class JexprSpec extends AnyFunSuite {
     assert(run(doc, "$.walk(@ + 1 if @ kind number else @).rows[0].a") == "2")
   }
 
+  test("array utility builtins") {
+    val doc = """{"xs": [1, 2, 3, 2], "nest": [[1, [2]], [3]], "ws": ["a", "b"]}"""
+    assert(run(doc, "$.xs.append(9)") == "[1,2,3,2,9]")
+    assert(run(doc, "$.xs.prepend(0)") == "[0,1,2,3,2]")
+    assert(run(doc, "$.nest.flatten()") == "[1,[2],3]")
+    assert(run(doc, "$.nest.flatten(2)") == "[1,2,3]")
+    assert(run(doc, "$.xs.index(2)") == "1")
+    assert(run(doc, "$.xs.index(42)") == "null")
+    assert(run(doc, "$.xs.indices_of(2)") == "[1,3]")
+    assert(run(doc, "$.ws.join(\"-\")") == "\"a-b\"")
+    assert(run(doc, "$.xs.join(\",\")") == "\"1,2,3,2\"")
+    assert(run(doc, "$.xs.find_first(@ > 1)") == "2")
+    assert(run(doc, "$.xs.find_one(@ > 9)") == "null")
+    assert(run(doc, "\"héllo\".chars_of().len()") == "5")
+  }
+
+  test("schema inference") {
+    val doc = """{"rows": [{"a": 1, "b": "x"}, {"a": null, "c": true}]}"""
+    assert(run(doc, "$.rows[0].schema()")
+      == """{"type":"Object","required":["a","b"],"fields":{"a":{"type":"Int"},"b":{"type":"String"}}}""")
+    assert(run(doc, "$.rows.schema().type") == "\"Array\"")
+    assert(run(doc, "$.rows.schema().items.required") == "[]")
+    assert(run(doc, "$.rows.schema().items.fields.a.nullable") == "true")
+    assert(run(doc, "$.rows.schema().items.fields.b.optional") == "true")
+    assert(run(doc, "[1, \"x\"].schema().items.type") == "\"Mixed\"")
+  }
+
   test("quantifiers") {
     assert(run(store, "$.store.books.filter(id == \"b1\")!.title") == "\"Dune\"")
     assert(run(store, "$.store.books.filter(price > 9000)?.title") == "null")
