@@ -171,10 +171,10 @@ object AggQueries extends QueryGroup {
   private val implode0 = q(
     "q_implode",
     """SELECT event_type, list_sort(list(event_id)) AS ids, COUNT(*) AS n
-      |FROM events WHERE value > 495
+      |FROM events WHERE value > 250
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .filter(col("value") > 495)
+      .filter(col("value") > 250)
       .groupBy("event_type")
       .agg(
         sort_array(collect_list("event_id")).as("ids"),

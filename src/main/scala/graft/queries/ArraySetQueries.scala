@@ -108,11 +108,13 @@ object ArraySetQueries extends QueryGroup {
     * no suppliers. */
   private val setExcept = q(
     "q_set_except",
-    """SELECT DISTINCT c_nationkey AS nk FROM customer
-      |EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier
+    """SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+      |EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
       |ORDER BY nk""".stripMargin) { (s, d) =>
-    Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
-      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct())
+    Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nk")).distinct()
+      .except(Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nk")).distinct())
       .orderBy("nk")
   }
 

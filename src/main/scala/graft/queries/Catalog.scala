@@ -9,7 +9,7 @@ object Catalog {
   def groups: Seq[QueryGroup] = Seq(
     CoreQueries, WindowQueries, SequenceQueries, AggQueries,
     ArraySetQueries, ScalarQueries, ShapeQueries, DocQueries,
-    TextQueries, SimilarityQueries)
+    TextQueries, SimilarityQueries, NativeUpsideQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -157,10 +157,11 @@ object CoreQueries extends QueryGroup {
   private val joinAnti = q(
     "q_join_anti",
     """SELECT c_custkey, c_nationkey FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_nationkey")
       .orderBy("c_custkey")
