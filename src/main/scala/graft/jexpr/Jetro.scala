@@ -63,9 +63,27 @@ object Jetro {
       catch { case _: EvalException | _: ParseException | _: JsonParseException => null }
   }
 
+  /** `jetro_eval_many`: N expressions against ONE parse of the document,
+    * results as display strings. Parsing dominates per-row cost when
+    * several scalars are extracted from the same column; this amortises
+    * it the way the reference amortises tape construction across
+    * sub-queries of one document (lib.rs:119-148). */
+  val jetroEvalManyUdf = udf { (exprs: Seq[String], json: String) =>
+    if (exprs == null || json == null) null
+    else
+      try {
+        val doc = JValue.parse(json)
+        exprs.map { e =>
+          try JValue.display(cached(e).evalValue(doc))
+          catch { case _: EvalException | _: ParseException => null }
+        }
+      } catch { case _: JsonParseException => null }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("jetro_eval", jetroEvalUdf)
     spark.udf.register("jetro_eval_str", jetroEvalStrUdf)
+    spark.udf.register("jetro_eval_many", jetroEvalManyUdf)
   }
 
   def jetroEval(expr: String, col: Column): Column =
@@ -73,4 +91,9 @@ object Jetro {
 
   def jetroEvalStr(expr: String, col: Column): Column =
     jetroEvalStrUdf(org.apache.spark.sql.functions.lit(expr), col)
+
+  def jetroEvalMany(exprs: Seq[String], col: Column): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    jetroEvalManyUdf(array(exprs.map(lit): _*), col)
+  }
 }

@@ -41,10 +41,13 @@ object DocQueries extends QueryGroup {
     orderDocs(s, d)
       .select(
         col("okey"),
-        Jetro.jetroEvalStr("$.items.filter(qty > 25).count()", col("doc"))
-          .cast("long").as("n_big"),
-        Jetro.jetroEvalStr("$.items.filter(qty > 25).map(qty).sum()", col("doc"))
-          .cast("double").as("qty_big"))
+        Jetro.jetroEvalMany(Seq(
+          "$.items.filter(qty > 25).count()",
+          "$.items.filter(qty > 25).map(qty).sum()"), col("doc")).as("r"))
+      .select(
+        col("okey"),
+        element_at(col("r"), 1).cast("long").as("n_big"),
+        element_at(col("r"), 2).cast("double").as("qty_big"))
       .orderBy("okey")
   }
 
