@@ -136,8 +136,10 @@ object Builtins {
 
   def deepCall(name: String, recv: JValue, args: Vector[Arg], env: Env): JValue = name match {
     case "find" | "deep_find" =>
-      val p = bodyOr(args, 0, env)
-      JArr(Deep.find(recv, x => p(x).truthy))
+      // multi-arg form ANDs all predicates (complex_payload.rs q7)
+      val ps = if (args.isEmpty) Vector((_: JValue) => JBool(true))
+               else args.indices.map(i => bodyOr(args, i, env)).toVector
+      JArr(Deep.find(recv, x => ps.forall(p => p(x).truthy)))
     case "shape" | "deep_shape" =>
       JArr(Deep.shape(recv, shapeKeys(args, env)))
     case "like" | "deep_like" =>
@@ -556,6 +558,8 @@ object Builtins {
       JObj(objOnly(recv, name).filter { case (_, v) => p(v).truthy })
     case "set" if args.length == 2 =>
       JObj(objOnly(recv, "set") + (strArg(args, 0, env) -> ev(args(1), env)))
+    case "set" if args.length == 1 => // pipe form `x | set(v)` returns v
+      ev(args(0), env)                // (INDEPTH.md §10 v1-compat note; M:1514)
     case "update" =>
       val k = strArg(args, 0, env)
       val f = bodyOr(args, 1, env)

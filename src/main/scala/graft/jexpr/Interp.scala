@@ -47,7 +47,14 @@ object Interp {
       eval(body, env2)
     case Comp(kind, keyE, valE, clauses, condE) => evalComp(kind, keyE, valE, clauses, condE, env)
     case GlobalCall(name, args) => globalCall(name, args, env)
-    case Chain(base, steps)     => evalChain(eval(base, env), steps, env)
+    case Chain(base, steps)     => chainWrite(base, steps, env) match {
+      // `.set/.modify/.delete/.unset` desugar to a patch on the chain base
+      // and return the whole written document (INDEPTH.md §10; M:1106).
+      case Some((pf, rest)) =>
+        val patched = PatchEval.apply(eval(base, env), Vector(pf), env)
+        if (rest.isEmpty) patched else evalChain(patched, rest, env)
+      case None => evalChain(eval(base, env), steps, env)
+    }
     case Pipe(base, steps)      => evalPipe(eval(base, env), steps, env)
     case Unary("-", x) => eval(x, env) match {
       case JInt(n)   => JInt(-n)
@@ -104,6 +111,49 @@ object Interp {
         val b = clamp(to.getOrElse(s.length.toLong), s.length)
         JStr(if (a < b) s.substring(a, b) else "")
       case _ => JNull
+    }
+  }
+
+  /** Detects a chain-write method (`set(v)`, `modify(e)`, `delete()`,
+    * `unset(k)`) whose preceding steps form a pure path, and returns the
+    * equivalent PatchField plus the steps remaining after the write.
+    * Non-path prefixes (method calls, slices, pipes) fall through to the
+    * ordinary builtin dispatch, mirroring the reference's rooted-chain
+    * restriction on the sugar.
+    */
+  private def chainWrite(base: Expr, steps: Vector[Step], env: Env): Option[(PatchField, Vector[Step])] = {
+    val wi = steps.indexWhere {
+      case Step.Method("set", as)    => as.length == 1
+      case Step.Method("modify", as) => as.length == 1
+      case Step.Method("delete", as) => as.isEmpty
+      case Step.Method("unset", as)  => as.length == 1
+      case _ => false
+    }
+    if (wi < 0) return None
+    val path = Vector.newBuilder[PatchStep]
+    var ok = true
+    steps.take(wi).foreach {
+      case Step.Field(n)                     => path += PatchStep.Field(n)
+      case Step.Index(Lit(JInt(i)))          => path += PatchStep.Index(i)
+      case Step.MapShape(None, Current)      => path += PatchStep.Wild // `[*]`
+      case Step.InlineFilter(p)              => path += PatchStep.WildIf(p)
+      case Step.Descendant(Some(n))          => path += PatchStep.Descendant(n)
+      case _                                 => ok = false
+    }
+    if (!ok) return None
+    val rest = steps.drop(wi + 1)
+    steps(wi) match {
+      case Step.Method("set", as)    => Some((PatchField(path.result(), Some(as(0).e), None), rest))
+      case Step.Method("modify", as) => Some((PatchField(path.result(), Some(as(0).e), None), rest))
+      case Step.Method("delete", _)  => Some((PatchField(path.result(), None, None), rest))
+      case Step.Method("unset", as)  =>
+        val key = as(0).e match {
+          case Ident(n)     => n
+          case Lit(JStr(s)) => s
+          case e            => JValue.display(eval(e, env))
+        }
+        Some((PatchField(path.result() :+ PatchStep.Field(key), None, None), rest))
+      case _ => None
     }
   }
 
