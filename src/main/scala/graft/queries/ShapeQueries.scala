@@ -134,5 +134,58 @@ object ShapeQueries extends QueryGroup {
           "\n")).as("csv"))
   }
 
-  def defs = Seq(pick0, omit0, groupShape, dynIndex, mapOps, kind0, toCsv)
+  /** Dot-path ops on nested structs (§2.8, O:path.rs): `set_path` ≡
+    * `withField`, `del_path` ≡ `dropFields`, `get_path` ≡ nested
+    * getField — all static-schema struct rewrites inside codegen, no
+    * JSON round-trip. Output is flattened (`flatten_keys`) to scalar
+    * columns so the oracle compares plain values. */
+  private val structPath = q(
+    "q_struct_path",
+    """SELECT o_orderkey AS okey,
+      |  o_totalprice AS price,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |    * CAST(0.9 AS DECIMAL(18,2)) AS DOUBLE) AS disc,
+      |  o_orderstatus AS st
+      |FROM orders ORDER BY okey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), struct(
+        col("o_totalprice").as("price"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio")).as("inner")).as("s"))
+      // set_path("disc", …): add a computed nested leaf
+      .withColumn("s", col("s").withField("disc",
+        (col("s.price").cast("decimal(18,2)") *
+          lit(0.9).cast("decimal(18,2)")).cast("double")))
+      // del_path("inner.prio"): drop one nested leaf
+      .withColumn("s", col("s").dropFields("inner.prio"))
+      // flatten_keys + get_path: nested leaves out as scalar columns
+      .select(
+        col("okey"),
+        col("s.price").as("price"),
+        col("s.disc").as("disc"),
+        col("s.inner.st").as("st"))
+      .orderBy("okey")
+  }
+
+  /** `flatten_keys()` (O:path.rs) — schema-directed: walk the
+    * StructType and emit every leaf as `a.b.c`, the compile-time
+    * analogue of the reference's structural-index path expansion
+    * (SURVEY §2.8 strategy (a)). */
+  private val flattenKeys = q(
+    "q_flatten_keys",
+    """SELECT n_nationkey AS id,
+      |  n_name AS geo_name, n_regionkey AS geo_region_key,
+      |  LENGTH(n_name) AS meta_name_len
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d)
+      .select(col("n_nationkey").as("id"), struct(
+        col("n_name").as("name"),
+        struct(col("n_regionkey").as("key")).as("region")).as("geo"),
+        struct(length(col("n_name")).as("name_len")).as("meta"))
+    // "_" separator: parquet (the verify sink) forbids dots in names
+    graft.ops.StructOps.flattenKeys(nested, sep = "_").orderBy("id")
+  }
+
+  def defs = Seq(pick0, omit0, groupShape, dynIndex, mapOps, kind0, toCsv,
+    structPath, flattenKeys)
 }
