@@ -1,0 +1,309 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.jexpr.{Expr, JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JValue, Parser}
+import Expr._
+
+/** Relational lowering: compiles a jetro pipeline expression into a
+  * Catalyst DataFrame plan (SURVEY §7.0 mode 1).
+  *
+  * A rooted chain `$.<table>.stage1().stage2()…` becomes
+  * `resolve(table).transform(stage1).transform(stage2)…`; predicates,
+  * projections and scalar functions compile to `Column` expressions, so
+  * the whole query stays inside Catalyst — pushdown, pruning, join
+  * strategy and top-k (`TakeOrderedAndProject`) all apply. This mirrors
+  * the reference's pipeline backend (exec/pipeline.rs), with Catalyst
+  * playing the role of its rule optimizer + demand planner (SURVEY §4.3:
+  * limit pushdown ≈ demand, column pruning ≈ ValueNeed).
+  *
+  * Anything the lowering does not support throws [[LowerException]]; the
+  * caller falls back to document mode (the interpreter UDF), mirroring
+  * the reference's backend-preference lists (ir/physical.rs:219-230).
+  * Semantics are identical by contract — [[graft.GraftCompileSpec]]
+  * asserts compiled results equal interpreted results on the same rows.
+  */
+final class LowerException(msg: String) extends RuntimeException(msg)
+
+object Lower {
+
+  private def bail(msg: String): Nothing = throw new LowerException(msg)
+
+  /** Compile `expr` against a table resolver. The expression must be a
+    * rooted chain whose first step names a table (`$.orders…`). */
+  def compile(expr: String, resolve: String => DataFrame): DataFrame =
+    compileAst(Parser.parse(expr), resolve)
+
+  def tryCompile(expr: String, resolve: String => DataFrame): Option[DataFrame] =
+    try Some(compile(expr, resolve))
+    catch { case _: LowerException => None }
+
+  def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
+    case Chain(Root, steps) if steps.nonEmpty =>
+      steps.head match {
+        case Step.Field(table) =>
+          steps.tail.foldLeft(resolve(table))((df, s) => stage(df, s))
+        case other => bail(s"chain must start at a table, got $other")
+      }
+    case other => bail(s"not a rooted pipeline: $other")
+  }
+
+  // ── stage lowering ────────────────────────────────────────────────────
+
+  private def stage(df: DataFrame, s: Step): DataFrame = s match {
+    case Step.InlineFilter(p) => df.filter(colExpr(p))
+    case Step.MapShape(pred, shape) =>
+      val kept = pred.fold(df)(p => df.filter(colExpr(p)))
+      project(kept, shape)
+    case Step.Slice(from, to) => // [a:b] on an ordered source
+      val a = from.getOrElse(0L)
+      val b = to.getOrElse(Long.MaxValue)
+      if (a < 0 || b < 0) bail("negative slice on a table")
+      df.offset(a.toInt).limit(math.max(0, (b - a)).toInt)
+    case Step.Method(name, args) => method(df, name, args)
+    case other => bail(s"unsupported step $other")
+  }
+
+  private def method(df: DataFrame, name: String, args: Vector[Arg]): DataFrame = name match {
+    case "filter" | "find" | "find_all" | "where" =>
+      df.filter(args.map(a => colExpr(a.e)).reduceOption(_ && _).getOrElse(lit(true)))
+    case "map" => project(df, argE(args, 0))
+    case "pick" =>
+      df.select(args.map { a =>
+        a.name match {
+          case Some(alias) => colExpr(a.e).as(alias)
+          case None => a.e match {
+            case Ident(n)     => col(n)
+            case Lit(JStr(n)) => col(n)
+            case e            => bail(s"pick: unsupported selector $e")
+          }
+        }
+      }: _*)
+    case "omit" =>
+      df.drop(args.map {
+        case Arg(None, Ident(n))     => n
+        case Arg(None, Lit(JStr(n))) => n
+        case a                       => bail(s"omit: unsupported arg $a")
+      }: _*)
+    case "sort" | "sort_by" =>
+      df.orderBy(args.map(a => sortCol(a.e)): _*)
+    case "reverse" => bail("reverse on unordered table (sort explicitly)")
+    case "take"  => df.limit(intLit(args, 0).toInt)
+    case "skip" | "drop" => df.offset(intLit(args, 0).toInt)
+    case "unique" | "distinct" => df.distinct()
+    case "unique_by" =>
+      df.dropDuplicates(args.map {
+        case Arg(_, Ident(n)) => n
+        case a                => bail(s"unique_by: unsupported key $a")
+      })
+    case "compact" => // drop fully-null rows
+      df.na.drop("all")
+    case "count" =>
+      if (args.isEmpty) df.agg(count(lit(1)).as("count"))
+      else df.filter(colExpr(args(0).e)).agg(count(lit(1)).as("count"))
+    case "sum" => // jetro empty-sum → 0 (pipeline.rs:320-328)
+      df.agg(coalesce(sum(aggTarget(df, args)), lit(0)).as("sum"))
+    case "avg" | "mean" => df.agg(avg(aggTarget(df, args)).as("avg"))
+    case "min" => df.agg(min(aggTarget(df, args)).as("min"))
+    case "max" => df.agg(max(aggTarget(df, args)).as("max"))
+    case "min_by" => df.orderBy(colExpr(argE(args, 0)).asc).limit(1)
+    case "max_by" => df.orderBy(colExpr(argE(args, 0)).desc).limit(1)
+    case "any" | "exists" =>
+      df.agg(coalesce(max(colExpr(argE(args, 0)).cast("boolean")), lit(false)).as("any"))
+    case "all" =>
+      df.agg(coalesce(min(colExpr(argE(args, 0)).cast("boolean")), lit(true)).as("all"))
+    case "first" =>
+      if (args.isEmpty) df.limit(1) else df.limit(intLit(args, 0).toInt)
+    case "count_by" =>
+      val k = colExpr(argE(args, 0))
+      df.groupBy(k.as("key")).agg(count(lit(1)).as("n"))
+    case "group_by" =>
+      val k = colExpr(argE(args, 0))
+      df.groupBy(k.as("key"))
+        .agg(collect_list(struct(df.columns.map(col).toSeq: _*)).as("rows"))
+    case "index_by" => // last wins is order-dependent; keep ANY single row per key
+      val k = argE(args, 0) match {
+        case Ident(n) => n
+        case e        => bail(s"index_by: unsupported key $e")
+      }
+      df.dropDuplicates(Seq(k))
+    case "flat_map" | "explode" =>
+      val fieldName = argE(args, 0) match {
+        case Ident(n) => n
+        case e        => bail(s"explode: unsupported field $e")
+      }
+      val others = df.columns.filterNot(_ == fieldName).map(col).toSeq
+      df.select(others :+ explode(col(fieldName)).as(fieldName): _*)
+    case "equi_join" => bail("equi_join lowering needs a second table (use the DataFrame API)")
+    case other => bail(s"no relational lowering for .$other()")
+  }
+
+  private def project(df: DataFrame, shape: Expr): DataFrame = shape match {
+    case ObjLit(fields) =>
+      df.select(fields.map {
+        case ObjField.Short(n)                   => col(n)
+        case ObjField.KV(Lit(JStr(k)), v, None)  => colExpr(v).as(k)
+        case ObjField.KV(Ident(k), v, None)      => colExpr(v).as(k)
+        case f => bail(s"map shape field unsupported: $f")
+      }: _*)
+    case Ident(n) => df.select(col(n))
+    case e        => df.select(colExpr(e).as("value"))
+  }
+
+  private def argE(args: Vector[Arg], i: Int): Expr =
+    if (i < args.length) args(i).e else bail("missing argument")
+
+  /** No-arg aggregate after a single-column `map(...)`: fold over that
+    * column; with an arg, over the compiled arg expression. */
+  private def aggTarget(df: DataFrame, args: Vector[Arg]): Column =
+    if (args.nonEmpty) colExpr(args(0).e)
+    else if (df.columns.length == 1) col(df.columns(0))
+    else bail("no-arg aggregate needs a single-column input")
+
+  private def intLit(args: Vector[Arg], i: Int): Long = argE(args, i) match {
+    case Lit(JInt(n)) => n
+    case e            => bail(s"expected integer literal, got $e")
+  }
+
+  private def sortCol(e: Expr): Column = e match {
+    case Unary("-", inner) => colExpr(inner).desc
+    case other             => colExpr(other).asc
+  }
+
+  // ── scalar expression lowering ────────────────────────────────────────
+
+  /** jetro expression → Catalyst Column. Bare identifiers are row
+    * fields; `@` is not addressable at the row level (only inside
+    * higher-order args, unsupported here → fallback). */
+  def colExpr(e: Expr): Column = e match {
+    case Ident(n)  => col(n)
+    case Lit(v)    => litOf(v)
+    case Current   => bail("`@` has no relational meaning at row scope")
+    case Chain(Ident(n), steps) => fieldChain(col(n), n, steps)
+    case Chain(Current, steps)  => bail("`@`-rooted chain at row scope")
+    case Unary("-", x)   => negate(colExpr(x))
+    case Unary("not", x) => !truthy(colExpr(x))
+    case Binary(op, l, r) => binop(op, l, r)
+    case IfElse(c, t, f) =>
+      when(truthy(colExpr(c)), colExpr(t)).otherwise(colExpr(f))
+    case TryElse(body, default) => // null → default (errors → null under non-ANSI)
+      coalesce(colExpr(body), colExpr(default))
+    case FString(parts) =>
+      concat(parts.map {
+        case FPart.Text(s)          => lit(s)
+        case FPart.Interp(x, None)  => displayCol(colExpr(x))
+        case FPart.Interp(x, Some(f)) if f.startsWith(".") && f.endsWith("f") =>
+          format_number(colExpr(x).cast("double"), f.substring(1, f.length - 1).toInt)
+        case FPart.Interp(_, Some(f)) => bail(s"format spec $f")
+      }: _*)
+    case Cast(x, to) => to match {
+      case "int"    => colExpr(x).cast("long")
+      case "float" | "number" => colExpr(x).cast("double")
+      case "string" => colExpr(x).cast("string")
+      case "bool"   => colExpr(x).cast("boolean")
+      case other    => bail(s"cast to $other")
+    }
+    case other => bail(s"no relational lowering for expression $other")
+  }
+
+  private def fieldChain(base: Column, name: String, steps: Vector[Step]): Column =
+    steps.foldLeft(base) { (c, s) =>
+      s match {
+        case Step.Field(n)         => c.getField(n)
+        case Step.Index(Lit(JInt(i))) => element_at(c, i.toInt + (if (i >= 0) 1 else 0))
+        case Step.Method(m, args)  => scalarFn(m, c, args)
+        case Step.Optional         => c // Spark navigation is already null-safe
+        case other                 => bail(s"field-chain step $other")
+      }
+    }
+
+  /** Scalar builtins that map 1:1 onto codegen'd Spark functions
+    * (SURVEY §2.8 table). */
+  private def scalarFn(name: String, c: Column, args: Vector[Arg]): Column = {
+    def a0 = colExpr(argE(args, 0))
+    name match {
+      case "upper"       => upper(c)
+      case "lower"       => lower(c)
+      case "trim"        => trim(c)
+      case "trim_left" | "lstrip"  => ltrim(c)
+      case "trim_right" | "rstrip" => rtrim(c)
+      case "capitalize"  => initcap(c)
+      case "reverse_str" => reverse(c)
+      case "len" | "length" | "byte_len" => length(c).cast("long")
+      case "abs"         => abs(c)
+      case "ceil"        => ceil(c)
+      case "floor"       => floor(c)
+      case "round"       =>
+        if (args.isEmpty) round(c) else round(c, intLit(args, 0).toInt)
+      case "starts_with" => c.startsWith(a0)
+      case "ends_with"   => c.endsWith(a0)
+      case "includes" | "contains" => c.contains(a0)
+      case "replace_all" => call_function("replace", c, a0, a0OrSecond(args))
+      case "split"       =>
+        split(c, java.util.regex.Pattern.quote(strLit(args, 0, "")))
+      case "repeat"      => repeat(c, intLit(args, 0).toInt)
+      case "pad_left"    => lpad(c, intLit(args, 0).toInt, strLit(args, 1, " "))
+      case "pad_right"   => rpad(c, intLit(args, 0).toInt, strLit(args, 1, " "))
+      case "to_base64"   => base64(c.cast("binary"))
+      case "from_base64" => unbase64(c).cast("string")
+      case "re_match"    => c.rlike(strLit(args, 0, ""))
+      case "re_replace_all" => regexp_replace(c, strLit(args, 0, ""), strLit(args, 1, ""))
+      case "parse_int"   => c.cast("long")
+      case "parse_float" | "to_number" => c.cast("double")
+      case other => bail(s"no relational scalar fn .$other()")
+    }
+  }
+
+  private def a0OrSecond(args: Vector[Arg]): Column = colExpr(argE(args, 1))
+
+  private def displayCol(c: Column): Column = c.cast("string")
+  private def strLit(args: Vector[Arg], i: Int, default: String): String =
+    if (i >= args.length) default
+    else argE(args, i) match {
+      case Lit(JStr(s)) => s
+      case e            => bail(s"expected string literal, got $e")
+    }
+
+  private def litOf(v: JValue): Column = v match {
+    case JInt(n)   => lit(n)
+    case JFloat(f) => lit(f)
+    case JStr(s)   => lit(s)
+    case JBool(b)  => lit(b)
+    case JNull     => lit(null)
+    case JArr(xs)  => array(xs.map(litOf): _*)
+    case other     => bail(s"literal $other")
+  }
+
+  private def negate(c: Column): Column = c * lit(-1)
+
+  /** jetro truthiness on a Column: null/false → false, numbers ≠ 0,
+    * strings non-empty; boolean passes through. */
+  private def truthy(c: Column): Column =
+    coalesce(c.cast("boolean"), lit(false))
+
+  private def binop(op: String, lE: Expr, rE: Expr): Column = {
+    lazy val l = colExpr(lE)
+    lazy val r = colExpr(rE)
+    op match {
+      case "+"   => l + r
+      case "-"   => l - r
+      case "*"   => l * r
+      case "/"   => l.cast("double") / r.cast("double") // jetro float division
+      case "%"   => l % r
+      case "=="  => l === r
+      case "!="  => l =!= r
+      case "<"   => l < r
+      case "<="  => l <= r
+      case ">"   => l > r
+      case ">="  => l >= r
+      case "and" => truthy(l) && truthy(r)
+      case "or"  => truthy(l) || truthy(r)
+      case "??"  => coalesce(l, r)
+      case "~="  => // case-insensitive bidirectional substring (vm Fuzzy)
+        lower(l).contains(lower(r)) || lower(r).contains(lower(l))
+      case "has" => array_contains(l, r)
+      case other => bail(s"operator $op")
+    }
+  }
+}

@@ -9,7 +9,7 @@ object Catalog {
   def groups: Seq[QueryGroup] = Seq(
     CoreQueries, WindowQueries, SequenceQueries, AggQueries,
     ArraySetQueries, ScalarQueries, ShapeQueries, DocQueries,
-    TextQueries, SimilarityQueries, NativeUpsideQueries)
+    TextQueries, SimilarityQueries, NativeUpsideQueries, LoweredQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.plans.Lower
+
+/** Queries expressed in the jetro language itself and compiled by
+  * [[graft.plans.Lower]] into Catalyst plans — the end-to-end proof
+  * that the engine's relational mode (SURVEY §7.0 mode 1) works inside
+  * the DuckDB correctness gate, not just in unit tests. Each entry's
+  * oracle describes the same semantics in ANSI SQL.
+  */
+object LoweredQueries extends QueryGroup {
+
+  private def lower(s: org.apache.spark.sql.SparkSession, d: String, expr: String) =
+    Lower.compile(expr, t => Tables(s, d, t))
+
+  /** The reference README's headline pipeline shape, compiled. */
+  private val headline = q(
+    "q_lower_pipeline",
+    """SELECT o_orderkey AS id, o_totalprice AS total FROM orders
+      |WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.orders{o_orderstatus == "O"}
+        |.sort_by(-o_orderkey).take(5)
+        |.map({id: o_orderkey, total: o_totalprice})""".stripMargin)
+  }
+
+  /** filter + count through the compiler (demand ≈ ValueNeed::None —
+    * Catalyst prunes every column out of the scan). */
+  private val aggCount = q(
+    "q_lower_count",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS count FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount < 0.02""".stripMargin) { (s, d) =>
+    lower(s, d, "$.lineitem.filter(l_quantity > 45 and l_discount < 0.02).count()")
+  }
+
+  /** count_by through the compiler; deterministic order imposed after
+    * compilation (jetro objects are insertion-ordered; tables aren't). */
+  private val countBy = q(
+    "q_lower_count_by",
+    """SELECT c_mktsegment AS key, COUNT(*) AS n FROM customer
+      |GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.count_by(c_mktsegment)").orderBy("key")
+  }
+
+  /** Scalar-function + f-string projection through the compiler. */
+  private val scalars = q(
+    "q_lower_scalars",
+    """SELECT s_suppkey AS k, UPPER(s_name) AS up,
+      |  's' || s_suppkey AS tag,
+      |  CASE WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign
+      |FROM supplier ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.supplier.map({k: s_suppkey, up: s_name.upper(), tag: f"s{s_suppkey}",
+        |  sign: "neg" if s_acctbal < 0 else "pos"})""".stripMargin)
+      .orderBy("k")
+  }
+
+  def defs = Seq(headline, aggCount, countBy, scalars)
+}

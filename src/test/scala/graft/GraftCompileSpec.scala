@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jexpr.{JValue, Jetro}
+
+/** Relational-lowering contract (SURVEY §7.0/§7.2): the SAME jetro
+  * expression produces identical results through (a) Lower → Catalyst
+  * DataFrame plan and (b) the document-mode interpreter over the table
+  * collected as one JSON document. This is the two-backend differential
+  * the reference guarantees across its own backends (README.md:269-271).
+  */
+class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-compile-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Document-mode answer: whole table as `$.<table>` in one doc. */
+  private def docAnswer(expr: String): JValue = {
+    val table = expr.split("[.{\\[]")(1).takeWhile(c => c.isLetterOrDigit || c == '_')
+    val rows = graft.core.Tables(spark, sfDir, table).toJSON.collect()
+    Jetro.compile(expr).evalValue(JValue.parse(s"""{"$table": [${rows.mkString(",")}]}"""))
+  }
+
+  test("headline pipeline compiles and matches the interpreter") {
+    val expr = """$.orders{o_orderstatus == "O"}.sort_by(-o_orderkey).take(3).map({id: o_orderkey, total: o_totalprice})"""
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect().map(r => (r.getLong(0), r.getDouble(1))).toVector
+    val exp = docAnswer(expr) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "id")).get.toLong,
+         JValue.asNum(jexpr.Interp.fieldOf(o, "total")).get)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.length == 3)
+  }
+
+  test("filter + count matches") {
+    val expr = "$.lineitem.filter(l_quantity > 45 and l_discount < 0.02).count()"
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect()(0).getLong(0)
+    assert(JValue.asNum(docAnswer(expr)).get.toLong == got && got > 0)
+  }
+
+  test("map + sum matches (empty sum would be 0)") {
+    val expr = "$.orders.map(o_totalprice).sum()"
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect()(0).getDouble(0)
+    assert(math.abs(JValue.asNum(docAnswer(expr)).get - got) < 1e-4)
+  }
+
+  test("count_by matches as a key→n map") {
+    val expr = "$.customer.count_by(c_mktsegment)"
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = docAnswer(expr) match {
+      case jexpr.JObj(fs) => fs.map { case (k, v) => k -> JValue.asNum(v).get.toLong }.toMap
+      case other          => fail(s"expected object, got ${other.kind}")
+    }
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("scalar functions and f-strings lower") {
+    val expr = """$.supplier.sort_by(s_suppkey).take(2).map({k: s_suppkey, up: s_name.upper(), tag: f"s{s_suppkey}"})"""
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val rows = compiled.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == rows(0).getString(1).toUpperCase)
+    assert(rows(0).getString(2) == s"s${rows(0).getLong(0)}")
+  }
+
+  test("unsupported constructs fall back to document mode") {
+    // group_shape has no lowering — Graft.query must still answer.
+    val expr = """$.region.map({name: r_name}).sort_by(name).take(2)"""
+    assert(Graft.lowers(spark, sfDir, expr))
+    val hard = "$.region.map(r_name).unique_by(@)" // `@` key: not lowerable
+    assert(!Graft.lowers(spark, sfDir, hard))
+    val out = Graft.query(spark, sfDir, hard).collect()
+    assert(out.length == 5) // five distinct region names
+  }
+
+  test("ternary and coalesce lower") {
+    val expr = """$.nation.map({id: n_nationkey, cls: "low" if n_regionkey < 2 else "high"}).sort_by(id).take(4)"""
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val rows = compiled.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val cls = r.getString(1)
+      assert(cls == "low" || cls == "high")
+    }
+  }
+}
