@@ -43,7 +43,7 @@ object Lower {
     case Chain(Root, steps) if steps.nonEmpty =>
       steps.head match {
         case Step.Field(table) =>
-          steps.tail.foldLeft(resolve(table))((df, s) => stage(df, s))
+          steps.tail.foldLeft(St(resolve(table)))((st, s) => stage(st, s, resolve)).df
         case other => bail(s"chain must start at a table, got $other")
       }
     case other => bail(s"not a rooted pipeline: $other")
@@ -51,21 +51,41 @@ object Lower {
 
   // ── stage lowering ────────────────────────────────────────────────────
 
-  private def stage(df: DataFrame, s: Step): DataFrame = s match {
-    case Step.InlineFilter(p) => df.filter(colExpr(p))
+  /** Stage state: the plan so far plus the active explicit ordering (set
+    * by `sort_by`, consumed by the order-dependent ops take_while /
+    * drop_while — the reference's OrderBarrier bookkeeping, §4.4). */
+  private final case class St(df: DataFrame, order: Vector[Column] = Vector.empty)
+
+  private def stage(st: St, s: Step, resolve: String => DataFrame): St = s match {
+    case Step.InlineFilter(p) => St(st.df.filter(colExpr(p)), st.order)
     case Step.MapShape(pred, shape) =>
-      val kept = pred.fold(df)(p => df.filter(colExpr(p)))
-      project(kept, shape)
+      val kept = pred.fold(st.df)(p => st.df.filter(colExpr(p)))
+      St(project(kept, shape))
     case Step.Slice(from, to) => // [a:b] on an ordered source
       val a = from.getOrElse(0L)
       val b = to.getOrElse(Long.MaxValue)
       if (a < 0 || b < 0) bail("negative slice on a table")
-      df.offset(a.toInt).limit(math.max(0, (b - a)).toInt)
-    case Step.Method(name, args) => method(df, name, args)
+      St(st.df.offset(a.toInt).limit(math.max(0, (b - a)).toInt), st.order)
+    case Step.Method(name, args) => method(st, name, args, resolve)
     case other => bail(s"unsupported step $other")
   }
 
-  private def method(df: DataFrame, name: String, args: Vector[Arg]): DataFrame = name match {
+  private def method(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): St = {
+    val lowered = methodDf(st, name, args, resolve)
+    name match {
+      case "sort" | "sort_by" => St(lowered, args.map(a => sortCol(a.e)))
+      // filters/limits preserve the active ordering; projections and
+      // aggregations invalidate it
+      case "filter" | "find" | "find_all" | "where" | "take" | "skip" | "drop" |
+           "take_while" | "drop_while" | "first" =>
+        St(lowered, st.order)
+      case _ => St(lowered)
+    }
+  }
+
+  private def methodDf(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): DataFrame = {
+  val df = st.df
+  name match {
     case "filter" | "find" | "find_all" | "where" =>
       df.filter(args.map(a => colExpr(a.e)).reduceOption(_ && _).getOrElse(lit(true)))
     case "map" => project(df, argE(args, 0))
@@ -135,8 +155,47 @@ object Lower {
       }
       val others = df.columns.filterNot(_ == fieldName).map(col).toSeq
       df.select(others :+ explode(col(fieldName)).as(fieldName): _*)
-    case "equi_join" => bail("equi_join lowering needs a second table (use the DataFrame API)")
+    case "equi_join" => // inner hash join, right wins on name collision (O:array.rs:489-548)
+      val right = argE(args, 0) match {
+        case c @ Chain(Root, _) => compileAst(c, resolve)
+        case e                  => bail(s"equi_join: right side must be a table pipeline, got $e")
+      }
+      val lk = identName(argE(args, 1))
+      val rk = if (args.length > 2) identName(argE(args, 2)) else lk
+      val collide = df.columns.toSet.intersect(right.columns.toSet) - rk
+      val joined = df.join(right, df(lk) === right(rk), "inner")
+      // drop the left copy of any colliding column (right wins), and the
+      // right key when it duplicates the left key name
+      val pruned = collide.foldLeft(joined)((d, c) => d.drop(df(c)))
+      if (lk == rk) pruned.drop(right(rk)) else pruned
+    case "take_while" | "drop_while" =>
+      // order-dependent: only legal with an explicit sort in force
+      // (plan.rs:106-188 — the reference forbids bounded top-k here too).
+      // Rewrite: rn = row_number over the active order; cut = first rn
+      // failing the predicate; take_while keeps rn < cut, drop_while
+      // keeps rn >= cut. The unpartitioned window is a deliberate
+      // barrier — same as the reference's OrderBarrier.
+      if (st.order.isEmpty) bail(s"$name without an explicit sort")
+      val pred = truthy(colExpr(argE(args, 0)))
+      val w = Window.orderBy(st.order: _*)
+      val wg = Window.partitionBy()
+      val rn = row_number().over(w)
+      val withRn = df.withColumn("__rn", rn)
+        .withColumn("__cut", min(when(!pred, col("__rn"))).over(wg))
+      val kept =
+        if (name == "take_while")
+          withRn.filter(col("__cut").isNull || col("__rn") < col("__cut"))
+        else
+          withRn.filter(col("__cut").isNotNull && col("__rn") >= col("__cut"))
+      kept.drop("__rn", "__cut")
     case other => bail(s"no relational lowering for .$other()")
+  }
+  }
+
+  private def identName(e: Expr): String = e match {
+    case Ident(n)     => n
+    case Lit(JStr(n)) => n
+    case other        => bail(s"expected a column name, got $other")
   }
 
   private def project(df: DataFrame, shape: Expr): DataFrame = shape match {

@@ -98,6 +98,27 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 5) // five distinct region names
   }
 
+  test("equi_join lowers to an inner hash join") {
+    val expr = """$.nation.equi_join($.region, n_regionkey, r_regionkey).map({n: n_name, r: r_name})"""
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val rows = compiled.collect()
+    assert(rows.length == 25) // every nation joins exactly one region
+    assert(compiled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("take_while / drop_while after sort lower via window cutoff") {
+    val tw = """$.nation.sort_by(n_nationkey).take_while(n_nationkey < 7).map(n_nationkey)"""
+    val dw = """$.nation.sort_by(n_nationkey).drop_while(n_nationkey < 7).map(n_nationkey)"""
+    def run(e: String) = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(run(tw) == (0L until 7L).toVector)
+    assert(run(dw).sorted == (7L until 25L).toVector)
+    // and without a sort in force it must NOT lower
+    assert(!Graft.lowers(spark, sfDir, "$.nation.take_while(n_nationkey < 7)"))
+  }
+
   test("ternary and coalesce lower") {
     val expr = """$.nation.map({id: n_nationkey, cls: "low" if n_regionkey < 2 else "high"}).sort_by(id).take(4)"""
     val compiled = graft.plans.Lower
