@@ -104,6 +104,28 @@ object ArraySetQueries extends QueryGroup {
         .orderBy("vec_id")
   }
 
+  /** `zip(other)` at DataFrame level — M:164-165: positional join of two
+    * independently-ordered row streams via row_number (SURVEY §2.3's
+    * "join on window row_number" mapping). Each side sorts in parallel
+    * on its own key; the join is a small sorted-key equi-join. */
+  private val zipTables = q(
+    "q_zip_tables",
+    """WITH o AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |           FROM orders LIMIT 10),
+      |     c AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |           FROM customer LIMIT 10)
+      |SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c USING (rn)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), row_number().over(wo).as("rn")).limit(10)
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), row_number().over(wc).as("rn")).limit(10)
+    o.join(c, "rn").select("rn", "o_orderkey", "c_custkey").orderBy("rn")
+  }
+
   /** `diff` (set difference) — M:136-137: nations having customers but
     * no suppliers. */
   private val setExcept = q(
@@ -170,6 +192,6 @@ object ArraySetQueries extends QueryGroup {
   }
 
   def defs = Seq(
-    slice0, flatMap0, remove0, compact0, membership, zipDot,
+    slice0, flatMap0, remove0, compact0, membership, zipDot, zipTables,
     setExcept, setIntersect, setUnion, crossJoin, try0)
 }
