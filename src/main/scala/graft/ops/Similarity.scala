@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns (by SQL fragment),
-    * computed in double precision. */
+    * computed in double precision — HOF formulation, kept as the
+    * differential oracle for the native expression. */
   def cosineExpr(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)
@@ -33,6 +34,14 @@ object Similarity {
        |   * sqrt(aggregate($b, CAST(0 AS DOUBLE),
        |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |""".stripMargin.replace("\n", " "))
+
+  /** Native codegen cosine (graft.functions.CosineSimilarity) — same
+    * fold order as [[cosineExpr]], so results are bit-identical; one
+    * fused loop instead of three interpreted lambdas. */
+  def cosine(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    expr(s"cosine_sim($a, $b)")
+  }
 
   /** Exact top-k: for each query vector, the k most-cosine-similar
     * corpus vectors (excluding itself). Ranking uses the rounded
@@ -46,7 +55,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+      .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("cid"))
     scored
@@ -103,7 +112,7 @@ object Similarity {
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     cand
-      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+      .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
@@ -126,7 +135,7 @@ object Similarity {
     val assigned = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosineExpr("cv", "centv"), 4))
+      .withColumn("csim", round(cosine(corpus, "cv", "centv"), 4))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select("cid", "cv", "centroid_id")
@@ -135,14 +144,14 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn("qsim", round(cosineExpr("qv", "centv"), 4))
+      .withColumn("qsim", round(cosine(corpus, "qv", "centv"), 4))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select("qid", "qv", "centroid_id")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     probes.join(assigned, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosineExpr("qv", "cv"), 4))
+      .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))

@@ -54,7 +54,7 @@ object SimilarityQueries extends QueryGroup {
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(Similarity.cosineExpr("va", "vb"), 4))
+        .withColumn("sim", round(Similarity.cosine(emb, "va", "vb"), 4))
         .filter(col("sim") >= 0.3)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")

@@ -12,6 +12,20 @@ class SimilaritySpec extends SparkSpec {
   private def topSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("native cosine_sim expression matches the HOF formulation exactly") {
+    val pairs = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .crossJoin(emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("idb"), col("embedding").as("vb")))
+      .filter(col("ida") < col("idb"))
+    val diff = pairs
+      .withColumn("hof", Similarity.cosineExpr("va", "vb"))
+      .withColumn("native", Similarity.cosine(emb, "va", "vb"))
+      .filter(col("hof") =!= col("native")) // bit-equality: same fold order
+      .count()
+    assert(diff == 0)
+  }
+
   test("brute-force top-k returns k rows per query, self excluded") {
     val res = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
