@@ -257,10 +257,10 @@ object Builtins {
     }
     case "take"  => JArr(elems(recv).take(intArg(args, 0, env).toInt))
     case "skip" | "drop" => JArr(elems(recv).drop(intArg(args, 0, env).toInt))
-    case "take_while" =>
+    case "take_while" | "takewhile" => // alias: D:421
       val p = bodyOr(args, 0, env)
       JArr(elems(recv).takeWhile(x => p(x).truthy))
-    case "drop_while" =>
+    case "drop_while" | "dropwhile" => // alias: D:481
       val p = bodyOr(args, 0, env)
       JArr(elems(recv).dropWhile(x => p(x).truthy))
     case "unique" | "distinct" => JArr(uniqueBy(arrOnly(recv, "unique"), identity))
@@ -334,10 +334,10 @@ object Builtins {
         out += acc
       }
       JArr(out.result())
-    case "partition" =>
+    case "partition" => // keys "true"/"false" (reference regression.rs:351-357)
       val p = bodyOr(args, 0, env)
       val (pass, failV) = arrOnly(recv, "partition").partition(x => p(x).truthy)
-      JObj.of("pass" -> JArr(pass), "fail" -> JArr(failV))
+      JObj.of("true" -> JArr(pass), "false" -> JArr(failV))
 
     // ═══ grouping (§2.4) ═══
     case "group_by" =>

@@ -210,6 +210,16 @@ object Interp {
     var v = base
     var e = env
     steps.foreach {
+      // bare identifier in a pipe: field of the piped value when present,
+      // else a zero-arg builtin call (`xs | len` ≡ xs.len(), SYNTAX.md
+      // free-function style); unknown names stay null like field misses
+      case PipeStep.Forward(Ident(n)) if !e.vars.contains(n) =>
+        v = fieldOf(v, n) match {
+          case JNull =>
+            try Builtins.call(n, v, Vector.empty, e)
+            catch { case _: EvalException => JNull }
+          case fv => fv
+        }
       case PipeStep.Forward(expr0) => v = eval(expr0, e.withCurrent(v))
       case PipeStep.BindName(n)    => e = e.bind(n, v)
       case PipeStep.BindObj(names, rest) => v match {
@@ -468,10 +478,33 @@ object Interp {
   // ── global (free-function) calls ─────────────────────────────────────
 
   private def globalCall(name: String, args: Vector[Arg], env: Env): JValue = name match {
-    case "coalesce" | "chain" =>
+    case "coalesce" =>
       args.iterator
         .map(a => try eval(a.e, env) catch { case _: EvalException => JNull })
         .find(_ != JNull).getOrElse(JNull)
+    case "chain" | "join" => // concatenate arrays; scalars (incl null) push through
+      JArr(args.flatMap(a => eval(a.e, env) match {
+        case JArr(xs) => xs
+        case other    => Vector(other)
+      }))
+    case "range" => // range(n) / range(from, to) / range(from, to, step)
+      val ns = args.map(a => eval(a.e, env) match {
+        case JInt(n) => n
+        case other   => err(s"range: expected integer arg, got ${other.kind}")
+      })
+      val (from, upto, step) = ns match {
+        case Vector(n)       => (0L, n, 1L)
+        case Vector(f, u)    => (f, u, 1L)
+        case Vector(f, u, s) => (f, u, s)
+        case _               => err(s"range: expected 1..3 args, got ${ns.length}")
+      }
+      if (step == 0) JArr(Vector.empty)
+      else {
+        val out = Vector.newBuilder[JValue]
+        var i = from
+        while (if (step > 0) i < upto else i > upto) { out += JInt(i); i += step }
+        JArr(out.result())
+      }
     case "zip" =>
       val xs = args.map(a => eval(a.e, env))
       Builtins.call("zip", xs.head, Vector(Arg(None, Lit(xs(1)))), env)

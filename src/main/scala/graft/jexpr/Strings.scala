@@ -77,17 +77,24 @@ object Strings {
       case "bytes"       => JArr(s.getBytes("UTF-8").toVector.map(b => JInt((b & 0xff).toLong)))
       case "byte_len"    => JInt(s.getBytes("UTF-8").length.toLong)
       case "is_blank"    => JBool(s.trim.isEmpty)
-      case "is_numeric"  => JBool(s.nonEmpty && s.toDoubleOption.isDefined)
+      // ascii-digits only (mod.rs:2060-2062), NOT a float test
+      case "is_numeric"  => JBool(s.nonEmpty && s.forall(c => c >= '0' && c <= '9'))
       case "is_alpha"    => JBool(s.nonEmpty && s.forall(_.isLetter))
       case "is_ascii"    => JBool(s.forall(_ < 128))
-      case "to_number" | "parse_float" =>
-        s.toDoubleOption.map(JFloat(_)).getOrElse(JNull)
-      case "parse_int"   =>
-        s.trim.toLongOption.orElse(s.trim.toDoubleOption.map(_.toLong)).map(JInt(_)).getOrElse(JNull)
-      case "to_bool" | "parse_bool" => s.trim.toLowerCase match {
-        case "true" | "1" | "yes"  => JBool(true)
-        case "false" | "0" | "no"  => JBool(false)
-        case _                     => JNull
+      case "to_number" => // Int when integral, else Float (mod.rs:2067-2075)
+        s.toLongOption.map(JInt(_))
+          .orElse(s.toDoubleOption.map(JFloat(_))).getOrElse(JNull)
+      case "parse_float" => s.trim.toDoubleOption.map(JFloat(_)).getOrElse(JNull)
+      case "parse_int"   => s.trim.toLongOption.map(JInt(_)).getOrElse(JNull)
+      case "to_bool" => s match { // strict (mod.rs:2076-2080)
+        case "true"  => JBool(true)
+        case "false" => JBool(false)
+        case _       => JNull
+      }
+      case "parse_bool" => s.trim.toLowerCase match { // lenient (string.rs:526-532)
+        case "true" | "yes" | "1" | "on"   => JBool(true)
+        case "false" | "no" | "0" | "off"  => JBool(false)
+        case _                             => JNull
       }
       case "to_base64"   => JStr(java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
       case "from_base64" =>
@@ -117,14 +124,13 @@ object Strings {
       case "starts_with"  => JBool(s.startsWith(strA(args, 0)))
       case "ends_with"    => JBool(s.endsWith(strA(args, 0)))
       case "index_of"     => recv match {
-        case JArr(xs) =>
+        case JArr(xs) => // array form: null on miss (O:collection.rs:470)
           val i = xs.indexWhere(JValue.eq(_, args.head))
           if (i < 0) JNull else JInt(i.toLong)
-        case _ =>
-          val i = s.indexOf(strA(args, 0)); if (i < 0) JNull else JInt(i.toLong)
+        case _ => // string form: -1 on miss (mod.rs:2113-2122)
+          JInt(s.indexOf(strA(args, 0)).toLong)
       }
-      case "last_index_of" =>
-        val i = s.lastIndexOf(strA(args, 0)); if (i < 0) JNull else JInt(i.toLong)
+      case "last_index_of" => JInt(s.lastIndexOf(strA(args, 0)).toLong)
       case "replace"      => JStr(replaceFirstLiteral(s, strA(args, 0), strA(args, 1)))
       case "replace_all"  => JStr(s.replace(strA(args, 0), strA(args, 1)))
       case "strip_prefix" => JStr(if (s.startsWith(strA(args, 0))) s.drop(strA(args, 0).length) else s)
@@ -153,12 +159,25 @@ object Strings {
       }
       case "includes" | "contains" => JBool(s.contains(strA(args, 0)))
 
+      // `matches` is literal substring (mod.rs:2097), NOT regex
+      case "matches" => JBool(s.contains(strA(args, 0)))
+      // `scan` finds non-overlapping literal occurrences (string.rs:630)
+      case "scan" =>
+        val p = strA(args, 0)
+        if (p.isEmpty) JArr(Vector.empty)
+        else {
+          val out = Vector.newBuilder[JValue]
+          var start = s.indexOf(p)
+          while (start >= 0) { out += JStr(p); start = s.indexOf(p, start + p.length) }
+          JArr(out.result())
+        }
+
       // regex family (reference ops/regex.rs)
-      case "re_match" | "matches" => JBool(pat(strA(args, 0)).matcher(s).find())
+      case "re_match" => JBool(pat(strA(args, 0)).matcher(s).find())
       case "re_match_first" =>
         val m = pat(strA(args, 0)).matcher(s)
         if (m.find()) JStr(m.group()) else JNull
-      case "re_match_all" | "scan" =>
+      case "re_match_all" =>
         val m = pat(strA(args, 0)).matcher(s)
         val out = Vector.newBuilder[JValue]
         while (m.find()) out += JStr(m.group())
