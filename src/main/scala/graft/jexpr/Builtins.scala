@@ -109,16 +109,23 @@ object Builtins {
     xs.filter(x => seen.add(key(x).render)) // keep-first (M:94-97)
   }
 
-  /** sort with `-key` meaning descending (SortSpec, pipeline.rs:182-205). */
+  /** sort with `-key` meaning descending (SortSpec, pipeline.rs:182-205);
+    * a two-param lambda is a less-than comparator (examples.rs:411). */
   private def sorted(xs: Vector[JValue], args: Vector[Arg], env: Env): Vector[JValue] = {
-    val (keyFn, desc) =
-      if (args.isEmpty) (identity[JValue] _, false)
-      else args(0).e match {
-        case Expr.Unary("-", inner) => (Interp.body(inner, env), true)
-        case other                  => (Interp.body(other, env), false)
-      }
-    val s = xs.sortWith((a, b) => JValue.cmp(keyFn(a), keyFn(b)) < 0)
-    if (desc) s.reverse else s
+    args.headOption.map(_.e) match {
+      case Some(l @ Expr.Lambda(ps, _)) if ps.length == 2 =>
+        val f = Interp.eval(l, env).asInstanceOf[JFun]
+        xs.sortWith((a, b) => Interp.applyFun(f, Vector(a, b), env).truthy)
+      case _ =>
+        val (keyFn, desc) =
+          if (args.isEmpty) (identity[JValue] _, false)
+          else args(0).e match {
+            case Expr.Unary("-", inner) => (Interp.body(inner, env), true)
+            case other                  => (Interp.body(other, env), false)
+          }
+        val s = xs.sortWith((a, b) => JValue.cmp(keyFn(a), keyFn(b)) < 0)
+        if (desc) s.reverse else s
+    }
   }
 
   private def groupedBy(xs: Vector[JValue], key: JValue => JValue): Vector[(String, Vector[JValue])] = {
@@ -618,6 +625,7 @@ object Builtins {
     case "schema" => schemaOf(recv) // structural schema inference (O:schema.rs:219)
 
     // ═══ serialisation (§2.1) ═══
+    case "to_string" => JStr(JValue.display(recv))
     case "to_json"   => JStr(recv.render)
     case "from_json" => JValue.parse(strOnly(recv))
     case "to_csv"    => csv(recv, ",")
@@ -678,8 +686,14 @@ object Builtins {
 
   private def pivot(recv: JValue, args: Vector[Arg], env: Env): JValue = {
     val xs = arrOnly(recv, "pivot")
+    // string-literal args are FIELD NAMES (examples.rs obj_pivot), other
+    // expressions evaluate per element
+    def accessor(i: Int): JValue => JValue = args(i).e match {
+      case Expr.Lit(JStr(name)) => Interp.fieldOf(_, name)
+      case _                    => bodyOr(args, i, env)
+    }
     if (args.length >= 3) { // pivot(row, col, val) → {rowK: {colK: v}}
-      val rk = bodyOr(args, 0, env); val ck = bodyOr(args, 1, env); val vk = bodyOr(args, 2, env)
+      val rk = accessor(0); val ck = accessor(1); val vk = accessor(2)
       var out = VectorMap.empty[String, JValue]
       xs.foreach { x =>
         val r = keyStr(rk(x)); val c = keyStr(ck(x)); val v = vk(x)
@@ -688,7 +702,7 @@ object Builtins {
       }
       JObj(out)
     } else { // pivot(k, v) → flat {k: v}
-      val kf = bodyOr(args, 0, env); val vf = bodyOr(args, 1, env)
+      val kf = accessor(0); val vf = accessor(1)
       var out = VectorMap.empty[String, JValue]
       xs.foreach(x => out += keyStr(kf(x)) -> vf(x))
       JObj(out)
