@@ -41,8 +41,13 @@ object PatchEval {
         }
         val child = fields.getOrElse(name, JNull)
         patch(child, rest, f, env) match {
-          case Some(nv) => Some(JObj(fields + (name -> nv)))
-          case None     => Some(JObj(fields - name))
+          case Some(nv) =>
+            // a skipped write (falsy `when`) returns the child unchanged —
+            // don't synthesize a missing field for it (chain_write.rs:262+)
+            if (!fields.contains(name) && (nv.asInstanceOf[AnyRef] eq child.asInstanceOf[AnyRef]))
+              Some(node)
+            else Some(JObj(fields + (name -> nv)))
+          case None => Some(JObj(fields - name))
         }
       case PatchStep.Index(i) :: rest => node match {
         case JArr(xs) =>
