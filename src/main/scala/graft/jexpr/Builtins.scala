@@ -567,6 +567,8 @@ object Builtins {
       JObj(objOnly(recv, "set") + (strArg(args, 0, env) -> ev(args(1), env)))
     case "set" if args.length == 1 => // pipe form `x | set(v)` returns v
       ev(args(0), env)                // (INDEPTH.md §10 v1-compat note; M:1514)
+    case "update" if args.length == 1 => // value form: apply fn to receiver
+      Interp.body(args(0).e, env)(recv)   // (examples.rs method_update)
     case "update" =>
       val k = strArg(args, 0, env)
       val f = bodyOr(args, 1, env)

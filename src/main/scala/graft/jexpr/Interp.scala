@@ -220,6 +220,14 @@ object Interp {
             catch { case _: EvalException => JNull }
           case fv => fv
         }
+      // `xs | filter(pred)` — a call in a pipe is a method application on
+      // the piped value (examples.rs complex_pipeline_reshape), unless the
+      // name is a lambda binding or a true global
+      case PipeStep.Forward(GlobalCall(n, args))
+          if !e.vars.contains(n) &&
+             !Set("coalesce", "chain", "join", "zip", "zip_longest",
+                  "product", "range", "to_string", "type_of", "len")(n) =>
+        v = Builtins.call(n, v, args, e.withCurrent(v))
       case PipeStep.Forward(expr0) => v = eval(expr0, e.withCurrent(v))
       case PipeStep.BindName(n)    => e = e.bind(n, v)
       case PipeStep.BindObj(names, rest) => v match {
@@ -517,9 +525,14 @@ object Interp {
         case (JArr(a), JArr(b)) => JArr(for { x <- a; y <- b } yield JArr(Vector(x, y)))
         case _                  => JNull
       }
-    case "to_string" => JStr(JValue.display(eval(args.head.e, env)))
-    case "type_of"   => JStr(eval(args.head.e, env).kind)
-    case "len"       => Builtins.call("len", eval(args.head.e, env), Vector.empty, env)
+    // argless forms operate on `@` (pipe usage: `x | to_string()`)
+    case "to_string" =>
+      JStr(JValue.display(args.headOption.map(a => eval(a.e, env)).getOrElse(env.current)))
+    case "type_of" =>
+      JStr(args.headOption.map(a => eval(a.e, env)).getOrElse(env.current).kind)
+    case "len" =>
+      Builtins.call("len",
+        args.headOption.map(a => eval(a.e, env)).getOrElse(env.current), Vector.empty, env)
     case _ =>
       // lambda-in-scope call, else any builtin free-function style:
       // upper(x) ≡ x.upper() (SYNTAX.md:504-520)

@@ -48,7 +48,13 @@ class ExamplesSpec extends AnyFunSuite {
         {"region": "north", "product": "B", "sales": 200},
         {"region": "south", "product": "A", "sales": 150}
       ],
-      "events": [{"etype": "login", "user_id": 1, "error": null}]
+      "events": [{"etype": "login", "user_id": 1, "error": null}],
+      "orders": [
+        {"id": "o1", "user_id": 1, "items": [{"product_id": "p1", "qty": 2}, {"product_id": "p3", "qty": 1}], "total": 69.97, "status": "shipped"},
+        {"id": "o2", "user_id": 2, "items": [{"product_id": "p2", "qty": 1}], "total": 24.99, "status": "pending"},
+        {"id": "o3", "user_id": 1, "items": [{"product_id": "p4", "qty": 3}], "total": 43.50, "status": "delivered"},
+        {"id": "o4", "user_id": 3, "items": [{"product_id": "p1", "qty": 1}], "total": 9.99, "status": "pending"}
+      ]
     }"""
 
   private def q(expr: String, doc: String = world): String = Jetro.collect(doc, expr)
@@ -166,6 +172,53 @@ class ExamplesSpec extends AnyFunSuite {
     assert(q("$.config.flags.filter_values(lambda v: v == true).keys()")
       == """["new_ui","beta_api"]""")
     assert(q("$.m.invert().x", """{"m": {"a": "x", "b": "y"}}""") == "\"a\"")
+  }
+
+  test("value set/update methods and arithmetic") {
+    assert(q("$.v.set(42)", """{"v": 1}""") == """{"v":42}""")     // chain-write: whole doc
+    assert(q("$.v | set(42)", """{"v": 1}""") == "42")             // pipe form: value
+    assert(q("$.v.update(lambda x: x * 3)", """{"v": 10}""") == "30")
+    assert(q("$.users.min(score).update(lambda x: -x)") == "-61")
+    val d = """{"a": 10, "b": 3}"""
+    assert(q("$.a + $.b", d) == "13")
+    assert(q("$.a - $.b", d) == "7")
+    assert(q("$.a / $.b", d) == (10.0 / 3.0).toString)
+    assert(q("$.a % $.b", d) == "1")
+    assert(q("$.a + $.b", """{"a": "Hello", "b": " World"}""") == "\"Hello World\"")
+  }
+
+  test("complex: dashboard, join idiom, pipe reshape, nested comprehension") {
+    val dash = JValue.parse(q(
+      """{
+        active_users: $.users.filter(active).len(),
+        top_users: $.users.sort(-score).first(2).map({name, score}),
+        revenue: $.orders.filter(status == "delivered").sum(total),
+        pending_count: $.orders.filter(status == "pending").len(),
+        out_of_stock: $.products.filter(stock == 0).map(name)
+      }"""))
+    assert(Interp.fieldOf(dash, "active_users") == JInt(3))
+    assert(Interp.fieldOf(dash, "pending_count") == JInt(2))
+    assert(Interp.fieldOf(dash, "out_of_stock") == JArr(Vector(JStr("Gadget X"))))
+
+    val joined = q(
+      """let users_idx = $.users.index_by(id) in
+        $.orders.map({id, total, status, user: users_idx[to_string(user_id)].name})""")
+    val arr = JValue.parse(joined).asInstanceOf[JArr].v
+    assert(Interp.fieldOf(arr(0), "user") == JStr("Alice"))
+    assert(Interp.fieldOf(arr(1), "user") == JStr("Bob"))
+
+    val reshaped = JValue.parse(q(
+      "$.products | filter(price < 30) | sort(-price) | first(3) | map({id, name, price})"))
+      .asInstanceOf[JArr].v
+    assert(reshaped.length == 3)
+    assert(Interp.fieldOf(reshaped(0), "id") == JStr("p2"))
+
+    assert(q("{o.id: o.items.len() for o in $.orders}")
+      == """{"o1":2,"o2":1,"o3":1,"o4":1}""")
+    assert(q(
+      """let active_ids = [u.id for u in $.users if u.active] in
+        [o.id for o in $.orders if active_ids.includes(o.user_id)]""")
+      == """["o1","o2","o3"]""")
   }
 
   test("sets over fixture") {
