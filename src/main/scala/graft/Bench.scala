@@ -54,7 +54,8 @@ object Bench {
       "q_rolling" -> cat("q_rolling"),        // window analytics
       "q_doc_pipeline" -> cat("q_doc_pipeline"), // document-mode interpreter
       "q_minhash_pairs" -> cat("q_minhash_pairs"), // dedup pillar
-      "q_cosine_topk" -> cat("q_cosine_topk"))     // similarity pillar
+      "q_cosine_topk" -> cat("q_cosine_topk"),     // similarity pillar
+      "b_lowered" -> cat("q_lower_pipeline"))      // jetro→Catalyst compiler
   }
 
   private def runOnce(df: DataFrame): Unit =

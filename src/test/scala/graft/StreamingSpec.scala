@@ -105,4 +105,20 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       assert(t === r.getDouble(2) +- 1e-6)
     }
   }
+
+  test("document-mode expressions run on streams (jetro_eval over props)") {
+    // the interpreter UDF is a plain deterministic expression, so the
+    // full jetro language composes with Structured Streaming untouched
+    val shaped = streamEvents.select(
+      col("event_id"),
+      graft.jexpr.Jetro.jetroEvalStr("patch $ { k: @ * 2 }.k", col("props"))
+        .cast("long").as("doubled"))
+    val got = runToTable(shaped, "t_jetro")
+    val want = batchEvents.select(
+      col("event_id"),
+      (get_json_object(col("props"), "$.k").cast("long") * 2).as("doubled"))
+    assert(got.count() === want.count())
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    want.collect().foreach(r => assert(gotMap(r.getLong(0)) === r.getLong(1)))
+  }
 }
