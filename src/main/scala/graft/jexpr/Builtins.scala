@@ -188,8 +188,10 @@ object Builtins {
 
     // ═══ filters / projections (§2.2) ═══
     case "filter" | "find" | "find_all" | "where" =>
-      val p = bodyOr(args, 0, env)
-      JArr(elems(recv).filter(x => p(x).truthy))
+      // multi-arg form ANDs all predicates (deep_search.rs find_shallow_multi_pred_and)
+      val ps = if (args.isEmpty) Vector((_: JValue) => JBool(true))
+               else args.indices.map(i => bodyOr(args, i, env)).toVector
+      JArr(elems(recv).filter(x => ps.forall(p => p(x).truthy)))
     case "map" =>
       val f = bodyOr(args, 0, env)
       JArr(elems(recv).map(f))
