@@ -41,6 +41,15 @@ class DeepSearchSpec extends AnyFunSuite {
     assert(q("$..outer.first()..inner.first()..leaf", doc) == "[1,2]")
   }
 
+  test("kvplan object shaping (tests/kvplan_obj_shaping.rs)") {
+    val doc = """{"books": [{"title": "a", "price": 50}, {"title": "b", "price": 150}, {"title": "c", "price": 200}], "name": {"first": "alice"}}"""
+    assert(q("""{expensive: $.books.filter(@.price > 100).map(@.title), first_name: $.name.first}""", doc)
+      == """{"expensive":["b","c"],"first_name":"alice"}""")
+    val items = (0 until 1000).map(i => s"""{"v": $i}""").mkString("[", ",", "]")
+    assert(q("""{first_two: $.items.filter(@.v > 100).map(@.v).take(2)}""", s"""{"items": $items}""")
+      == """{"first_two":[101,102]}""")
+  }
+
   test("shallow find with one and many predicates") {
     val doc = """{"xs":[{"t":"a","v":1},{"t":"a","v":2},{"t":"b","v":1}]}"""
     assert(q("""$.xs.find(@.t == "a", @.v == 1)""", doc) == """[{"t":"a","v":1}]""")
