@@ -539,7 +539,10 @@ object Interp {
       env.vars.get(name) match {
         case Some(f: JFun) => applyFun(f, args.map(a => eval(a.e, env)), env)
         case _ =>
-          if (args.isEmpty) err(s"unknown function $name()")
+          // empty args: method on `@` (compiler.rs:563-575 CallMethod on
+          // current); with args: first arg is the receiver (free-function
+          // style, compiler.rs:543-561)
+          if (args.isEmpty) Builtins.call(name, env.current, Vector.empty, env)
           else Builtins.call(name, eval(args.head.e, env), args.tail, env)
       }
   }
