@@ -467,8 +467,14 @@ object Builtins {
     // ═══ joins / zips / set ops (§2.3, §2.7) ═══
     case "equi_join" => // inner hash join, right wins on collision (O:array.rs:489-548)
       val right = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "equi_join")
-      val lk = bodyOr(args, 1, env)
-      val rk = if (args.length > 2) bodyOr(args, 2, env) else bodyOr(args, 1, env)
+      // key args are field names when string literals (SYNTAX.md:668),
+      // arbitrary key expressions otherwise
+      def keyAcc(i: Int): JValue => JValue = args(i).e match {
+        case Expr.Lit(JStr(name)) => Interp.fieldOf(_, name)
+        case _                    => bodyOr(args, i, env)
+      }
+      val lk = keyAcc(1)
+      val rk = if (args.length > 2) keyAcc(2) else keyAcc(1)
       val idx = right.groupBy(r => keyStr(rk(r)))
       JArr(arrOnly(recv, "equi_join").flatMap { l =>
         idx.getOrElse(keyStr(lk(l)), Vector.empty).map { r =>

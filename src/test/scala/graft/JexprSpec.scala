@@ -192,6 +192,15 @@ class JexprSpec extends AnyFunSuite {
   test("equi_join merges matched objects") {
     val doc = """{"users": [{"uid": 1, "name": "Ada"}], "orders": [{"oid": 10, "uid": 1}]}"""
     assert(run(doc, "$.orders.equi_join($.users, uid, uid)[0].name") == "\"Ada\"")
+    // string-literal field-name keys (SYNTAX.md:668) and asymmetric keys
+    val doc2 = """{"users": [{"id": 1, "name": "Ada"}], "orders": [{"oid": 10, "user_id": 1}]}"""
+    assert(run(doc2, """$.orders.equi_join($.users, "user_id", "id")[0].name""") == "\"Ada\"")
+  }
+
+  test("two-variable comprehension over objects") {
+    val doc = """{"m": {"a": 1, "b": 2}}"""
+    assert(run(doc, "[k for k, v in $.m]") == """["a","b"]""")
+    assert(run(doc, "{k: v * 2 for k, v in $.m}") == """{"a":2,"b":4}""")
   }
 
   // ── object/map/path ops ───────────────────────────────────────────────
