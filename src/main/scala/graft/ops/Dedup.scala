@@ -47,12 +47,16 @@ object Dedup {
     df.select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
       .select(col("id"), array_distinct(Text.gramHashes(col("th"), 3)).as("sh"))
 
-  /** MinHash signatures: (id, sh = hashed shingles, sig[k]). */
+  /** MinHash signatures: (id, sh = hashed shingles, sig[k]) — computed
+    * by the one-pass native expression (graft.functions.MinHashSignature;
+    * bit-identical to the k-lane HOF form in Text.minhashSignature). */
   def withSignature(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16): DataFrame =
+      k: Int = 16): DataFrame = {
+    graft.functions.TextFunctions.register(df.sparkSession)
     withShingleHashes(df, idCol, textCol)
-      .withColumn("sig", Text.minhashSignature(col("sh"), k))
+      .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+  }
 
   /** LSH candidate pairs + exact Jaccard, filtered at `minJaccard`.
     * bands × rowsPerBand must equal k. Returns (id_a, id_b, jaccard)

@@ -17,6 +17,17 @@ class DedupSpec extends SparkSpec {
     assert(agg == total)
   }
 
+  test("native minhash_sig expression matches the k-lane HOF formulation exactly") {
+    val base = Dedup.withShingleHashes(docs.limit(200), "doc_id", "text")
+    graft.functions.TextFunctions.register(spark)
+    val diff = base
+      .withColumn("native", expr("minhash_sig(sh, 16)"))
+      .withColumn("hof", graft.functions.Text.minhashSignature(col("sh"), 16))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash signatures are deterministic and k-wide") {
     val a = Dedup.withSignature(docs, "doc_id", "text", k = 16)
       .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
