@@ -125,5 +125,27 @@ object NativeUpsideQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
-  def defs = Seq(rollup0, cube0, stats0, rank0, arrayUtils)
+  /** Salted skew join (graft.ops.Skew): events fan out on the 5-value
+    * event_type key — the canonical hot-key shape. The salted plan must
+    * return exactly what the plain join returns (the oracle computes the
+    * plain join); only the shuffle distribution differs. Broadcast is
+    * disabled for the dim side via a shuffle hint so the salt actually
+    * exercises the hash-join path at test scale. */
+  private val skewJoin = q(
+    "q_skew_salted_join",
+    """SELECT e.event_id, d.label FROM events e
+      |JOIN (SELECT DISTINCT event_type, UPPER(event_type) AS label
+      |      FROM events) d USING (event_type)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("label", upper(col("event_type")))
+      .hint("shuffle_hash")
+    graft.ops.Skew
+      .saltedJoin(events, dim, "event_type", salts = 8, saltOn = Seq("event_id"))
+      .select("event_id", "label")
+      .orderBy("event_id")
+  }
+
+  def defs = Seq(rollup0, cube0, stats0, rank0, arrayUtils, skewJoin)
 }
