@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions entry point: a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` can call the native
+  * expressions from SQL text with no programmatic registration.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extension-injected functions resolve from SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT
+          |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |  minhash_sig(array(CAST(7 AS BIGINT)), 4) AS m
+          |""".stripMargin).collect()(0)
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(row.getSeq[Long](1).length == 4)
+    } finally spark.stop()
+  }
+}
