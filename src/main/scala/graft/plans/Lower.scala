@@ -41,12 +41,112 @@ object Lower {
 
   def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
     case Chain(Root, steps) if steps.nonEmpty =>
-      steps.head match {
-        case Step.Field(table) =>
-          steps.tail.foldLeft(St(resolve(table)))((st, s) => stage(st, s, resolve)).df
-        case other => bail(s"chain must start at a table, got $other")
-      }
+      compileChain(steps, resolve, identity)
+    case Let(Vector((idxName, idxInit)), body) =>
+      indexJoin(idxName, idxInit, body, resolve)
     case other => bail(s"not a rooted pipeline: $other")
+  }
+
+  private def compileChain(
+      steps: Vector[Step], resolve: String => DataFrame,
+      postSource: DataFrame => DataFrame): DataFrame =
+    steps.head match {
+      case Step.Field(table) =>
+        steps.tail.foldLeft(St(postSource(resolve(table))))((st, s) => stage(st, s, resolve)).df
+      case other => bail(s"chain must start at a table, got $other")
+    }
+
+  /** The reference's index-join idiom (SYNTAX.md:666-672) —
+    * `let idx = $.dim.index_by(key) in $.fact…map({…, idx[fk].field})` —
+    * lowers to a broadcast hash left-join: the dim pipeline compiles,
+    * keeps one row per key (`index_by` keeps exactly one), broadcasts,
+    * and every `idx[fk].field` reference in the body becomes the joined
+    * dim column. Keys compare as strings, mirroring the interpreter's
+    * index_by key coercion (util val_to_key). All `idx[…]` references
+    * must share one fk expression — one lookup key, one join.
+    */
+  private def indexJoin(
+      idxName: String, idxInit: Expr, body: Expr,
+      resolve: String => DataFrame): DataFrame = {
+    val (dimSteps, keyName) = idxInit match {
+      case Chain(Root, steps) if steps.nonEmpty =>
+        steps.last match {
+          case Step.Method("index_by", Vector(Arg(_, Ident(k)))) =>
+            (steps.dropRight(1), k)
+          case _ => bail("let-init is not an index_by pipeline")
+        }
+      case _ => bail("let-init is not a rooted pipeline")
+    }
+    // collect idx[fk].field references and check they share one fk
+    var fkExprs = Vector.empty[Expr]
+    val rewritten = rewrite(body) {
+      case Chain(Ident(`idxName`), Step.Index(fk) +: Step.Field(f) +: rest) =>
+        fkExprs :+= fk
+        if (rest.isEmpty) Ident(s"__idx_$f") else Chain(Ident(s"__idx_$f"), rest)
+    }
+    if (fkExprs.isEmpty) bail("let body never references the index")
+    if (fkExprs.distinct.length > 1) bail("index referenced with differing keys")
+    val dim = compileChain(dimSteps, resolve, identity)
+      .dropDuplicates(Seq(keyName)) // index_by keeps ONE row per key
+    val dimAliased = dim.columns.foldLeft(dim)(
+      (d, c) => d.withColumnRenamed(c, s"__idx_$c"))
+    val fk = colExpr(fkExprs.head).cast("string")
+    rewritten match {
+      case Chain(Root, steps) if steps.nonEmpty =>
+        compileChain(steps, resolve, fact =>
+          fact.join(broadcast(dimAliased),
+            fk === col(s"__idx_$keyName").cast("string"), "left"))
+      case other => bail(s"let body is not a rooted pipeline: $other")
+    }
+  }
+
+  /** Bottom-up partial rewrite over the expression tree. */
+  private def rewrite(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
+    def go(x: Expr): Expr = {
+      val rebuilt = x match {
+        case Chain(b, steps)   => Chain(go(b), steps.map(goStep))
+        case Pipe(b, steps)    => Pipe(go(b), steps.map {
+          case PipeStep.Forward(f) => PipeStep.Forward(go(f))
+          case s                   => s
+        })
+        case Binary(op, l, r)  => Binary(op, go(l), go(r))
+        case Unary(op, i)      => Unary(op, go(i))
+        case IfElse(c, t, f)   => IfElse(go(c), go(t), go(f))
+        case TryElse(b, d)     => TryElse(go(b), go(d))
+        case Let(bs, bd)       => Let(bs.map { case (n, i) => (n, go(i)) }, go(bd))
+        case ObjLit(fs)        => ObjLit(fs.map {
+          case ObjField.KV(k, v, w)   => ObjField.KV(go(k), go(v), w.map(go))
+          case ObjField.OptKV(k, v)   => ObjField.OptKV(go(k), go(v))
+          case ObjField.Dyn(k, v)     => ObjField.Dyn(go(k), go(v))
+          case ObjField.Spread(s)     => ObjField.Spread(go(s))
+          case ObjField.SpreadDeep(s) => ObjField.SpreadDeep(go(s))
+          case f                      => f
+        })
+        case ArrLit(es) => ArrLit(es.map {
+          case ArrElem.One(a)    => ArrElem.One(go(a))
+          case ArrElem.Spread(a) => ArrElem.Spread(go(a))
+        })
+        case GlobalCall(n, args) => GlobalCall(n, args.map(a => Arg(a.name, go(a.e))))
+        case Cast(i, t)          => Cast(go(i), t)
+        case KindIs(i, k, neg)   => KindIs(go(i), k, neg)
+        case FString(ps)         => FString(ps.map {
+          case FPart.Interp(i, f) => FPart.Interp(go(i), f)
+          case p                  => p
+        })
+        case leaf => leaf
+      }
+      pf.applyOrElse(rebuilt, identity[Expr])
+    }
+    def goStep(s: Step): Step = s match {
+      case Step.Method(n, args)     => Step.Method(n, args.map(a => Arg(a.name, go(a.e))))
+      case Step.DeepMethod(n, args) => Step.DeepMethod(n, args.map(a => Arg(a.name, go(a.e))))
+      case Step.Index(i)            => Step.Index(go(i))
+      case Step.DynField(i)         => Step.DynField(go(i))
+      case Step.InlineFilter(p)     => Step.InlineFilter(go(p))
+      case Step.MapShape(p, sh)     => Step.MapShape(p.map(go), go(sh))
+      case other                    => other
+    }
+    go(e)
   }
 
   // ── stage lowering ────────────────────────────────────────────────────
@@ -256,6 +356,8 @@ object Lower {
           format_number(colExpr(x).cast("double"), f.substring(1, f.length - 1).toInt)
         case FPart.Interp(_, Some(f)) => bail(s"format spec $f")
       }: _*)
+    case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
+    case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)
     case Cast(x, to) => to match {
       case "int"    => colExpr(x).cast("long")
       case "float" | "number" => colExpr(x).cast("double")

@@ -119,6 +119,32 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Graft.lowers(spark, sfDir, "$.nation.take_while(n_nationkey < 7)"))
   }
 
+  test("index-join idiom lowers to a broadcast hash join") {
+    val expr =
+      """let ridx = $.region.index_by(r_regionkey) in
+        |$.nation.map({nkey: n_nationkey, nname: n_name, rname: ridx[to_string(n_regionkey)].r_name})""".stripMargin
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    assert(compiled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = compiled.collect()
+    assert(rows.length == 25)
+    // cross-check against the interpreter running the same idiom on the
+    // two tables packed into one document
+    val nation = graft.core.Tables(spark, sfDir, "nation").toJSON.collect()
+    val region = graft.core.Tables(spark, sfDir, "region").toJSON.collect()
+    val doc = s"""{"nation": [${nation.mkString(",")}], "region": [${region.mkString(",")}]}"""
+    val exp = Jetro.compile(expr).evalValue(JValue.parse(doc)) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "nkey")).get.toLong,
+         jexpr.Interp.fieldOf(o, "rname") match { case jexpr.JStr(s) => s; case _ => null })
+      }.toMap
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    rows.foreach { r =>
+      assert(exp(r.getAs[Number]("nkey").longValue) == r.getAs[String]("rname"))
+    }
+  }
+
   test("ternary and coalesce lower") {
     val expr = """$.nation.map({id: n_nationkey, cls: "low" if n_regionkey < 2 else "high"}).sort_by(id).take(4)"""
     val compiled = graft.plans.Lower
