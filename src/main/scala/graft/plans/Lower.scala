@@ -44,7 +44,36 @@ object Lower {
       compileChain(steps, resolve, identity)
     case Let(Vector((idxName, idxInit)), body) =>
       indexJoin(idxName, idxInit, body, resolve)
+    case Comp(CompKind.List | CompKind.Gen, keyE, None, clauses, cond) =>
+      comprehension(keyE, clauses, cond, resolve)
     case other => bail(s"not a rooted pipeline: $other")
+  }
+
+  /** Comprehension lowering (SURVEY §2.3 "cross join via nested
+    * comprehension", §7.1 step 5): each `for v in $.table` clause becomes
+    * a scoped relation (columns renamed `__v_*`), multiple clauses
+    * cross-join, the `if` condition filters — and Catalyst rewrites the
+    * cross+equality shape into a real equi-join, exactly the INDEPTH
+    * promise (INDEPTH.md:261-279). Variable references `v.field` in the
+    * element expression and condition rewrite to the scoped columns.
+    */
+  private def comprehension(
+      keyE: Expr, clauses: Vector[(Vector[String], Expr)], cond: Option[Expr],
+      resolve: String => DataFrame): DataFrame = {
+    if (clauses.exists(_._1.length != 1)) bail("two-variable comprehension over a table")
+    val scoped = clauses.map { case (vars, srcE) =>
+      val v = vars.head
+      val df = compileAst(srcE, resolve)
+      v -> df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"__${v}_$c"))
+    }
+    val varNames = scoped.map(_._1).toSet
+    def scope(e: Expr): Expr = rewrite(e) {
+      case Chain(Ident(v), Step.Field(f) +: rest) if varNames(v) =>
+        if (rest.isEmpty) Ident(s"__${v}_$f") else Chain(Ident(s"__${v}_$f"), rest)
+    }
+    val joined = scoped.map(_._2).reduce(_ crossJoin _)
+    val kept = cond.fold(joined)(c => joined.filter(colExpr(scope(c))))
+    project(kept, scope(keyE))
   }
 
   private def compileChain(

@@ -145,6 +145,31 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("comprehensions lower; cross+equality becomes a real join") {
+    val single = graft.plans.Lower.compile(
+      "[{name: r.r_name} for r in $.region]",
+      t => graft.core.Tables(spark, sfDir, t))
+    assert(single.collect().length == 5)
+
+    val expr = "[{n: n.n_name, r: r.r_name} for n in $.nation for r in $.region if n.n_regionkey == r.r_regionkey]"
+    val joined = graft.plans.Lower.compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan) // Catalyst made it an equi-join
+    val rows = joined.collect()
+    assert(rows.length == 25)
+    // same comprehension through the interpreter
+    val nation = graft.core.Tables(spark, sfDir, "nation").toJSON.collect()
+    val region = graft.core.Tables(spark, sfDir, "region").toJSON.collect()
+    val doc = s"""{"nation": [${nation.mkString(",")}], "region": [${region.mkString(",")}]}"""
+    val exp = Jetro.compile(expr).evalValue(JValue.parse(doc)) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        (jexpr.Interp.fieldOf(o, "n"), jexpr.Interp.fieldOf(o, "r"))).toSet
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(rows.map(r => (jexpr.JStr(r.getString(0)): jexpr.JValue,
+      jexpr.JStr(r.getString(1)): jexpr.JValue)).toSet == exp)
+  }
+
   test("ternary and coalesce lower") {
     val expr = """$.nation.map({id: n_nationkey, cls: "low" if n_regionkey < 2 else "high"}).sort_by(id).take(4)"""
     val compiled = graft.plans.Lower
