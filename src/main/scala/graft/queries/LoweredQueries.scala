@@ -58,5 +58,31 @@ object LoweredQueries extends QueryGroup {
       .orderBy("k")
   }
 
-  def defs = Seq(headline, aggCount, countBy, scalars)
+  /** Nested comprehension (cross join + equi predicate) through the
+    * compiler — Catalyst plans it as a broadcast equi-join. */
+  private val comp = q(
+    "q_lower_comp",
+    """SELECT n.n_name AS nname, r.r_name AS rname
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY nname""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """[{nname: n.n_name, rname: r.r_name}
+        | for n in $.nation for r in $.region
+        | if n.n_regionkey == r.r_regionkey]""".stripMargin)
+      .orderBy("nname")
+  }
+
+  /** Index-join idiom through the compiler (broadcast hash join). */
+  private val idxJoin = q(
+    "q_lower_index_join",
+    """SELECT n.n_nationkey AS nkey, r.r_name AS rname
+      |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY nkey""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """let ridx = $.region.index_by(r_regionkey) in
+        |$.nation.map({nkey: n_nationkey, rname: ridx[to_string(n_regionkey)].r_name})""".stripMargin)
+      .orderBy("nkey")
+  }
+
+  def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin)
 }
