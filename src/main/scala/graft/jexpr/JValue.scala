@@ -184,6 +184,11 @@ final class JsonParseException(msg: String) extends RuntimeException(msg)
 /** Minimal strict JSON parser. */
 private final class JsonParser(s: String) {
   var pos = 0
+  // Depth guard: a pathologically nested document must fail as a
+  // catchable JsonParseException (→ null row in the eval UDFs), not as a
+  // StackOverflowError that kills the executor task at scale.
+  private var depth = 0
+  private val MaxDepth = 512
   def atEnd: Boolean = pos >= s.length
 
   def skipWs(): Unit =
@@ -201,8 +206,14 @@ private final class JsonParser(s: String) {
     skipWs()
     if (atEnd) fail("unexpected end")
     s.charAt(pos) match {
-      case '{' => parseObj()
-      case '[' => parseArr()
+      case '{' =>
+        depth += 1
+        if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
+        val v = parseObj(); depth -= 1; v
+      case '[' =>
+        depth += 1
+        if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
+        val v = parseArr(); depth -= 1; v
       case '"' => JStr(parseString())
       case 't' => literal("true"); JBool(true)
       case 'f' => literal("false"); JBool(false)

