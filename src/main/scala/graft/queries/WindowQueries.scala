@@ -61,17 +61,18 @@ object WindowQueries extends QueryGroup {
   }
 
   /** `pct_change()` — M:260-261. Same-operand IEEE division: identical
-    * doubles on both engines, no rounding needed. */
+    * doubles on both engines, no rounding needed. A zero base yields
+    * null (jetro O:collection.rs:264 — and ANSI mode would error). */
   private val pctChange = q(
     "q_pct_change",
     s"""SELECT event_id, user_id,
-      |  (value - LAG(value, 1) OVER w) / LAG(value, 1) OVER w AS pct
+      |  (value - LAG(value, 1) OVER w) / NULLIF(LAG(value, 1) OVER w, 0) AS pct
       |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
     (s, d) =>
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
         ((col("value") - lag("value", 1).over(w)) /
-          lag("value", 1).over(w)).as("pct"))
+          nullif(lag("value", 1).over(w), lit(0))).as("pct"))
         .orderBy("user_id", "event_id")
   }
 
