@@ -61,6 +61,44 @@ object Bench {
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** The reference's own cold-bench methodology
+    * (jetro-core/examples/bench_cold.rs:19-100): N=8,000 records
+    * (~3-7 items each), one cold parse+compile+execute of its headline
+    * chained query, single node, single thread — the direct
+    * apples-to-apples number against the reference engine. */
+  private def docColdSeconds(): Double = {
+    val cities = Array("Tokyo", "Berlin", "Paris", "Austin", "Toronto", "Oslo", "Lima", "Cairo")
+    val sb = new StringBuilder(1 << 22)
+    sb.append("{\"data\":[")
+    var i = 0
+    while (i < 8000) {
+      if (i > 0) sb.append(',')
+      val nItems = 3 + i % 5
+      sb.append(s"""{"id":$i,"user":{"name":"u$i","age":${20 + i % 50},""")
+      sb.append(s""""addr":{"city":"${cities(i % 8)}","zip":"z${i % 1000}"}},"items":[""")
+      var j = 0
+      while (j < nItems) {
+        if (j > 0) sb.append(',')
+        sb.append(s"""{"sku":"S${(i * 7 + j) % 9973}","qty":${j % 5 + 1},"price":${((i * 7 + j * 13) % 500) + 9.99}}""")
+        j += 1
+      }
+      sb.append(s"""],"tags":["t${i % 11}","t${i % 7}","t${i % 3}"],"active":${i % 3 == 0},"score":${(i * 37) % 1000}}""")
+      i += 1
+    }
+    sb.append("]}")
+    val json = sb.toString
+    val expr = """$.data.filter(active).filter(score > 200).sort(-score).take(100)
+                 |.flat_map(items).filter(price > 50).map(qty * price).sum()""".stripMargin
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val compiled = graft.jexpr.Jetro.compile(expr)   // cold compile
+      val doc = graft.jexpr.JValue.parse(json)         // cold parse
+      compiled.evalValue(doc)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,7 +131,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       name -> sec
-    }
+    } :+ ("b_doc_cold_8k" -> docColdSeconds())
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
