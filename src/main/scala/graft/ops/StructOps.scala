@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col}
 import org.apache.spark.sql.types.StructType
 
 /** Schema-directed struct utilities — the static-schema strategy for the
@@ -27,5 +27,32 @@ object StructOps {
         }
       }
     df.select(leaves(Nil, df.schema): _*)
+  }
+
+  /** Recursive descent `$..name` for static schemas (SURVEY §2.8
+    * strategy (a)): enumerate every field named `name` at any struct
+    * depth from the schema at PLAN time and emit the matching column
+    * refs — the compile-time analogue of the reference's structural
+    * bitmap index (exec/structural.rs). Zero runtime search; pruning
+    * reads only the matched branches.
+    */
+  def descendantPaths(schema: StructType, name: String): Seq[String] = {
+    def go(path: Seq[String], tpe: StructType): Seq[Seq[String]] =
+      tpe.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        val here = if (f.name == name) Seq(p) else Nil
+        f.dataType match {
+          case st: StructType => here ++ go(p, st)
+          case _              => here
+        }
+      }
+    go(Nil, schema).map(_.mkString("."))
+  }
+
+  /** All `$..name` matches as one array column (pre-order). */
+  def descend(df: DataFrame, name: String): Column = {
+    val paths = descendantPaths(df.schema, name)
+    if (paths.isEmpty) array()
+    else array(paths.map(col): _*)
   }
 }

@@ -147,5 +147,39 @@ object NativeUpsideQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
-  def defs = Seq(rollup0, cube0, stats0, rank0, arrayUtils, skewJoin)
+  /** Batch sessionization (§2.10 analogue of StreamOps.sessionize):
+    * gaps-and-islands — a new session starts when the gap to the
+    * previous event exceeds 30 minutes; one window pass assigns ids,
+    * one aggregation summarises. The same result the streaming session
+    * window produces once the watermark closes. */
+  private val sessionize = q(
+    "q_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+      |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, sid, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)) > 1800
+            || lag("ts", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("total"))
+        .orderBy("user_id", "sid")
+  }
+
+  def defs = Seq(rollup0, cube0, stats0, rank0, arrayUtils, skewJoin, sessionize)
 }

@@ -186,6 +186,26 @@ object ShapeQueries extends QueryGroup {
     graft.ops.StructOps.flattenKeys(nested, sep = "_").orderBy("id")
   }
 
+  /** `$..key` deep descent via schema-directed path expansion
+    * (StructOps.descend, SURVEY §2.8 strategy (a)): the same field name
+    * at two nesting depths collected into one array at plan time. */
+  private val deepDescend = q(
+    "q_deep_descend",
+    """SELECT n_nationkey AS id, [n_regionkey, n_regionkey * 10] AS keys,
+      |  CAST(n_regionkey + n_regionkey * 10 AS BIGINT) AS key_sum
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      struct(col("n_regionkey").as("key"),
+        struct((col("n_regionkey") * 10).as("key")).as("inner")).as("geo"))
+    nested.select(
+      col("id"),
+      graft.ops.StructOps.descend(nested, "key").as("keys"),
+      aggregate(graft.ops.StructOps.descend(nested, "key"),
+        lit(0L), (acc, x) => acc + x.cast("long")).as("key_sum"))
+      .orderBy("id")
+  }
+
   def defs = Seq(pick0, omit0, groupShape, dynIndex, mapOps, kind0, toCsv,
-    structPath, flattenKeys)
+    structPath, flattenKeys, deepDescend)
 }
