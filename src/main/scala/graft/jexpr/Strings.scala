@@ -55,8 +55,15 @@ object Strings {
       case "upper"       => JStr(s.toUpperCase)
       case "lower"       => JStr(s.toLowerCase)
       case "capitalize"  => JStr(if (s.isEmpty) s else s.head.toUpper +: s.tail)
-      case "title_case"  =>
-        JStr(s.split(' ').map(w => if (w.isEmpty) w else w.head.toUpper +: w.tail.toLowerCase).mkString(" "))
+      case "title_case" => // whitespace-preserving char walk (string.rs:188-208)
+        val out = new StringBuilder(s.length)
+        var atStart = true
+        s.foreach { c =>
+          if (c.isWhitespace) { out.append(c); atStart = true }
+          else if (atStart) { out.append(c.toUpper); atStart = false }
+          else out.append(c.toLower)
+        }
+        JStr(out.toString)
       case "trim"        => JStr(s.trim)
       case "trim_left" | "lstrip"  => JStr(s.dropWhile(_.isWhitespace))
       case "trim_right" | "rstrip" => JStr(s.reverse.dropWhile(_.isWhitespace).reverse)
@@ -211,7 +218,9 @@ object Strings {
   }
 
   /** Word splitter for case conversions: splits on whitespace, `_`, `-`,
-    * and lower→Upper camel boundaries; lowercases each word. */
+    * and lower→Upper camel boundaries; lowercases each word. Digits do
+    * NOT arm a camel boundary (helpers.rs:9-34: prev_lower tracks
+    * is_lowercase only — "v2Engine" is one word). */
   private def caseWords(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
@@ -223,7 +232,7 @@ object Strings {
       } else {
         if (c.isUpper && prevLower && cur.nonEmpty) { out += cur.toString.toLowerCase; cur.clear() }
         cur.append(c)
-        prevLower = c.isLower || c.isDigit
+        prevLower = c.isLower
       }
     }
     if (cur.nonEmpty) out += cur.toString.toLowerCase

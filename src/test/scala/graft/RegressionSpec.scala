@@ -220,6 +220,16 @@ class RegressionSpec extends AnyFunSuite {
     assert(q("$.s.title_case()", """{"s": "hello world"}""") == "\"Hello World\"")
   }
 
+  test("case conversion boundary semantics match the reference splitter") {
+    // digits don't arm a camel boundary (helpers.rs:28: prev_lower = is_lowercase)
+    assert(q("$.s.snake_case()", """{"s": "v2Engine"}""") == "\"v2engine\"")
+    assert(q("$.s.snake_case()", """{"s": "parseHTTPResponse"}""") == "\"parse_httpresponse\"")
+    assert(q("$.s.camel_case()", """{"s": "user-profile_image Name"}""") == "\"userProfileImageName\"")
+    assert(q("$.s.pascal_case()", """{"s": "hello world"}""") == "\"HelloWorld\"")
+    // title_case preserves whitespace runs
+    assert(q("$.s.title_case()", """{"s": "a  b\tc"}""") == "\"A  B\\tC\"")
+  }
+
   test("pick with string selectors") {
     assert(q("$.user.pick(\"name\", \"age\")",
       """{"user": {"name": "Alice", "age": 30, "password": "secret"}}""")
