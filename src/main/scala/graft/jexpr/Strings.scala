@@ -54,7 +54,8 @@ object Strings {
     name match {
       case "upper"       => JStr(s.toUpperCase)
       case "lower"       => JStr(s.toLowerCase)
-      case "capitalize"  => JStr(if (s.isEmpty) s else s.head.toUpper +: s.tail)
+      // capitalize lowercases the remainder (string.rs:172-183)
+      case "capitalize"  => JStr(if (s.isEmpty) s else s.head.toUpper +: s.tail.toLowerCase)
       case "title_case" => // whitespace-preserving char walk (string.rs:188-208)
         val out = new StringBuilder(s.length)
         var atStart = true
@@ -150,12 +151,13 @@ object Strings {
         else JArr(splitLiteral(s, sep).map(JStr(_)))
       case "indent" =>
         val n = intA(args, 0).toInt
-        JStr(s.split("\n", -1).map(l => " " * n + l).mkString("\n"))
-      case "dedent" =>
-        val ls = s.split("\n", -1)
+        JStr(rustLines(s).map(l => " " * n + l).mkString("\n"))
+      case "dedent" => // min leading-whitespace margin (string.rs:301-319)
+        val ls = rustLines(s)
         val margin = ls.filter(_.trim.nonEmpty)
-          .map(_.takeWhile(_ == ' ').length).minOption.getOrElse(0)
-        JStr(ls.map(l => if (l.length >= margin) l.drop(margin) else l.dropWhile(_ == ' ')).mkString("\n"))
+          .map(l => l.length - l.dropWhile(_.isWhitespace).length)
+          .minOption.getOrElse(0)
+        JStr(ls.map(l => if (l.length >= margin) l.drop(margin) else l).mkString("\n"))
       case "contains_any" => args.head match {
         case JArr(xs) => JBool(xs.exists(x => s.contains(s0(x))))
         case one      => JBool(s.contains(s0(one)))
@@ -237,6 +239,13 @@ object Strings {
     }
     if (cur.nonEmpty) out += cur.toString.toLowerCase
     out.result()
+  }
+
+  /** Rust `str::lines()` semantics: a trailing newline terminates the
+    * last line rather than opening an empty one. */
+  private def rustLines(s: String): Vector[String] = {
+    val parts = s.split("\n", -1).toVector
+    if (parts.length > 1 && parts.last.isEmpty) parts.dropRight(1) else parts
   }
 
   private def replaceFirstLiteral(s: String, from: String, to: String): String = {

@@ -228,6 +228,10 @@ class RegressionSpec extends AnyFunSuite {
     assert(q("$.s.pascal_case()", """{"s": "hello world"}""") == "\"HelloWorld\"")
     // title_case preserves whitespace runs
     assert(q("$.s.title_case()", """{"s": "a  b\tc"}""") == "\"A  B\\tC\"")
+    // capitalize lowercases the remainder
+    assert(q("$.s.capitalize()", """{"s": "hello WORLD"}""") == "\"Hello world\"")
+    // dedent counts any leading whitespace and keeps relative indents
+    assert(q("$.s.dedent()", """{"s": "  a\n    b\n  c"}""") == "\"a\\n  b\\nc\"")
   }
 
   test("pick with string selectors") {
