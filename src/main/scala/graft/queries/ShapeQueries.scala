@@ -206,6 +206,25 @@ object ShapeQueries extends QueryGroup {
       .orderBy("id")
   }
 
+  /** `to_tsv()` (M:215-217) — same construction as to_csv with a tab
+    * separator. */
+  private val toTsv = q(
+    "q_to_tsv",
+    """SELECT 'r_regionkey' || chr(9) || 'r_name' || chr(10) ||
+      |  string_agg(r_regionkey || chr(9) || r_name, chr(10) ORDER BY r_regionkey)
+      |  AS tsv
+      |FROM region""".stripMargin) { (s, d) =>
+    Tables.region(s, d)
+      .select(struct(
+        col("r_regionkey").as("k"),
+        concat_ws("\t", col("r_regionkey"), col("r_name")).as("v")).as("kv"))
+      .agg(concat(
+        lit("r_regionkey\tr_name\n"),
+        array_join(
+          transform(array_sort(collect_list("kv")), x => x.getField("v")),
+          "\n")).as("tsv"))
+  }
+
   def defs = Seq(pick0, omit0, groupShape, dynIndex, mapOps, kind0, toCsv,
-    structPath, flattenKeys, deepDescend)
+    toTsv, structPath, flattenKeys, deepDescend)
 }
