@@ -93,36 +93,41 @@ object WindowQueries extends QueryGroup {
       .orderBy("user_id", "event_id")
   }
 
-  /** `zscore()` — M:266-267 (O:collection.rs:322): per-partition mean and
+  /** `zscore()` — M:266-267 (O:collection.rs:322): per-group mean and
     * sample stddev from exact decimal sums so both engines see identical
-    * doubles before the final subtract/divide. */
+    * doubles before the final subtract/divide.
+    *
+    * Two-pass formulation, NOT `Window.partitionBy(event_type)`: the
+    * group key has ~5 values, so a window would funnel 100 TB into 5
+    * tasks. The aggregate reduces map-side to 5 tiny rows which then
+    * broadcast-join back onto the stream — scales with the cluster. */
   private val zscore = q(
     "q_zscore",
     """SELECT event_id, event_type,
       |  ROUND((value - m) / NULLIF(sqrt((ss - n * m * m) / (n - 1)), 0), 6) AS z
-      |FROM (
-      |  SELECT event_id, event_type, value,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wt AS DOUBLE)
-      |      / COUNT(*) OVER wt AS m,
+      |FROM events JOIN (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-      |           OVER wt AS DOUBLE) AS ss,
-      |    COUNT(*) OVER wt AS n
-      |  FROM events
-      |  WINDOW wt AS (PARTITION BY event_type))
+      |         AS DOUBLE) AS ss,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY event_type) USING (event_type)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val wt = Window.partitionBy("event_type")
     val dv = Num.dec2(col("value"))
-    val base = Tables.events(s, d).select(
-      col("event_id"), col("event_type"), col("value"),
-      (sum(dv).over(wt).cast("double") / count(lit(1)).over(wt)).as("m"),
-      sum(dv * dv).over(wt).cast("double").as("ss"),
-      count(lit(1)).over(wt).as("n"))
-    base.select(
-      col("event_id"), col("event_type"),
-      round(
-        (col("value") - col("m")) /
-          nullif(sqrt((col("ss") - col("n") * col("m") * col("m")) /
-            (col("n") - 1)), lit(0)), 6).as("z"))
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        (sum(dv).cast("double") / count(lit(1))).as("m"),
+        sum(dv * dv).cast("double").as("ss"),
+        count(lit(1)).as("n"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"),
+        round(
+          (col("value") - col("m")) /
+            nullif(sqrt((col("ss") - col("n") * col("m") * col("m")) /
+              (col("n") - 1)), lit(0)), 6).as("z"))
       .orderBy("event_id")
   }
 
