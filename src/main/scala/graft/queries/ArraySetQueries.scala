@@ -117,12 +117,18 @@ object ArraySetQueries extends QueryGroup {
       |SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c USING (rn)
       |ORDER BY rn""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrderedAndProject, bounded heap), then number the
+    // 10 survivors — never a global row_number window over the full table
     val wo = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), row_number().over(wo).as("rn")).limit(10)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(wo)).drop("o_totalprice")
     val c = Tables.customer(s, d)
-      .select(col("c_custkey"), row_number().over(wc).as("rn")).limit(10)
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(10)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(wc)).drop("c_acctbal")
     o.join(c, "rn").select("rn", "o_orderkey", "c_custkey").orderBy("rn")
   }
 

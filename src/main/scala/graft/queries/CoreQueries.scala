@@ -279,12 +279,14 @@ object CoreQueries extends QueryGroup {
       |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
       |  FROM customer) WHERE rn = 1
       |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    // keep-first as a min_by AGGREGATION, not a row_number window: the
+    // group key has ~25 values, so a window would put everything in 25
+    // tasks; the aggregate reduces map-side and shuffles 25 rows.
     Tables.customer(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("c_nationkey", "c_custkey", "c_name")
+      .groupBy("c_nationkey")
+      .agg(
+        min("c_custkey").as("c_custkey"),
+        expr("min_by(c_name, c_custkey)").as("c_name"))
       .orderBy("c_nationkey")
   }
 
