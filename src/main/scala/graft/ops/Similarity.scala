@@ -72,8 +72,14 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector against the hyperplanes. */
-  def lshSignature(vecCol: String, dim: Int, bits: Int, seed: Long = 42L): Column = {
+  /** Sign-bit signature of a vector against the hyperplanes — one-pass
+    * native expression (graft.functions.HyperplaneSignature). */
+  def lshSignature(vecCol: String, dim: Int, bits: Int, seed: Long = 42L): Column =
+    graft.functions.HyperplaneSignature.column(col(vecCol), planes(dim, bits, seed))
+
+  /** HOF formulation of [[lshSignature]] (bits interpreted passes) —
+    * kept as the differential oracle for the native expression. */
+  def lshSignatureHof(vecCol: String, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val ps = planes(dim, bits, seed)
     val bitCols = ps.zipWithIndex.map { case (p, j) =>
       val dot = expr(

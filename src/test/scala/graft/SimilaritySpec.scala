@@ -26,6 +26,15 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native hyperplane signature matches the HOF formulation exactly") {
+    val diff = emb
+      .withColumn("native", Similarity.lshSignature("embedding", 64, 16))
+      .withColumn("hof", Similarity.lshSignatureHof("embedding", 64, 16))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("brute-force top-k returns k rows per query, self excluded") {
     val res = Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
