@@ -307,7 +307,11 @@ private final class JsonParser(s: String) {
     }
     val txt = s.substring(start, pos)
     if (txt.isEmpty || txt == "-") fail("bad number")
-    if (isFloat) JFloat(txt.toDouble)
-    else txt.toLongOption.map(JInt(_)).getOrElse(JFloat(txt.toDouble))
+    // toDoubleOption (not toDouble): a malformed literal like "77E" must
+    // surface as a catchable parse error, not a NumberFormatException
+    if (isFloat) txt.toDoubleOption.map(JFloat(_)).getOrElse(fail(s"bad number '$txt'"))
+    else txt.toLongOption.map(JInt(_))
+      .orElse(txt.toDoubleOption.map(JFloat(_)))
+      .getOrElse(fail(s"bad number '$txt'"))
   }
 }

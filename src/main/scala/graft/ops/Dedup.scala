@@ -118,15 +118,15 @@ object Dedup {
         round(jaccard(col("gs_a"), col("gs_b")), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over a token-HASH array column: each bit votes ±1,
-    * the sign of each bit's total is the output bit.
-    *
-    * The bit fold is a SQL aggregate over a constant 0..63 sequence —
-    * no UDF: for bit j, count hashes with bit j set, compare against
-    * half the token count. `thCol` must be a real column (token strings
-    * hashed once upstream); the 64 bit tests are then pure long ops.
-    */
+  /** 64-bit SimHash over a token-HASH array column: each hash votes its
+    * bits, bit j of the output is the majority vote — computed by the
+    * one-pass native expression (graft.functions.SimHash64). */
   def simhash(thCol: Column): Column =
+    graft.functions.SimHash64.column(thCol)
+
+  /** HOF formulation of [[simhash]] (64 interpreted passes) — kept as
+    * the differential oracle for the native expression. */
+  def simhashHof(thCol: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(63)), j =>
         when(size(filter(thCol,

@@ -28,6 +28,17 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native simhash64 expression matches the per-bit HOF formulation exactly") {
+    val base = docs.limit(200)
+      .select(col("doc_id"), graft.functions.Text.tokenHashes(col("text")).as("th"))
+    val diff = base
+      .withColumn("native", Dedup.simhash(col("th")))
+      .withColumn("hof", Dedup.simhashHof(col("th")))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash signatures are deterministic and k-wide") {
     val a = Dedup.withSignature(docs, "doc_id", "text", k = 16)
       .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))

@@ -301,6 +301,26 @@ class JexprSpec extends AnyFunSuite {
     intercept[JsonParseException] { compiled.eval(deep) }
   }
 
+  test("parser robustness: garbage inputs throw, never crash") {
+    // fuzz-lite analogue of the reference's cargo-fuzz parse target
+    val rng = new scala.util.Random(42)
+    val alphabet = """$.{}[]()"',:|->=<>!?+-*/%abc123 \n\t"""
+    (0 until 2000).foreach { _ =>
+      val len = 1 + rng.nextInt(40)
+      val src = Seq.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString
+      try { Jetro.compile(src); () }
+      catch { case _: ParseException => () } // only this is acceptable
+    }
+    // and the JSON parser likewise
+    (0 until 2000).foreach { _ =>
+      val len = 1 + rng.nextInt(40)
+      val src = Seq.fill(len)("{}[],:\"0123456789truefalsenull .-+eE"(
+        rng.nextInt(36))).mkString
+      try { JValue.parse(src); () }
+      catch { case _: JsonParseException => () }
+    }
+  }
+
   test("quantifiers") {
     assert(run(store, "$.store.books.filter(id == \"b1\")!.title") == "\"Dune\"")
     assert(run(store, "$.store.books.filter(price > 9000)?.title") == "null")
