@@ -81,9 +81,56 @@ object Lower {
       postSource: DataFrame => DataFrame): DataFrame =
     steps.head match {
       case Step.Field(table) =>
-        steps.tail.foldLeft(St(postSource(resolve(table))))((st, s) => stage(st, s, resolve)).df
+        var st = St(postSource(resolve(table)))
+        var i = 1
+        while (i < steps.length) {
+          val fused =
+            if (i + 1 < steps.length) (steps(i), steps(i + 1)) match {
+              case (Step.Method("group_by", kArgs),
+                    Step.Method("transform_values", tvArgs)) =>
+                groupAgg(st.df, kArgs, tvArgs)
+              case _ => None
+            } else None
+          fused match {
+            case Some(df) => st = St(df); i += 2
+            case None     => st = stage(st, steps(i), resolve); i += 1
+          }
+        }
+        st.df
       case other => bail(s"chain must start at a table, got $other")
     }
+
+  /** `group_by(k).transform_values(lambda v: v.<agg>(field))` — the
+    * reference's group-then-aggregate idiom (SYNTAX.md full examples) —
+    * fuses into `groupBy(k).agg(...)`: one shuffle with map-side partial
+    * aggregation, never materialising per-group arrays. */
+  private def groupAgg(
+      df: DataFrame, kArgs: Vector[Arg], tvArgs: Vector[Arg]): Option[DataFrame] = {
+    val key = kArgs match {
+      case Vector(Arg(_, Ident(k))) => k
+      case _                        => return None
+    }
+    tvArgs match {
+      case Vector(Arg(_, Lambda(Vector(v), Chain(Ident(ref), Vector(Step.Method(agg, aArgs))))))
+          if ref == v =>
+        val target: Option[Column] = aArgs match {
+          case Vector(Arg(_, e)) => Some(colExpr(e))
+          case Vector()          => None
+          case _                 => return None
+        }
+        val aggCol = agg match {
+          case "sum"   => target.map(t => coalesce(sum(t), lit(0))).getOrElse(return None)
+          case "avg" | "mean" => target.map(avg).getOrElse(return None)
+          case "min"   => target.map(min).getOrElse(return None)
+          case "max"   => target.map(max).getOrElse(return None)
+          case "count" => count(lit(1))
+          case "len"   => count(lit(1))
+          case _       => return None
+        }
+        Some(df.groupBy(col(key).as("key")).agg(aggCol.as("value")))
+      case _ => None
+    }
+  }
 
   /** The reference's index-join idiom (SYNTAX.md:666-672) —
     * `let idx = $.dim.index_by(key) in $.fact…map({…, idx[fk].field})` —

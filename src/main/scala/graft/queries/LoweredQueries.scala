@@ -84,5 +84,17 @@ object LoweredQueries extends QueryGroup {
       .orderBy("nkey")
   }
 
-  def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin)
+  /** group_by + transform_values aggregate idiom through the compiler —
+    * fused into one groupBy().agg() (map-side partial aggregation). */
+  private val groupAgg = q(
+    "q_lower_group_agg",
+    """SELECT o_orderpriority AS key,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS value
+      |FROM orders GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.orders.group_by(o_orderpriority).transform_values(lambda v: v.sum(o_orderkey))")
+      .orderBy("key")
+  }
+
+  def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg)
 }
