@@ -37,7 +37,12 @@ object Lower {
 
   def tryCompile(expr: String, resolve: String => DataFrame): Option[DataFrame] =
     try Some(compile(expr, resolve))
-    catch { case _: LowerException => None }
+    catch {
+      case _: LowerException => None
+      // parse errors fall through too — the document-mode fallback
+      // re-parses and surfaces the descriptive error itself
+      case _: graft.jexpr.ParseException => None
+    }
 
   def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
     case Chain(Root, steps) if steps.nonEmpty =>
