@@ -301,6 +301,11 @@ class JexprSpec extends AnyFunSuite {
     intercept[JsonParseException] { compiled.eval(deep) }
   }
 
+  test("keywords are legal object keys") {
+    assert(run(store, "$.store.books[0] | {kind: title, in: price, has: 1}")
+      == """{"kind":"Dune","in":9.99,"has":1}""")
+  }
+
   test("parser robustness: garbage inputs throw, never crash") {
     // fuzz-lite analogue of the reference's cargo-fuzz parse target
     val rng = new scala.util.Random(42)
