@@ -47,14 +47,18 @@ object Interp {
       eval(body, env2)
     case Comp(kind, keyE, valE, clauses, condE) => evalComp(kind, keyE, valE, clauses, condE, env)
     case GlobalCall(name, args) => globalCall(name, args, env)
-    case Chain(base, steps)     => chainWrite(base, steps, env) match {
-      // `.set/.modify/.delete/.unset` desugar to a patch on the chain base
-      // and return the whole written document (INDEPTH.md §10; M:1106).
-      case Some((pf, rest)) =>
-        val patched = PatchEval.apply(eval(base, env), Vector(pf), env)
-        if (rest.isEmpty) patched else evalChain(patched, rest, env)
-      case None => evalChain(eval(base, env), steps, env)
-    }
+    case Chain(base, steps) =>
+      // `.set/.modify/.delete/.unset/.merge` desugar to a patch ONLY on
+      // $-rooted chains (INDEPTH.md §10 "Rooted $.<path> chains") and
+      // return the whole written document; non-rooted forms stay plain
+      // method calls (tier1_non_root_set_is_method_call).
+      val write = if (base == Root) chainWrite(base, steps, env) else None
+      write match {
+        case Some((pf, rest)) =>
+          val patched = PatchEval.apply(eval(base, env), Vector(pf), env)
+          if (rest.isEmpty) patched else evalChain(patched, rest, env)
+        case None => evalChain(eval(base, env), steps, env)
+      }
     case Pipe(base, steps)      => evalPipe(eval(base, env), steps, env)
     case Unary("-", x) => eval(x, env) match {
       case JInt(n)   => JInt(-n)
@@ -127,6 +131,7 @@ object Interp {
       case Step.Method("modify", as) => as.length == 1
       case Step.Method("delete", as) => as.isEmpty
       case Step.Method("unset", as)  => as.length == 1
+      case Step.Method("merge" | "deep_merge", as) => as.nonEmpty
       case _ => false
     }
     if (wi < 0) return None
@@ -135,6 +140,12 @@ object Interp {
     steps.take(wi).foreach {
       case Step.Field(n)                     => path += PatchStep.Field(n)
       case Step.Index(Lit(JInt(i)))          => path += PatchStep.Index(i)
+      case Step.Index(e) => // dynamic index: resolved once, against root scope
+        (try eval(e, env) catch { case _: EvalException => JNull }) match {
+          case JInt(i) => path += PatchStep.Index(i)
+          case JStr(f) => path += PatchStep.Field(f)
+          case _       => ok = false
+        }
       case Step.MapShape(None, Current)      => path += PatchStep.Wild // `[*]`
       case Step.InlineFilter(p)              => path += PatchStep.WildIf(p)
       case Step.Descendant(Some(n))          => path += PatchStep.Descendant(n)
@@ -153,6 +164,11 @@ object Interp {
           case e            => JValue.display(eval(e, env))
         }
         Some((PatchField(path.result() :+ PatchStep.Field(key), None, None), rest))
+      case Step.Method(m @ ("merge" | "deep_merge"), as) =>
+        // rooted `.merge(o)` writes the merged object back
+        // (regression.rs tier1_chain_merge / tier1_chain_deep_merge)
+        val valueE = Chain(Current, Vector(Step.Method(m, as)))
+        Some((PatchField(path.result(), Some(valueE), None), rest))
       case _ => None
     }
   }

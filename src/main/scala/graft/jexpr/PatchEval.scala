@@ -31,7 +31,9 @@ object PatchEval {
         val leafEnv = env.withCurrent(node)
         if (!f.when.forall(w => Interp.eval(w, leafEnv).truthy)) Some(node)
         else f.value match {
-          case None    => None
+          case None => None
+          // a lambda value applies to the old leaf (tier1_chain_modify_lambda)
+          case Some(l @ Expr.Lambda(_, _)) => Some(Interp.body(l, leafEnv)(node))
           case Some(v) => Some(Interp.eval(v, leafEnv))
         }
       case PatchStep.Field(name) :: rest =>

@@ -77,6 +77,28 @@ class ChainWriteSpec extends AnyFunSuite {
       == """{"a":6,"b":20}""")
   }
 
+  test("tier1 chain-writes: subtree set, descendant set/delete, dynamic index, merge, lambda modify") {
+    assert(q("""$.a.b.set({x: 42})""", """{"a": {"b": {"c": 1}}}""")
+      == """{"a":{"b":{"x":42}}}""")
+    assert(q("""$..id.delete()""", """{"a": {"id": 1, "b": {"id": 2, "c": {"id": 3}}}}""")
+      == """{"a":{"b":{"c":{}}}}""")
+    assert(q("""$.xs[$.i].set(99)""", """{"xs": [10, 20, 30, 40], "i": 2}""")
+      == """{"xs":[10,20,99,40],"i":2}""")
+    assert(q("""$.config.merge({port: 443, tls: true})""",
+      """{"config": {"host": "a", "port": 80}}""")
+      == """{"config":{"host":"a","port":443,"tls":true}}""")
+    assert(q("""$.a.deep_merge({b: {y: 2}})""", """{"a": {"b": {"x": 1}}}""")
+      == """{"a":{"b":{"x":1,"y":2}}}""")
+    assert(q("""$.counts.n.modify(lambda x: x * 3)""", """{"counts": {"n": 5}}""")
+      == """{"counts":{"n":15}}""")
+    assert(q("""$.user.unset("age")""", """{"user": {"name": "Alice", "age": 30}}""")
+      == """{"user":{"name":"Alice"}}""")
+    // descendant set hits every matching key
+    assert(q("""$..status.set("closed")""",
+      """{"t": [{"status": "open"}, {"x": {"status": "open"}}]}""")
+      == """{"t":[{"status":"closed"},{"x":{"status":"closed"}}]}""")
+  }
+
   test("conditional ops against pre-patch state") {
     assert(q("""patch $ { active: true when $.role == "admin", banned: true when $.id < 0 }""",
       """{"role": "admin", "id": 7}""")

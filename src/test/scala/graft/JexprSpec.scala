@@ -211,7 +211,10 @@ class JexprSpec extends AnyFunSuite {
     assert(run(doc, "$.m.entries()") == """[["a",1],["b",2]]""")
     assert(run(doc, "$.m.entries().from_pairs()") == """{"a":1,"b":2}""")
     assert(run(doc, "$.m.invert()") == """{"1":"a","2":"b"}""")
-    assert(run(doc, "$.m.merge({c: 3})") == """{"a":1,"b":2,"c":3}""")
+    // rooted .merge is a chain-write: whole doc back, path merged
+    assert(run(doc, "$.m.merge({c: 3})") == """{"m":{"a":1,"b":2,"c":3}}""")
+    // pipe form keeps value semantics
+    assert(run(doc, "$.m | merge({c: 3})") == """{"a":1,"b":2,"c":3}""")
     assert(run(doc, "$.m.transform_values(@ * 10)") == """{"a":10,"b":20}""")
     assert(run(doc, "$.m.filter_values(@ > 1)") == """{"b":2}""")
     assert(run(doc, "$.m.set(\"d\", 4).len()") == "3")
