@@ -89,14 +89,14 @@ object Bench {
     val json = sb.toString
     val expr = """$.data.filter(active).filter(score > 200).sort(-score).take(100)
                  |.flat_map(items).filter(price > 50).map(qty * price).sum()""".stripMargin
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      val compiled = graft.jexpr.Jetro.compile(expr)   // cold compile
-      val doc = graft.jexpr.JValue.parse(json)         // cold parse
-      compiled.evalValue(doc)
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
+    // first run ONLY — the reference's cold bench is a truly cold
+    // parse+compile+eval; taking min-of-two would report a JIT-warmed
+    // number against the reference's cold one
+    val t0 = System.nanoTime()
+    val compiled = graft.jexpr.Jetro.compile(expr)   // cold compile
+    val doc = graft.jexpr.JValue.parse(json)         // cold parse
+    compiled.evalValue(doc)
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,8 +135,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for the driver's parser: also leave the raw line
+    // in a file so a logger prefix on stdout can never hide it again
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/tmp/graft_bench.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -98,11 +98,14 @@ object AggQueries extends QueryGroup {
   }
 
   /** `fanout(e1, e2, …)` — M:168-169: N aggregates of one receiver
-    * packed into an array. */
+    * packed into an array, then unpacked to scalar lanes for the
+    * driver's scalar-only hash compare (the array build + element
+    * access stays in the plan). */
   private val fanout0 = q(
     "q_fanout",
     """SELECT event_type,
-      |  [CAST(COUNT(*) AS DOUBLE), MIN(value), MAX(value)] AS stats
+      |  CAST(COUNT(*) AS DOUBLE) AS s_cnt, MIN(value) AS s_min,
+      |  MAX(value) AS s_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
       Tables.events(s, d)
@@ -110,20 +113,28 @@ object AggQueries extends QueryGroup {
         .agg(array(
           count(lit(1)).cast("double"),
           min("value"), max("value")).as("stats"))
+        .select(
+          col("event_type"),
+          col("stats").getItem(0).as("s_cnt"),
+          col("stats").getItem(1).as("s_min"),
+          col("stats").getItem(2).as("s_max"))
         .orderBy("event_type")
   }
 
-  /** `zip_shape(a: e1, b: e2)` — M:170-171: named exprs → struct. */
+  /** `zip_shape(a: e1, b: e2)` — M:170-171: named exprs → struct,
+    * flattened back to scalar columns on output. */
   private val zipShape = q(
     "q_zip_shape",
-    """SELECT event_type,
-      |  struct_pack(lo := MIN(value), hi := MAX(value)) AS rng
+    """SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(struct(
           min("value").as("lo"), max("value").as("hi")).as("rng"))
+        .select(col("event_type"),
+          col("rng").getField("lo").as("lo"),
+          col("rng").getField("hi").as("hi"))
         .orderBy("event_type")
   }
 
@@ -170,14 +181,15 @@ object AggQueries extends QueryGroup {
     * sharing the residual key back into an array. */
   private val implode0 = q(
     "q_implode",
-    """SELECT event_type, list_sort(list(event_id)) AS ids, COUNT(*) AS n
+    """SELECT event_type, array_to_string(list_sort(list(event_id)), ',') AS ids,
+      |  COUNT(*) AS n
       |FROM events WHERE value > 250
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .filter(col("value") > 250)
       .groupBy("event_type")
       .agg(
-        sort_array(collect_list("event_id")).as("ids"),
+        array_join(sort_array(collect_list("event_id")), ",").as("ids"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }

@@ -11,15 +11,22 @@ import graft.core.Tables
 object ArraySetQueries extends QueryGroup {
 
   /** `[a:b]` slice — ast.rs:312-313: Spark slice(col, start, len) ==
-    * DuckDB arr[start : start+len-1] (both 1-based inclusive). */
+    * DuckDB arr[start : start+len-1] (both 1-based inclusive). The
+    * sliced window is emitted as scalar columns (exact float→double
+    * widening on both engines) so the driver's hash compare sees no
+    * array-typed cells. */
   private val slice0 = q(
     "q_slice",
-    """SELECT vec_id, embedding[2:5] AS sub
+    """SELECT vec_id,
+      |  CAST(embedding[2] AS DOUBLE) AS s1, CAST(embedding[3] AS DOUBLE) AS s2,
+      |  CAST(embedding[4] AS DOUBLE) AS s3, CAST(embedding[5] AS DOUBLE) AS s4
       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) {
     (s, d) =>
+      val sub = slice(col("embedding"), 2, 4)
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 50)
-        .select(col("vec_id"), slice(col("embedding"), 2, 4).as("sub"))
+        .select(col("vec_id") +:
+          (1 to 4).map(i => sub.getItem(i - 1).cast("double").as(s"s$i")): _*)
         .orderBy("vec_id")
   }
 
@@ -38,17 +45,20 @@ object ArraySetQueries extends QueryGroup {
         .orderBy("doc_id", "pos")
   }
 
-  /** `remove(v)` — M:134-135: drop matching elements from an array. */
+  /** `remove(v)` — M:134-135: drop matching elements from an array;
+    * re-joined to a string for the driver's scalar-only hash compare. */
   private val remove0 = q(
     "q_array_remove",
     """SELECT doc_id,
-      |  list_filter(string_split(text, ' '), x -> x <> 'the') AS words
+      |  array_to_string(list_filter(string_split(text, ' '), x -> x <> 'the'),
+      |                  '|') AS words
       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) {
     (s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 20)
         .select(col("doc_id"),
-          array_remove(split(col("text"), " "), "the").as("words"))
+          array_join(array_remove(split(col("text"), " "), "the"), "|")
+            .as("words"))
         .orderBy("doc_id")
   }
 

@@ -183,12 +183,12 @@ object CoreQueries extends QueryGroup {
     * (M:68-69, D:1242). Sorted inside each group for determinism. */
   private val groupCollect = q(
     "q_group_collect",
-    """SELECT c_nationkey, list_sort(list(c_custkey)) AS custs
+    """SELECT c_nationkey, array_to_string(list_sort(list(c_custkey)), ',') AS custs
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
     (s, d) =>
       Tables.customer(s, d)
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list("c_custkey")).as("custs"))
+        .agg(array_join(sort_array(collect_list("c_custkey")), ",").as("custs"))
         .orderBy("c_nationkey")
   }
 

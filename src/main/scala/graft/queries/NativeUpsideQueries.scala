@@ -103,9 +103,9 @@ object NativeUpsideQueries extends QueryGroup {
       |  SELECT event_type, list_sort(list(event_id)) AS ids, MIN(event_id) AS lo
       |  FROM events WHERE value > 250 GROUP BY event_type)
       |SELECT event_type,
-      |  list_append(ids, -1) AS appended,
-      |  list_prepend(-2, ids) AS prepended,
-      |  flatten([ids, [lo]]) AS flat,
+      |  array_to_string(list_append(ids, -1), ',') AS appended,
+      |  array_to_string(list_prepend(-2, ids), ',') AS prepended,
+      |  array_to_string(flatten([ids, [lo]]), ',') AS flat,
       |  array_to_string(ids, ',') AS joined,
       |  CAST(list_position(ids, lo) AS BIGINT) AS pos
       |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -117,9 +117,9 @@ object NativeUpsideQueries extends QueryGroup {
         min("event_id").as("lo"))
       .select(
         col("event_type"),
-        concat(col("ids"), array(lit(-1L))).as("appended"),
-        concat(array(lit(-2L)), col("ids")).as("prepended"),
-        flatten(array(col("ids"), array(col("lo")))).as("flat"),
+        array_join(concat(col("ids"), array(lit(-1L))), ",").as("appended"),
+        array_join(concat(array(lit(-2L)), col("ids")), ",").as("prepended"),
+        array_join(flatten(array(col("ids"), array(col("lo")))), ",").as("flat"),
         array_join(col("ids"), ",").as("joined"),
         array_position(col("ids"), col("lo")).as("pos"))
       .orderBy("event_type")
@@ -161,7 +161,7 @@ object NativeUpsideQueries extends QueryGroup {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       |  FROM marked)
       |SELECT user_id, sid, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

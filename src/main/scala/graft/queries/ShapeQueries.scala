@@ -74,7 +74,7 @@ object ShapeQueries extends QueryGroup {
   private val mapOps = q(
     "q_map_ops",
     """SELECT event_id,
-      |  list_sort(json_keys(props)) AS ks,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS kval,
       |  CAST(LENGTH(json_keys(props)) AS BIGINT) AS n_keys
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) {
@@ -85,7 +85,7 @@ object ShapeQueries extends QueryGroup {
         .filter(col("event_id") < 2000)
         .select(
           col("event_id"),
-          sort_array(map_keys(m)).as("ks"),
+          array_join(sort_array(map_keys(m)), ",").as("ks"),
           m.getItem("k").as("kval"),
           size(map_keys(m)).cast("long").as("n_keys"))
         .orderBy("event_id")
@@ -191,7 +191,8 @@ object ShapeQueries extends QueryGroup {
     * at two nesting depths collected into one array at plan time. */
   private val deepDescend = q(
     "q_deep_descend",
-    """SELECT n_nationkey AS id, [n_regionkey, n_regionkey * 10] AS keys,
+    """SELECT n_nationkey AS id,
+      |  array_to_string([n_regionkey, n_regionkey * 10], ',') AS keys,
       |  CAST(n_regionkey + n_regionkey * 10 AS BIGINT) AS key_sum
       |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
     val nested = Tables.nation(s, d).select(
@@ -200,7 +201,7 @@ object ShapeQueries extends QueryGroup {
         struct((col("n_regionkey") * 10).as("key")).as("inner")).as("geo"))
     nested.select(
       col("id"),
-      graft.ops.StructOps.descend(nested, "key").as("keys"),
+      array_join(graft.ops.StructOps.descend(nested, "key"), ",").as("keys"),
       aggregate(graft.ops.StructOps.descend(nested, "key"),
         lit(0L), (acc, x) => acc + x.cast("long")).as("key_sum"))
       .orderBy("id")

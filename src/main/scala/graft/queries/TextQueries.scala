@@ -126,11 +126,15 @@ object TextQueries extends QueryGroup {
   }
 
   /** MinHash signatures — xxhash64-based, no DuckDB equivalent →
-    * rows-only check; invariants asserted in DedupSpec. */
+    * rows-only check; invariants asserted in DedupSpec. The k-lane
+    * signature is rendered as one fixed-width hex string so the
+    * driver's pandas load sees only scalar columns. */
   private val minhashSig = q("q_minhash_sig", null, tags = Set("noOracle")) {
     (s, d) =>
       Dedup.withSignature(Tables.documents(s, d), "doc_id", "text")
-        .select(col("id"), col("sig"))
+        .select(col("id"),
+          array_join(
+            transform(col("sig"), x => lpad(hex(x), 16, "0")), "").as("sig"))
         .orderBy("id")
   }
 

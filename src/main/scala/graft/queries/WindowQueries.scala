@@ -164,7 +164,7 @@ object WindowQueries extends QueryGroup {
   private val chunk0 = q(
     "q_chunk",
     """SELECT user_id, chunk_id, COUNT(*) AS n,
-      |  list_sort(list(event_id)) AS ids
+      |  array_to_string(list_sort(list(event_id)), ',') AS ids
       |FROM (SELECT user_id, event_id,
       |        CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
       |             // 4 AS BIGINT) AS chunk_id
@@ -177,14 +177,15 @@ object WindowQueries extends QueryGroup {
         .groupBy("user_id", "chunk_id")
         .agg(
           count(lit(1)).as("n"),
-          sort_array(collect_list("event_id")).as("ids"))
+          array_join(sort_array(collect_list("event_id")), ",").as("ids"))
         .orderBy("user_id", "chunk_id")
   }
 
   /** `window(3)` sliding windows — M:146-147: materialised frames. */
   private val sliding = q(
     "q_window_sliding",
-    """SELECT event_id, user_id, list(event_id) OVER w3 AS frame
+    """SELECT event_id, user_id,
+      |  array_to_string(list(event_id) OVER w3, ',') AS frame
       |FROM events
       |WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -192,7 +193,7 @@ object WindowQueries extends QueryGroup {
     val w3 = w.rowsBetween(-2, 0)
     Tables.events(s, d).select(
       col("event_id"), col("user_id"),
-      collect_list("event_id").over(w3).as("frame"))
+      array_join(collect_list("event_id").over(w3), ",").as("frame"))
       .orderBy("user_id", "event_id")
   }
 

@@ -12,6 +12,9 @@ compared exactly after stringification — mirroring a hash compare).
 import json, sys, math
 import duckdb
 
+class NonScalarCell(Exception):
+    pass
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -20,10 +23,12 @@ def canon(v):
         if v == int(v) and abs(v) < 1e15:
             return repr(float(v))
         return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple, dict)):
+        # the real driver loads results into pandas and sort_values
+        # crashes (lexsort_indexer) on list/struct cells — mirror that
+        # as a hard failure so array-typed outputs can't silently pass
+        # locally while erroring in the driver's gate
+        raise NonScalarCell(type(v).__name__)
     return str(v)
 
 def main():
@@ -34,6 +39,20 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # the driver pandas-loads EVERY output (even rows-only no_oracle
+    # queries) — any list/struct-typed column crashes its sort. Scan all
+    # output dirs for non-scalar schemas up front.
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = f"{out_dir}/{name}"
+        if not os.path.isdir(p):
+            continue
+        types = con.sql(f"DESCRIBE SELECT * FROM '{p}/*.parquet'").fetchall()
+        bad = [(c, t) for c, t, *_ in types
+               if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if bad:
+            print(f"FAIL {name}: non-scalar output columns {bad}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
