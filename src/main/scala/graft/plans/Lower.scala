@@ -42,6 +42,10 @@ object Lower {
       // parse errors fall through too — the document-mode fallback
       // re-parses and surfaces the descriptive error itself
       case _: graft.jexpr.ParseException => None
+      // a lowering that produces an unresolvable plan (type mismatch,
+      // missing column) must honour the fallback contract as well, not
+      // surface Catalyst's analysis error to the caller
+      case _: org.apache.spark.sql.AnalysisException => None
     }
 
   def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
@@ -77,7 +81,7 @@ object Lower {
         if (rest.isEmpty) Ident(s"__${v}_$f") else Chain(Ident(s"__${v}_$f"), rest)
     }
     val joined = scoped.map(_._2).reduce(_ crossJoin _)
-    val kept = cond.fold(joined)(c => joined.filter(colExpr(scope(c))))
+    val kept = cond.fold(joined)(c => joined.filter(predIn(joined, scope(c))))
     project(kept, scope(keyE))
   }
 
@@ -234,19 +238,32 @@ object Lower {
 
   /** Stage state: the plan so far plus the active explicit ordering (set
     * by `sort_by`, consumed by the order-dependent ops take_while /
-    * drop_while — the reference's OrderBarrier bookkeeping, §4.4). */
-  private final case class St(df: DataFrame, order: Vector[Column] = Vector.empty)
+    * drop_while — the reference's OrderBarrier bookkeeping, §4.4). The
+    * ordering keeps the source ASTs (expr, descending) so later stages
+    * can recompile and reason about the sort keys. */
+  private final case class St(
+      df: DataFrame, order: Vector[(Expr, Boolean)] = Vector.empty)
+
+  private def sortKeyAst(e: Expr): (Expr, Boolean) = e match {
+    case Unary("-", inner) => (inner, true)
+    case other             => (other, false)
+  }
 
   private def stage(st: St, s: Step, resolve: String => DataFrame): St = s match {
-    case Step.InlineFilter(p) => St(st.df.filter(colExpr(p)), st.order)
+    case Step.InlineFilter(p) => St(st.df.filter(predIn(st.df, p)), st.order)
     case Step.MapShape(pred, shape) =>
-      val kept = pred.fold(st.df)(p => st.df.filter(colExpr(p)))
+      val kept = pred.fold(st.df)(p => st.df.filter(predIn(st.df, p)))
       St(project(kept, shape))
     case Step.Slice(from, to) => // [a:b] on an ordered source
       val a = from.getOrElse(0L)
-      val b = to.getOrElse(Long.MaxValue)
-      if (a < 0 || b < 0) bail("negative slice on a table")
-      St(st.df.offset(a.toInt).limit(math.max(0, (b - a)).toInt), st.order)
+      if (a < 0 || to.exists(_ < 0)) bail("negative slice on a table")
+      val shifted = if (a > 0) st.df.offset(a.toInt) else st.df
+      // open-ended [a:] is offset only — no limit (a Long.MaxValue
+      // sentinel truncated to Int flips negative)
+      val sliced = to.fold(shifted) { b =>
+        shifted.limit(math.min(math.max(0L, b - a), Int.MaxValue.toLong).toInt)
+      }
+      St(sliced, st.order)
     case Step.Method(name, args) => method(st, name, args, resolve)
     case other => bail(s"unsupported step $other")
   }
@@ -254,7 +271,7 @@ object Lower {
   private def method(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): St = {
     val lowered = methodDf(st, name, args, resolve)
     name match {
-      case "sort" | "sort_by" => St(lowered, args.map(a => sortCol(a.e)))
+      case "sort" | "sort_by" => St(lowered, args.map(a => sortKeyAst(a.e)))
       // filters/limits preserve the active ordering; projections and
       // aggregations invalidate it
       case "filter" | "find" | "find_all" | "where" | "take" | "skip" | "drop" |
@@ -268,7 +285,7 @@ object Lower {
   val df = st.df
   name match {
     case "filter" | "find" | "find_all" | "where" =>
-      df.filter(args.map(a => colExpr(a.e)).reduceOption(_ && _).getOrElse(lit(true)))
+      df.filter(args.map(a => predIn(df, a.e)).reduceOption(_ && _).getOrElse(lit(true)))
     case "map" => project(df, argE(args, 0))
     case "pick" =>
       df.select(args.map { a =>
@@ -302,7 +319,7 @@ object Lower {
       df.na.drop("all")
     case "count" =>
       if (args.isEmpty) df.agg(count(lit(1)).as("count"))
-      else df.filter(colExpr(args(0).e)).agg(count(lit(1)).as("count"))
+      else df.filter(predIn(df, args(0).e)).agg(count(lit(1)).as("count"))
     case "sum" => // jetro empty-sum → 0 (pipeline.rs:320-328)
       df.agg(coalesce(sum(aggTarget(df, args)), lit(0)).as("sum"))
     case "avg" | "mean" => df.agg(avg(aggTarget(df, args)).as("avg"))
@@ -310,10 +327,12 @@ object Lower {
     case "max" => df.agg(max(aggTarget(df, args)).as("max"))
     case "min_by" => df.orderBy(colExpr(argE(args, 0)).asc).limit(1)
     case "max_by" => df.orderBy(colExpr(argE(args, 0)).desc).limit(1)
-    case "any" | "exists" =>
-      df.agg(coalesce(max(colExpr(argE(args, 0)).cast("boolean")), lit(false)).as("any"))
+    case "any" | "exists" => // per-row null = falsy (coalesce before agg)
+      df.agg(coalesce(max(coalesce(predIn(df, argE(args, 0)), lit(false))),
+        lit(false)).as("any"))
     case "all" =>
-      df.agg(coalesce(min(colExpr(argE(args, 0)).cast("boolean")), lit(true)).as("all"))
+      df.agg(coalesce(min(coalesce(predIn(df, argE(args, 0)), lit(false))),
+        lit(true)).as("all"))
     case "first" =>
       if (args.isEmpty) df.limit(1) else df.limit(intLit(args, 0).toInt)
     case "count_by" =>
@@ -352,23 +371,33 @@ object Lower {
     case "take_while" | "drop_while" =>
       // order-dependent: only legal with an explicit sort in force
       // (plan.rs:106-188 — the reference forbids bounded top-k here too).
-      // Rewrite: rn = row_number over the active order; cut = first rn
-      // failing the predicate; take_while keeps rn < cut, drop_while
-      // keeps rn >= cut. The unpartitioned window is a deliberate
-      // barrier — same as the reference's OrderBarrier.
+      // Scale-safe rewrite (no window, no single-task barrier): the cut
+      // point is the ORDER-KEY VALUE of the first failing row — a plain
+      // min/max aggregate over failing rows (partial + final, fully
+      // distributed), broadcast back as a 1-row cross join, then a
+      // key-range filter. Rows tied with the cut key are cut with it,
+      // which is the only deterministic reading under key ties.
       if (st.order.isEmpty) bail(s"$name without an explicit sort")
-      val pred = truthy(colExpr(argE(args, 0)))
-      val w = Window.orderBy(st.order: _*)
-      val wg = Window.partitionBy()
-      val rn = row_number().over(w)
-      val withRn = df.withColumn("__rn", rn)
-        .withColumn("__cut", min(when(!pred, col("__rn"))).over(wg))
+      if (st.order.length != 1) bail(s"$name over a composite sort")
+      val (keyE, desc) = st.order.head
+      val cl = new ColLower(Some(df.schema))
+      val keyC = cl.colExpr(keyE)
+      val pred = cl.truthy(cl.colExpr(argE(args, 0)), argE(args, 0))
+      // a null predicate is falsy → that row is a cut candidate
+      val failKey = when(!coalesce(pred, lit(false)), keyC)
+      val cutDf = df.agg(
+        (if (desc) max(failKey) else min(failKey)).as("__cut"))
+      val joined = df.crossJoin(broadcast(cutDf))
+      val cut = col("__cut")
       val kept =
         if (name == "take_while")
-          withRn.filter(col("__cut").isNull || col("__rn") < col("__cut"))
+          cut.isNull || (if (desc) keyC > cut else keyC < cut)
         else
-          withRn.filter(col("__cut").isNotNull && col("__rn") >= col("__cut"))
-      kept.drop("__rn", "__cut")
+          cut.isNotNull && (if (desc) keyC <= cut else keyC >= cut)
+      // the join does not preserve the sequence order — re-establish it
+      // (Catalyst's EliminateSorts drops the now-redundant earlier sort)
+      joined.filter(kept).drop("__cut")
+        .orderBy(if (desc) keyC.desc else keyC.asc)
     case other => bail(s"no relational lowering for .$other()")
   }
   }
@@ -379,16 +408,19 @@ object Lower {
     case other        => bail(s"expected a column name, got $other")
   }
 
-  private def project(df: DataFrame, shape: Expr): DataFrame = shape match {
-    case ObjLit(fields) =>
-      df.select(fields.map {
-        case ObjField.Short(n)                   => col(n)
-        case ObjField.KV(Lit(JStr(k)), v, None)  => colExpr(v).as(k)
-        case ObjField.KV(Ident(k), v, None)      => colExpr(v).as(k)
-        case f => bail(s"map shape field unsupported: $f")
-      }: _*)
-    case Ident(n) => df.select(col(n))
-    case e        => df.select(colExpr(e).as("value"))
+  private def project(df: DataFrame, shape: Expr): DataFrame = {
+    val cl = new ColLower(Some(df.schema))
+    shape match {
+      case ObjLit(fields) =>
+        df.select(fields.map {
+          case ObjField.Short(n)                   => col(n)
+          case ObjField.KV(Lit(JStr(k)), v, None)  => cl.colExpr(v).as(k)
+          case ObjField.KV(Ident(k), v, None)      => cl.colExpr(v).as(k)
+          case f => bail(s"map shape field unsupported: $f")
+        }: _*)
+      case Ident(n) => df.select(col(n))
+      case e        => df.select(cl.colExpr(e).as("value"))
+    }
   }
 
   private def argE(args: Vector[Arg], i: Int): Expr =
@@ -413,20 +445,51 @@ object Lower {
 
   // ── scalar expression lowering ────────────────────────────────────────
 
-  /** jetro expression → Catalyst Column. Bare identifiers are row
+  /** jetro expression → Catalyst Column (schema-free entry point).
+    * Truthiness coercions that need column types bail here; stage-level
+    * callers use [[predIn]] so the plan's schema drives the coercion. */
+  def colExpr(e: Expr): Column = new ColLower(None).colExpr(e)
+
+  /** Compile a predicate against a concrete plan with jetro truthiness
+    * (vm truthy: null/false falsy, number ≠ 0, string non-empty). The
+    * plan's schema types the coercion — a blind `cast("boolean")` on a
+    * string operand is an ANSI runtime error on Spark 4 that would
+    * escape the doc-mode fallback contract; untypeable operands bail to
+    * the interpreter instead. */
+  private def predIn(df: DataFrame, e: Expr): Column = {
+    val cl = new ColLower(Some(df.schema))
+    cl.truthy(cl.colExpr(e), e)
+  }
+
+  /** Coarse static type of a jetro expression, for truthiness. */
+  private sealed trait Kind
+  private object Kind {
+    case object Bool extends Kind
+    case object Num extends Kind
+    case object Str extends Kind
+    case object Unknown extends Kind
+  }
+
+  /** Scalar expression lowering, parameterised by the (optional) schema
+    * of the plan the expression runs against. Bare identifiers are row
     * fields; `@` is not addressable at the row level (only inside
     * higher-order args, unsupported here → fallback). */
-  def colExpr(e: Expr): Column = e match {
+  private final class ColLower(schema: Option[org.apache.spark.sql.types.StructType]) {
+    import org.apache.spark.sql.types._
+
+    def colExpr(e: Expr): Column = e match {
     case Ident(n)  => col(n)
     case Lit(v)    => litOf(v)
     case Current   => bail("`@` has no relational meaning at row scope")
     case Chain(Ident(n), steps) => fieldChain(col(n), n, steps)
     case Chain(Current, steps)  => bail("`@`-rooted chain at row scope")
     case Unary("-", x)   => negate(colExpr(x))
-    case Unary("not", x) => !truthy(colExpr(x))
+    // `not` is null-sensitive: jetro not(falsy-null) = true, but SQL
+    // NOT null = null — force two-valued before negating
+    case Unary("not", x) => !coalesce(truthy(colExpr(x), x), lit(false))
     case Binary(op, l, r) => binop(op, l, r)
     case IfElse(c, t, f) =>
-      when(truthy(colExpr(c)), colExpr(t)).otherwise(colExpr(f))
+      when(truthy(colExpr(c), c), colExpr(t)).otherwise(colExpr(f))
     case TryElse(body, default) => // null → default (errors → null under non-ANSI)
       coalesce(colExpr(body), colExpr(default))
     case FString(parts) =>
@@ -500,6 +563,126 @@ object Lower {
   private def a0OrSecond(args: Vector[Arg]): Column = colExpr(argE(args, 1))
 
   private def displayCol(c: Column): Column = c.cast("string")
+
+  private def binop(op: String, lE: Expr, rE: Expr): Column = {
+    lazy val l = colExpr(lE)
+    lazy val r = colExpr(rE)
+    op match {
+      case "+"   => l + r
+      case "-"   => l - r
+      case "*"   => l * r
+      case "/"   => l.cast("double") / r.cast("double") // jetro float division
+      case "%"   => l % r
+      case "=="  => l === r
+      case "!="  => l =!= r
+      case "<"   => l < r
+      case "<="  => l <= r
+      case ">"   => l > r
+      case ">="  => l >= r
+      case "and" => truthy(l, lE) && truthy(r, rE)
+      case "or"  => truthy(l, lE) || truthy(r, rE)
+      case "??"  => coalesce(l, r)
+      case "~="  => // case-insensitive bidirectional substring (vm Fuzzy)
+        lower(l).contains(lower(r)) || lower(r).contains(lower(l))
+      case "has" => array_contains(l, r)
+      case other => bail(s"operator $op")
+    }
+  }
+
+  /** jetro truthiness (vm truthy): null/false → false, numbers ≠ 0,
+    * strings non-empty, booleans pass through. The coercion is chosen
+    * by the STATIC kind of the source expression — never a blind
+    * boolean cast, which under ANSI (Spark 4 default) raises at
+    * runtime on strings. Untypeable operands bail → doc-mode fallback.
+    *
+    * The result is the RAW three-valued coercion (null stays null): in
+    * filter/when position SQL already treats null as false, exactly
+    * jetro's falsy — and keeping the bare comparison lets it push down
+    * to the parquet scan. Null-SENSITIVE sites (negation, universal
+    * quantifier) must wrap with `coalesce(_, false)` themselves. */
+  def truthy(c: Column, e: Expr): Column = kindOf(e) match {
+    case Kind.Bool => c
+    case Kind.Num  => c =!= lit(0)
+    case Kind.Str  => length(c) > 0
+    case Kind.Unknown => bail(s"cannot type truthiness of $e")
+  }
+
+  private def kindOf(e: Expr): Kind = e match {
+    case Lit(JBool(_))                 => Kind.Bool
+    case Lit(JInt(_)) | Lit(JFloat(_)) => Kind.Num
+    case Lit(JStr(_))                  => Kind.Str
+    case Unary("not", _)               => Kind.Bool
+    case Unary("-", _)                 => Kind.Num
+    case Binary(op, l, r) => op match {
+      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "or" | "~=" | "has" =>
+        Kind.Bool
+      case "+" | "-" | "*" | "/" | "%" =>
+        if (kindOf(l) == Kind.Num && kindOf(r) == Kind.Num) Kind.Num
+        else Kind.Unknown
+      case "??" =>
+        val k = kindOf(l); if (k == kindOf(r)) k else Kind.Unknown
+      case _ => Kind.Unknown
+    }
+    case IfElse(_, t, f) =>
+      val k = kindOf(t); if (k == kindOf(f)) k else Kind.Unknown
+    case TryElse(b, d) =>
+      val k = kindOf(b); if (k == kindOf(d)) k else Kind.Unknown
+    case Cast(_, to) => to match {
+      case "int" | "float" | "number" => Kind.Num
+      case "string"                   => Kind.Str
+      case "bool"                     => Kind.Bool
+      case _                          => Kind.Unknown
+    }
+    case GlobalCall("to_string", _) => Kind.Str
+    case FString(_)                 => Kind.Str
+    case _ => dtOf(e).map(dtKind).getOrElse(Kind.Unknown)
+  }
+
+  /** Resolve the Spark type of a field / field-chain expression against
+    * the plan schema (structs descended, arrays element-typed, scalar
+    * builtins mapped to their return types). */
+  private def dtOf(e: Expr): Option[DataType] = e match {
+    case Ident(n) => schema.flatMap(_.find(_.name == n).map(_.dataType))
+    case Chain(Ident(n), steps) =>
+      steps.foldLeft(dtOf(Ident(n))) { (acc, s) =>
+        s match {
+          case Step.Field(f) => acc.flatMap {
+            case st: StructType => st.find(_.name == f).map(_.dataType)
+            case _              => None
+          }
+          case Step.Index(_) => acc.flatMap {
+            case ArrayType(et, _) => Some(et)
+            case _                => None
+          }
+          case Step.Optional      => acc
+          case Step.Method(m, _)  => scalarFnReturn(m)
+          case _                  => None
+        }
+      }
+    case _ => None
+  }
+
+  private def scalarFnReturn(m: String): Option[DataType] = m match {
+    case "upper" | "lower" | "trim" | "trim_left" | "lstrip" | "trim_right" |
+         "rstrip" | "capitalize" | "reverse_str" | "replace_all" |
+         "re_replace_all" | "repeat" | "pad_left" | "pad_right" |
+         "to_base64" | "from_base64" => Some(StringType)
+    case "len" | "length" | "byte_len" | "parse_int" => Some(LongType)
+    case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>
+      Some(DoubleType)
+    case "starts_with" | "ends_with" | "includes" | "contains" | "re_match" =>
+      Some(BooleanType)
+    case _ => None
+  }
+
+  private def dtKind(dt: DataType): Kind = dt match {
+    case BooleanType    => Kind.Bool
+    case _: NumericType => Kind.Num
+    case StringType     => Kind.Str
+    case _              => Kind.Unknown
+  }
+  }
+
   private def strLit(args: Vector[Arg], i: Int, default: String): String =
     if (i >= args.length) default
     else argE(args, i) match {
@@ -518,34 +701,4 @@ object Lower {
   }
 
   private def negate(c: Column): Column = c * lit(-1)
-
-  /** jetro truthiness on a Column: null/false → false, numbers ≠ 0,
-    * strings non-empty; boolean passes through. */
-  private def truthy(c: Column): Column =
-    coalesce(c.cast("boolean"), lit(false))
-
-  private def binop(op: String, lE: Expr, rE: Expr): Column = {
-    lazy val l = colExpr(lE)
-    lazy val r = colExpr(rE)
-    op match {
-      case "+"   => l + r
-      case "-"   => l - r
-      case "*"   => l * r
-      case "/"   => l.cast("double") / r.cast("double") // jetro float division
-      case "%"   => l % r
-      case "=="  => l === r
-      case "!="  => l =!= r
-      case "<"   => l < r
-      case "<="  => l <= r
-      case ">"   => l > r
-      case ">="  => l >= r
-      case "and" => truthy(l) && truthy(r)
-      case "or"  => truthy(l) || truthy(r)
-      case "??"  => coalesce(l, r)
-      case "~="  => // case-insensitive bidirectional substring (vm Fuzzy)
-        lower(l).contains(lower(r)) || lower(r).contains(lower(l))
-      case "has" => array_contains(l, r)
-      case other => bail(s"operator $op")
-    }
-  }
 }

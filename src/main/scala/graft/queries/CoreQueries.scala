@@ -120,23 +120,32 @@ object CoreQueries extends QueryGroup {
   }
 
   /** `index_by` + lookup broadcast-join idiom — SURVEY §2.3
-    * (SYNTAX.md:666-672): small dim explicitly broadcast. */
+    * (SYNTAX.md:666-672). The explicit broadcast hint goes on `nation`,
+    * a dimension whose cardinality is bounded (25 rows) at EVERY scale
+    * factor — hinting a table that grows with SF (part, supplier) is an
+    * executor-OOM risk at 100 TB, so the supplier join is left to the
+    * planner/AQE, which broadcasts it at test scale and shuffles it at
+    * cluster scale. */
   private val joinBroadcast = q(
     "q_join_broadcast",
-    s"""SELECT p_brand,
+    s"""SELECT n_name,
       |  CAST(SUM(${Num.sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
     val l = Tables.lineitem(s, d)
-    val p = Tables.part(s, d)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-      .groupBy("p_brand")
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy("n_name")
       .agg(
         sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("p_brand")
+      .orderBy("n_name")
   }
 
   /** semi-join (`filter(other.includes(key))` idiom) — SURVEY §2.3. */

@@ -107,16 +107,48 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compiled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
-  test("take_while / drop_while after sort lower via window cutoff") {
+  test("take_while / drop_while after sort lower via broadcast key cut, no window") {
     val tw = """$.nation.sort_by(n_nationkey).take_while(n_nationkey < 7).map(n_nationkey)"""
     val dw = """$.nation.sort_by(n_nationkey).drop_while(n_nationkey < 7).map(n_nationkey)"""
-    def run(e: String) = graft.plans.Lower
+    def plan(e: String) = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))
-      .collect().map(_.getAs[Number](0).longValue).toVector
+    def run(e: String) =
+      plan(e).collect().map(_.getAs[Number](0).longValue).toVector
     assert(run(tw) == (0L until 7L).toVector)
     assert(run(dw).sorted == (7L until 25L).toVector)
+    // scale contract: the cut is an aggregate + broadcast join — there
+    // must be NO window (an unpartitioned window is a one-task barrier)
+    val p = plan(tw).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // descending order flips the cut direction
+    val desc = """$.nation.sort_by(-n_nationkey).take_while(n_nationkey > 20).map(n_nationkey)"""
+    assert(run(desc) == Vector(24L, 23L, 22L, 21L))
     // and without a sort in force it must NOT lower
     assert(!Graft.lowers(spark, sfDir, "$.nation.take_while(n_nationkey < 7)"))
+  }
+
+  test("jetro truthiness lowers by static type; open slice; analysis fallback") {
+    // string predicate: non-empty string is truthy (vm truthy), NOT an
+    // ANSI boolean cast (which raises at runtime on Spark 4)
+    val strPred = "$.region.filter(r_name).count()"
+    val compiled = graft.plans.Lower
+      .compile(strPred, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect()(0).getLong(0)
+    assert(JValue.asNum(docAnswer(strPred)).get.toLong == got && got == 5)
+    // numeric predicate: value ≠ 0 is truthy
+    val numPred = "$.nation.filter(n_regionkey).count()"
+    val gotN = graft.plans.Lower
+      .compile(numPred, t => graft.core.Tables(spark, sfDir, t))
+      .collect()(0).getLong(0)
+    assert(JValue.asNum(docAnswer(numPred)).get.toLong == gotN && gotN == 20)
+    // open-ended slice must not overflow to a negative limit
+    val open = graft.plans.Lower
+      .compile("$.nation.sort_by(n_nationkey)[2:]", t => graft.core.Tables(spark, sfDir, t))
+    assert(open.count() == 23)
+    // an unresolvable plan falls back to doc mode instead of surfacing
+    // AnalysisException through tryCompile
+    assert(!Graft.lowers(spark, sfDir, "$.region.filter(no_such_col > 1)"))
   }
 
   test("index-join idiom lowers to a broadcast hash join") {
