@@ -30,10 +30,28 @@ object Lower {
 
   private def bail(msg: String): Nothing = throw new LowerException(msg)
 
+  /** Parsed-AST cache: `compile` is called per query evaluation, but a
+    * given jetro text always parses to the same tree — mirror the
+    * doc-mode plan cache (Jetro plan cache; reference lib.rs:269-284).
+    * The DataFrame itself is NOT cached (it closes over the resolver). */
+  private val astCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Expr]()
+
+  private def parseCached(expr: String): Expr = {
+    val hit = astCache.get(expr)
+    if (hit != null) hit
+    else {
+      val ast = Parser.parse(expr)
+      if (astCache.size > 512) astCache.clear() // crude cap, queries are few
+      astCache.put(expr, ast)
+      ast
+    }
+  }
+
   /** Compile `expr` against a table resolver. The expression must be a
     * rooted chain whose first step names a table (`$.orders…`). */
   def compile(expr: String, resolve: String => DataFrame): DataFrame =
-    compileAst(Parser.parse(expr), resolve)
+    compileAst(parseCached(expr), resolve)
 
   def tryCompile(expr: String, resolve: String => DataFrame): Option[DataFrame] =
     try Some(compile(expr, resolve))
@@ -105,7 +123,7 @@ object Lower {
             case None     => st = stage(st, steps(i), resolve); i += 1
           }
         }
-        st.df
+        stripHidden(st.df)
       case other => bail(s"chain must start at a table, got $other")
     }
 
@@ -268,17 +286,59 @@ object Lower {
     case other => bail(s"unsupported step $other")
   }
 
+  /** Ops that consume or preserve the active sequence order; everything
+    * else first sheds the hidden `__ord_*` carry columns (they must not
+    * leak into distinct/compact/join semantics). */
+  private val orderSensitive = Set(
+    "filter", "find", "find_all", "where", "take", "skip", "drop", "first",
+    "take_while", "drop_while", "last", "nth",
+    "rolling_sum", "rolling_avg", "rolling_min", "rolling_max",
+    "lag", "lead", "diff_window", "pct_change", "cum_max", "cum_min")
+
+  private def stripHidden(df: DataFrame): DataFrame = {
+    val hidden = df.columns.filter(_.startsWith("__ord_"))
+    if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
+  }
+
   private def method(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): St = {
-    val lowered = methodDf(st, name, args, resolve)
+    // a projection under an active order carries the order expressions
+    // through as hidden columns, so order-dependent ops downstream
+    // (rolling_*, lag, last…) can still sort by them
+    if (name == "map" && st.order.nonEmpty) return mapOrdered(st, args)
+    val eff = if (orderSensitive(name)) st else St(stripHidden(st.df), st.order)
+    val lowered = methodDf(eff, name, args, resolve)
     name match {
       case "sort" | "sort_by" => St(lowered, args.map(a => sortKeyAst(a.e)))
-      // filters/limits preserve the active ordering; projections and
-      // aggregations invalidate it
-      case "filter" | "find" | "find_all" | "where" | "take" | "skip" | "drop" |
-           "take_while" | "drop_while" | "first" =>
-        St(lowered, st.order)
+      // filters/limits and the windowed sequence ops preserve the active
+      // ordering; projections and aggregations invalidate it
+      case n if orderSensitive(n) => St(lowered, st.order)
       case _ => St(lowered)
     }
+  }
+
+  /** `map(shape)` with a live sort in force: project the shape AND the
+    * order keys (renamed `__ord_i`), rebasing the order onto the hidden
+    * columns. They are stripped at the end of the chain. */
+  private def mapOrdered(st: St, args: Vector[Arg]): St = {
+    val cl = new ColLower(Some(st.df.schema))
+    val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
+      cl.colExpr(e).as(s"__ord_$i")
+    }
+    val shaped = argE(args, 0) match {
+      case ObjLit(fields) =>
+        st.df.select(fields.map {
+          case ObjField.Short(n)                  => col(n)
+          case ObjField.KV(Lit(JStr(k)), v, None) => cl.colExpr(v).as(k)
+          case ObjField.KV(Ident(k), v, None)     => cl.colExpr(v).as(k)
+          case f => bail(s"map shape field unsupported: $f")
+        } ++ ordCols: _*)
+      case Ident(n) => st.df.select(col(n) +: ordCols: _*)
+      case e        => st.df.select(cl.colExpr(e).as("value") +: ordCols: _*)
+    }
+    val rebased = st.order.zipWithIndex.map { case ((_, desc), i) =>
+      (Ident(s"__ord_$i"): Expr, desc)
+    }
+    St(shaped, rebased)
   }
 
   private def methodDf(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): DataFrame = {
@@ -335,6 +395,91 @@ object Lower {
         lit(true)).as("all"))
     case "first" =>
       if (args.isEmpty) df.limit(1) else df.limit(intLit(args, 0).toInt)
+    case "last" => // order-dependent (M:122-123): top-k on the REVERSED
+      // order (TakeOrderedAndProject, bounded heap), re-sorted forward
+      // for last(n) since takeRight keeps original order
+      if (st.order.isEmpty) bail("last without an explicit sort")
+      val cl = new ColLower(Some(df.schema))
+      def ord(flip: Boolean) = st.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d ^ flip) c.desc else c.asc
+      }
+      if (args.isEmpty) df.orderBy(ord(flip = true): _*).limit(1)
+      else df.orderBy(ord(flip = true): _*).limit(intLit(args, 0).toInt)
+        .orderBy(ord(flip = false): _*)
+    case "nth" => // i-th of the active order; negative counts from the end
+      if (st.order.isEmpty) bail("nth without an explicit sort")
+      val cl = new ColLower(Some(df.schema))
+      val i = argE(args, 0) match {
+        case Lit(JInt(n))             => n
+        case Unary("-", Lit(JInt(n))) => -n
+        case e                        => bail(s"nth: expected integer, got $e")
+      }
+      if (i >= 0) df.offset(i.toInt).limit(1)
+      else {
+        val rev = st.order.map { case (e, d) =>
+          val c = cl.colExpr(e); if (d) c.asc else c.desc
+        }
+        df.orderBy(rev: _*).offset((-i - 1).toInt).limit(1)
+      }
+    case "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" |
+         "lag" | "lead" | "diff_window" | "pct_change" | "cum_max" | "cum_min" =>
+      // windowed sequence ops over the TOTAL active order. The
+      // unpartitioned window is the inherent OrderBarrier of a
+      // total-order frame — there is no key to partition by in the
+      // language semantics; the keyed scale shape is the catalog's
+      // partitioned q_rolling family (WindowQueries).
+      if (st.order.isEmpty) bail(s"$name without an explicit sort")
+      val cl = new ColLower(Some(df.schema))
+      val ordCols = st.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d) c.desc else c.asc
+      }
+      val w = Window.orderBy(ordCols: _*)
+      val vis = df.columns.filterNot(_.startsWith("__ord_"))
+      if (vis.length != 1) bail(s"$name needs a single-column sequence (map a field first)")
+      // doc mode coerces the lane to floats (Builtins nums) — match it
+      val t = col(vis(0)).cast("double")
+      val out = name match {
+        case "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
+          val n = intLit(args, 0).toInt
+          if (n <= 0) bail("window size must be positive")
+          val frame = w.rowsBetween(-(n - 1), 0)
+          val agg = name match {
+            case "rolling_sum" => sum(t).over(frame)
+            case "rolling_avg" => avg(t).over(frame)
+            case "rolling_min" => min(t).over(frame)
+            case _             => max(t).over(frame)
+          }
+          // fewer than n positions available → null (Builtins rolling)
+          when(row_number().over(w) >= n, agg)
+        case "lag" =>
+          lag(t, if (args.nonEmpty) intLit(args, 0).toInt else 1).over(w)
+        case "lead" =>
+          lead(t, if (args.nonEmpty) intLit(args, 0).toInt else 1).over(w)
+        case "diff_window" => t - lag(t, 1).over(w)
+        case "pct_change" =>
+          val p = lag(t, 1).over(w)
+          when(p.isNotNull && p =!= 0, (t - p) / p) // p==0 → null, no ANSI div error
+        case "cum_max" => max(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        case _         => min(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+      }
+      df.withColumn(vis(0), out)
+    case "pivot" =>
+      // pivot(row, col, val) → groupBy(row).pivot(col).agg(max(val));
+      // pivot(col, val) → one wide row. Doc mode resolves duplicate
+      // cells last-wins in DOCUMENT order; a table has no order, so the
+      // deterministic max is the relational resolution. Spark's
+      // valueless pivot runs one distinct scan to name the columns —
+      // bounded-cardinality pivot keys are the caller's contract.
+      val names = args.map(_.e match {
+        case Ident(n)     => n
+        case Lit(JStr(n)) => n
+        case e            => bail(s"pivot: unsupported accessor $e")
+      })
+      names match {
+        case Vector(rk, ck, vk) => df.groupBy(col(rk)).pivot(ck).agg(max(col(vk)))
+        case Vector(ck, vk)     => df.groupBy().pivot(ck).agg(max(col(vk)))
+        case _                  => bail("pivot: expected 2 or 3 field args")
+      }
     case "count_by" =>
       val k = colExpr(argE(args, 0))
       df.groupBy(k.as("key")).agg(count(lit(1)).as("n"))

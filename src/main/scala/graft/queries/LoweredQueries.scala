@@ -96,5 +96,76 @@ object LoweredQueries extends QueryGroup {
       .orderBy("key")
   }
 
-  def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg)
+  /** `last(n)` through the compiler — reversed-order top-k
+    * (TakeOrderedAndProject), re-sorted forward; the `map` before it
+    * carries the sequence through the projection as a hidden column. */
+  private val lastN = q(
+    "q_lower_last",
+    """SELECT id FROM (
+      |  SELECT o_orderkey AS id FROM orders ORDER BY o_orderkey DESC LIMIT 3)
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    lower(s, d, "$.orders.sort_by(o_orderkey).map({id: o_orderkey}).last(3)")
+  }
+
+  /** `nth(i)` through the compiler — offset+limit on the active order. */
+  private val nth0 = q(
+    "q_lower_nth",
+    """SELECT o_orderkey AS id, o_totalprice AS total FROM orders
+      |ORDER BY o_orderkey OFFSET 5 LIMIT 1""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.orders.sort_by(o_orderkey).nth(5).map({id: o_orderkey, total: o_totalprice})")
+  }
+
+  /** `rolling_sum(3)` through the compiler. The lane is integral (ids
+    * cast to double) so the windowed float sum is exact on both engines
+    * regardless of summation association. */
+  private val rollingSum = q(
+    "q_lower_rolling",
+    """SELECT val AS event_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    CASE WHEN ROW_NUMBER() OVER (ORDER BY event_id) >= 3
+      |         THEN SUM(CAST(event_id AS DOUBLE)) OVER
+      |              (ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |    END AS val
+      |  FROM events WHERE event_id <= 500)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events{event_id <= 500}.sort_by(event_id).map(event_id).rolling_sum(3)")
+  }
+
+  /** `pct_change()` through the compiler (guarded division — no ANSI
+    * div-by-zero escape). */
+  private val pct = q(
+    "q_lower_pct",
+    """SELECT val AS event_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    CASE WHEN LAG(CAST(event_id AS DOUBLE)) OVER (ORDER BY event_id) IS NOT NULL
+      |          AND LAG(CAST(event_id AS DOUBLE)) OVER (ORDER BY event_id) <> 0
+      |         THEN (CAST(event_id AS DOUBLE)
+      |               - LAG(CAST(event_id AS DOUBLE)) OVER (ORDER BY event_id))
+      |              / LAG(CAST(event_id AS DOUBLE)) OVER (ORDER BY event_id)
+      |    END AS val
+      |  FROM events WHERE event_id <= 500 AND event_id > 0)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events{event_id <= 500 and event_id > 0}.sort_by(event_id).map(event_id).pct_change()")
+  }
+
+  /** `pivot(row, col, val)` through the compiler — native Spark pivot;
+    * duplicate cells resolve to max (a table has no document order for
+    * last-wins to mean anything). */
+  private val pivotL = q(
+    "q_lower_pivot",
+    """SELECT user_id,
+      |  MAX(value) FILTER (WHERE event_type = 'click') AS click,
+      |  MAX(value) FILTER (WHERE event_type = 'error') AS error,
+      |  MAX(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  MAX(value) FILTER (WHERE event_type = 'signup') AS signup,
+      |  MAX(value) FILTER (WHERE event_type = 'view') AS "view"
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    lower(s, d, "$.events.pivot(user_id, event_type, value)").orderBy("user_id")
+  }
+
+  def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
+    lastN, nth0, rollingSum, pct, pivotL)
 }

@@ -151,6 +151,57 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Graft.lowers(spark, sfDir, "$.region.filter(no_such_col > 1)"))
   }
 
+  test("last / nth lower on the active order and match the interpreter") {
+    def runIds(e: String): Vector[Long] = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(runIds("$.nation.sort_by(n_nationkey).map({k: n_nationkey}).last(3)")
+      == Vector(22L, 23L, 24L))
+    assert(runIds("$.nation.sort_by(n_nationkey).map({k: n_nationkey}).nth(3)")
+      == Vector(3L))
+    assert(runIds("$.nation.sort_by(n_nationkey).map({k: n_nationkey}).nth(-1)")
+      == Vector(24L))
+    // no order in force → fallback
+    assert(!Graft.lowers(spark, sfDir, "$.nation.last()"))
+  }
+
+  test("sequence window family lowers and matches the interpreter") {
+    val exprs = Seq(
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).rolling_sum(3)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).rolling_avg(4)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).rolling_min(2)",
+      "$.nation.sort_by(-n_nationkey).map(n_nationkey).lag(2)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).lead(1)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).diff_window()",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).pct_change()",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).cum_max()")
+    exprs.foreach { e =>
+      val got = graft.plans.Lower
+        .compile(e, t => graft.core.Tables(spark, sfDir, t))
+        .collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Number].doubleValue))
+        .toVector
+      val exp = docAnswer(e) match {
+        case jexpr.JArr(xs) => xs.map {
+          case jexpr.JFloat(f) => Some(f)
+          case jexpr.JInt(n)   => Some(n.toDouble)
+          case jexpr.JNull     => None
+          case other           => fail(s"$e: unexpected ${other.kind}")
+        }
+        case other => fail(s"$e: expected array, got ${other.kind}")
+      }
+      assert(got == exp, e)
+    }
+  }
+
+  test("pivot lowers to a native Spark pivot") {
+    val df = graft.plans.Lower.compile(
+      "$.nation.pivot(n_regionkey, n_name, n_nationkey)",
+      t => graft.core.Tables(spark, sfDir, t))
+    assert(df.columns.length == 26) // n_regionkey + 25 nation-name columns
+    assert(df.count() == 5)
+  }
+
   test("index-join idiom lowers to a broadcast hash join") {
     val expr =
       """let ridx = $.region.index_by(r_regionkey) in
