@@ -58,14 +58,36 @@ object Dedup {
       .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
   }
 
+  /** Bucket-size cap for banded LSH self-joins: a degenerate bucket
+    * (boilerplate text, empty documents, an adversarial key) makes the
+    * bucket-local pair generation quadratic in that bucket's size. Keep
+    * only the first `maxBucket` members per (band, bucket) in id order —
+    * deterministic, one window over the same (band, bucket) shuffle the
+    * join needs anyway, and it bounds any bucket's pair count at
+    * maxBucket²/2. Members beyond the cap still pair through their
+    * other bands (a truly identical cluster is exact-dedup's job, not
+    * LSH's). `maxBucket <= 0` disables the cap.
+    */
+  def capBuckets(
+      banded: DataFrame, idName: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("band", "bucket").orderBy(col(idName))
+      banded.withColumn("__bpos", row_number().over(w))
+        .filter(col("__bpos") <= maxBucket)
+        .drop("__bpos")
+    }
+
   /** LSH candidate pairs + exact Jaccard, filtered at `minJaccard`.
     * bands × rowsPerBand must equal k. Returns (id_a, id_b, jaccard)
-    * with id_a < id_b.
+    * with id_a < id_b. `maxBucket` bounds bucket-local candidate
+    * generation (see [[capBuckets]]).
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val signed = withSignature(df, idCol, textCol, k).cache()
@@ -74,12 +96,12 @@ object Dedup {
     // Only (id, band, bucket) flows into the self-join: 24-byte rows,
     // never the shingle arrays — at 100 TB the candidate shuffle stays
     // ~n·bands·24 B regardless of document size.
-    val banded = signed.select(
+    val banded = capBuckets(signed.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b), concat_ws(",",
           (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket"))), "id", maxBucket)
 
     // bucket-local pairs (shuffle on (band, bucket) only)
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -139,15 +161,15 @@ object Dedup {
     * Hamming distance ≤ radius verify via bit_count(xor). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      radius: Int = 8): DataFrame = {
+      radius: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val h = df
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
       .select(col("id"), simhash(col("th")).as("sh64"))
-    val banded = h.select(
+    val banded = capBuckets(h.select(
       col("id"), col("sh64"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bucket")))
+        .as(Seq("band", "bucket"))), "id", maxBucket)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh64").as("h_a"))
     val r = banded.select(col("band"), col("bucket"),

@@ -99,7 +99,8 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int,
-      bits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      bits: Int = 16, bands: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bits % bands == 0)
     val r = bits / bands
@@ -112,7 +113,9 @@ object Similarity {
             shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*))
             .as(Seq("band", "bucket")))
     val qb = banded(queries, "qid", "qv")
-    val cb = banded(corpus, "cid", "cv")
+    // cap the corpus side only: a hot corpus bucket is what makes the
+    // candidate join quadratic (Dedup.capBuckets rationale)
+    val cb = graft.ops.Dedup.capBuckets(banded(corpus, "cid", "cv"), "cid", maxBucket)
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")

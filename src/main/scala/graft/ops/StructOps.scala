@@ -55,4 +55,31 @@ object StructOps {
     if (paths.isEmpty) array()
     else array(paths.map(col): _*)
   }
+
+  /** Batched nested-path patch (SURVEY §4.5): apply many `path := value`
+    * updates in ONE struct rewrite per root column — the Spark analogue
+    * of the reference's patch fusion, which batches adjacent same-root
+    * `.set/.modify` patches into a single path trie
+    * (plan/patch_fusion.rs). Updates on the same root build one
+    * `withField` chain inside a single Column tree, which Catalyst's
+    * OptimizeUpdateFields collapses to one `update_fields` node — the
+    * plan stays one projection wide no matter how many leaves change
+    * (asserted in PlanQualitySpec). Paths are dot-separated; the first
+    * segment names the root column, the rest the nested field (created
+    * if absent, per `withField`).
+    */
+  def patchFields(df: DataFrame, updates: Seq[(String, Column)]): DataFrame = {
+    val byRoot = updates.zipWithIndex
+      .groupBy(_._1._1.split("\\.", 2)(0))
+      .toSeq.sortBy(_._2.head._2) // keep first-seen root order deterministic
+    byRoot.foldLeft(df) { case (d, (root, ups)) =>
+      val patched = ups.map(_._1).foldLeft(col(root)) { case (c, (path, v)) =>
+        path.split("\\.", 2) match {
+          case Array(_, sub) => c.withField(sub, v)
+          case _             => v // bare root: replace wholesale
+        }
+      }
+      d.withColumn(root, patched)
+    }
+  }
 }

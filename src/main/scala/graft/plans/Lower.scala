@@ -635,8 +635,11 @@ object Lower {
     case Binary(op, l, r) => binop(op, l, r)
     case IfElse(c, t, f) =>
       when(truthy(colExpr(c), c), colExpr(t)).otherwise(colExpr(f))
-    case TryElse(body, default) => // null → default (errors → null under non-ANSI)
-      coalesce(colExpr(body), colExpr(default))
+    case TryElse(body, default) =>
+      // reference semantics: null OR evaluation error → default.
+      // TryOrNull absorbs the error half (ANSI division/cast failures)
+      // inside codegen; coalesce handles the null half.
+      coalesce(graft.functions.TryOrNull(colExpr(body)), colExpr(default))
     case FString(parts) =>
       concat(parts.map {
         case FPart.Text(s)          => lit(s)

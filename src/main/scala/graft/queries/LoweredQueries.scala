@@ -166,6 +166,19 @@ object LoweredQueries extends QueryGroup {
     lower(s, d, "$.events.pivot(user_id, event_type, value)").orderBy("user_id")
   }
 
+  /** `try body else default` through the compiler — the body's ANSI
+    * division-by-zero is CAUGHT by the TryOrNull expression (not merely
+    * null-coalesced): event_ids divisible by 7 raise, and the else arm
+    * supplies -1. */
+  private val tryL = q(
+    "q_lower_try",
+    """SELECT event_id AS id,
+      |  COALESCE(100.0 / NULLIF(CAST(event_id % 7 AS DOUBLE), 0), -1) AS safe
+      |FROM events ORDER BY id""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events.map({id: event_id, safe: try (100 / (event_id % 7)) else -1}).sort_by(id)")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
-    lastN, nth0, rollingSum, pct, pivotL)
+    lastN, nth0, rollingSum, pct, pivotL, tryL)
 }

@@ -70,4 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getAs[Number](2).longValue <= 4))
   }
+
+  test("bucket cap keeps a degenerate hot bucket sub-quadratic") {
+    import spark.implicits._
+    // 400 identical documents — every band hashes them into ONE bucket,
+    // so uncapped candidate generation is C(400,2) * 4 bands ≈ 320k rows
+    val hot = (0L until 400L).map(i => (i, "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+      .union(Seq((1000L, "an unrelated document about spark joins"),
+                 (1001L, "another unrelated document about parquet")).toDF("doc_id", "text"))
+    val capped = Dedup.minhashNearDups(
+      hot, "doc_id", "text", minJaccard = 0.5, maxBucket = 10)
+    val pairs = capped.collect()
+    // pair volume is bounded by the cap, not the cluster size …
+    assert(pairs.length <= 10 * 9 / 2, s"cap leaked: ${pairs.length} pairs")
+    // … while the retained prefix still detects the duplication
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // and the capped banded relation never exceeds maxBucket per bucket
+    val banded = Dedup.capBuckets(
+      Dedup.withSignature(hot, "doc_id", "text")
+        .select(col("id"), org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.array(
+            (0 until 4).map(b => org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.lit(b), col("sig"))): _*))
+          .as(Seq("band", "bucket"))), "id", 10)
+      .groupBy("band", "bucket").count()
+    assert(banded.agg(max("count")).collect()(0).getLong(0) <= 10)
+  }
 }

@@ -194,6 +194,25 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("try/else catches evaluation errors in the lowered path") {
+    // n_nationkey % 5 == 0 divides by zero — ANSI raises, try absorbs
+    val e = "$.nation.map({k: n_nationkey, safe: try (10 / (n_nationkey % 5)) else -1}).sort_by(k)"
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).doubleValue))
+      .toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong,
+         JValue.asNum(jexpr.Interp.fieldOf(o, "safe")).get)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp)
+    assert(got.filter(_._1 % 5 == 0).forall(_._2 == -1.0))
+  }
+
   test("pivot lowers to a native Spark pivot") {
     val df = graft.plans.Lower.compile(
       "$.nation.pivot(n_regionkey, n_name, n_nationkey)",

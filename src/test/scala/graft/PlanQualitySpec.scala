@@ -105,4 +105,36 @@ class PlanQualitySpec extends SparkSpec {
     // sits ABOVE the join in the plan string, not below it
     assert(!afterJoin.contains("Exchange hashpartitioning"), afterJoin)
   }
+
+  test("chained struct patches fuse to a single update_fields rewrite") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "nation").select(
+      col("n_nationkey"),
+      struct(col("n_name").as("name"),
+        struct(col("n_regionkey").as("rk")).as("geo")).as("s"))
+    // fused = at most one update_fields node (Catalyst often collapses
+    // all the way to a single named_struct — zero update_fields) and NO
+    // stacked per-patch projections: just the struct build + one rewrite
+    def assertFused(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert("update_fields".r.findAllIn(plan).length <= 1, plan)
+      assert("(?m)^\\s*\\+?-? ?Project".r.findAllIn(plan).length <= 2, plan)
+    }
+    // the batched patch API: many leaves, one rewrite
+    val batched = graft.ops.StructOps.patchFields(base, Seq(
+      "s.name" -> upper(col("s.name")),
+      "s.geo.rk" -> (col("s.geo.rk") * 10),
+      "s.flag" -> lit(true)))
+    assertFused(batched)
+    // and even a NAIVE chain of separate withColumn patches must fuse
+    // (CollapseProject + OptimizeUpdateFields — the §4.5 contract)
+    val naive = base
+      .withColumn("s", col("s").withField("name", upper(col("s.name"))))
+      .withColumn("s", col("s").withField("geo.rk", col("s.geo.rk") * 10))
+      .withColumn("s", col("s").withField("flag", lit(true)))
+    assertFused(naive)
+    // semantics: both shapes produce identical rows
+    assert(batched.orderBy("n_nationkey").collect().toSeq ==
+      naive.orderBy("n_nationkey").collect().toSeq)
+  }
 }
