@@ -642,11 +642,9 @@ object Lower {
       coalesce(graft.functions.TryOrNull(colExpr(body)), colExpr(default))
     case FString(parts) =>
       concat(parts.map {
-        case FPart.Text(s)          => lit(s)
-        case FPart.Interp(x, None)  => displayCol(colExpr(x))
-        case FPart.Interp(x, Some(f)) if f.startsWith(".") && f.endsWith("f") =>
-          format_number(colExpr(x).cast("double"), f.substring(1, f.length - 1).toInt)
-        case FPart.Interp(_, Some(f)) => bail(s"format spec $f")
+        case FPart.Text(s)            => lit(s)
+        case FPart.Interp(x, None)    => displayCol(colExpr(x))
+        case FPart.Interp(x, Some(f)) => fmtSpec(x, f)
       }: _*)
     case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
     case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)
@@ -711,6 +709,55 @@ object Lower {
   private def a0OrSecond(args: Vector[Arg]): Column = colExpr(argE(args, 1))
 
   private def displayCol(c: Column): Column = c.cast("string")
+
+  /** f-string format specs, matching the interpreter's subset
+    * (Interp.applyFmtSpec; reference vm/exec.rs:3112-3143): `.Nf`,
+    * `d`, `>N`, `<N`, `^N`, `0N`. `format_string` is Java's Formatter —
+    * the same engine the interpreter uses, so `.Nf` rounds and renders
+    * identically (NOT `format_number`, which inserts grouping commas).
+    * Pads never truncate (the interpreter's pad is a no-op when the
+    * string is already wide enough). */
+  private def fmtSpec(x: Expr, f: String): Column = {
+    val c = colExpr(x)
+    def disp = displayCol(c)
+    def padded(w: Int)(build: (Column, Column) => Column): Column = {
+      val s = disp
+      when(length(s) >= w, s).otherwise(build(s, length(s)))
+    }
+    if (f.startsWith(".") && f.endsWith("f") &&
+        f.substring(1, f.length - 1).forall(_.isDigit) && f.length > 2) {
+      format_string(s"%$f", c.cast("double"))
+    } else if (f == "d") {
+      kindOf(x) match {
+        case Kind.Num => c.cast("long").cast("string")
+        case _        => disp
+      }
+    } else if ((f.startsWith(">") || f.startsWith("<") || f.startsWith("^")) &&
+               f.drop(1).toIntOption.isDefined) {
+      val w = f.drop(1).toInt
+      f.head match {
+        case '>' => padded(w)((s, _) => lpad(s, w, " "))
+        case '<' => padded(w)((s, _) => rpad(s, w, " "))
+        case _ => padded(w) { (s, len) =>
+          // left pad = floor((w - len) / 2), remainder goes right
+          val target = (len + ((lit(w) - len) / lit(2)).cast("int")).cast("int")
+          rpad(call_function("lpad", s, target, lit(" ")), w, " ")
+        }
+      }
+    } else if (f.startsWith("0") && f.drop(1).toIntOption.isDefined) {
+      if (isIntegral(x)) padded(f.drop(1).toInt)((s, _) => lpad(s, f.drop(1).toInt, "0"))
+      else if (kindOf(x) != Kind.Unknown) disp // interpreter zero-pads ints only
+      else bail(s"format spec $f on untyped operand")
+    } else disp
+  }
+
+  private def isIntegral(e: Expr): Boolean = e match {
+    case Lit(JInt(_)) => true
+    case _ => dtOf(e).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+  }
 
   private def binop(op: String, lE: Expr, rE: Expr): Column = {
     lazy val l = colExpr(lE)

@@ -142,6 +142,33 @@ object ArraySetQueries extends QueryGroup {
     o.join(c, "rn").select("rn", "o_orderkey", "c_custkey").orderBy("rn")
   }
 
+  /** `zip_longest(other)` — M:166-167: positional pairing padded with
+    * nulls past the shorter side — the zip_tables shape with a FULL
+    * outer join on the positional key. */
+  private val zipLongest = q(
+    "q_zip_longest",
+    """WITH o AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |           FROM orders LIMIT 10),
+      |     c AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |           FROM customer LIMIT 6)
+      |SELECT COALESCE(o.rn, c.rn) AS rn, o_orderkey, c_custkey
+      |FROM o FULL JOIN c USING (rn)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(wo)).drop("o_totalprice")
+    val c = Tables.customer(s, d)
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(6)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(wc)).drop("c_acctbal")
+    o.join(c, Seq("rn"), "full_outer")
+      .select("rn", "o_orderkey", "c_custkey").orderBy("rn")
+  }
+
   /** `diff` (set difference) — M:136-137: nations having customers but
     * no suppliers. */
   private val setExcept = q(
@@ -209,5 +236,5 @@ object ArraySetQueries extends QueryGroup {
 
   def defs = Seq(
     slice0, flatMap0, remove0, compact0, membership, zipDot, zipTables,
-    setExcept, setIntersect, setUnion, crossJoin, try0)
+    zipLongest, setExcept, setIntersect, setUnion, crossJoin, try0)
 }

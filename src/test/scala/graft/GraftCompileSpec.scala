@@ -194,6 +194,19 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("f-string format specs lower and match the interpreter") {
+    val e = """$.supplier.sort_by(s_suppkey).take(5).map(
+              |  f"{s_acctbal:.2f}|{s_suppkey:d}|{s_name:>14}|{s_name:<14}|{s_name:^14}|{s_suppkey:05}")""".stripMargin
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getString(0)).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { case jexpr.JStr(s) => s; case o => fail(s"$o") }
+      case other          => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("try/else catches evaluation errors in the lowered path") {
     // n_nationkey % 5 == 0 divides by zero — ANSI raises, try absorbs
     val e = "$.nation.map({k: n_nationkey, safe: try (10 / (n_nationkey % 5)) else -1}).sort_by(k)"
