@@ -130,31 +130,45 @@ object Lower {
   /** `group_by(k).transform_values(lambda v: v.<agg>(field))` — the
     * reference's group-then-aggregate idiom (SYNTAX.md full examples) —
     * fuses into `groupBy(k).agg(...)`: one shuffle with map-side partial
-    * aggregation, never materialising per-group arrays. */
+    * aggregation, never materialising per-group arrays. The lambda body
+    * may also be a SHAPE of aggregates (`{total: v.sum(x), n: v.count()}`)
+    * — each field fuses into the same single-shuffle agg. */
   private def groupAgg(
       df: DataFrame, kArgs: Vector[Arg], tvArgs: Vector[Arg]): Option[DataFrame] = {
     val key = kArgs match {
       case Vector(Arg(_, Ident(k))) => k
       case _                        => return None
     }
-    tvArgs match {
-      case Vector(Arg(_, Lambda(Vector(v), Chain(Ident(ref), Vector(Step.Method(agg, aArgs))))))
-          if ref == v =>
+    def aggOf(v: String, body: Expr): Option[Column] = body match {
+      case Chain(Ident(ref), Vector(Step.Method(agg, aArgs))) if ref == v =>
         val target: Option[Column] = aArgs match {
           case Vector(Arg(_, e)) => Some(colExpr(e))
           case Vector()          => None
           case _                 => return None
         }
-        val aggCol = agg match {
-          case "sum"   => target.map(t => coalesce(sum(t), lit(0))).getOrElse(return None)
-          case "avg" | "mean" => target.map(avg).getOrElse(return None)
-          case "min"   => target.map(min).getOrElse(return None)
-          case "max"   => target.map(max).getOrElse(return None)
-          case "count" => count(lit(1))
-          case "len"   => count(lit(1))
-          case _       => return None
+        agg match {
+          case "sum"          => target.map(t => coalesce(sum(t), lit(0)))
+          case "avg" | "mean" => target.map(avg)
+          case "min"          => target.map(min)
+          case "max"          => target.map(max)
+          case "count" | "len" => Some(count(lit(1)))
+          case _              => None
         }
-        Some(df.groupBy(col(key).as("key")).agg(aggCol.as("value")))
+      case _ => None
+    }
+    tvArgs match {
+      case Vector(Arg(_, Lambda(Vector(v), ObjLit(fields)))) =>
+        val cols = fields.map {
+          case ObjField.KV(Lit(JStr(k)), body, None) =>
+            aggOf(v, body).map(_.as(k)).getOrElse(return None)
+          case ObjField.KV(Ident(k), body, None) =>
+            aggOf(v, body).map(_.as(k)).getOrElse(return None)
+          case _ => return None
+        }
+        Some(df.groupBy(col(key).as("key")).agg(cols.head, cols.tail: _*))
+      case Vector(Arg(_, Lambda(Vector(v), body))) =>
+        aggOf(v, body).map(a =>
+          df.groupBy(col(key).as("key")).agg(a.as("value")))
       case _ => None
     }
   }

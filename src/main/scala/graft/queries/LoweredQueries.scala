@@ -166,6 +166,22 @@ object LoweredQueries extends QueryGroup {
     lower(s, d, "$.events.pivot(user_id, event_type, value)").orderBy("user_id")
   }
 
+  /** Shaped group aggregate through the compiler: a lambda whose body
+    * is an object of aggregates fuses into ONE groupBy().agg() — single
+    * shuffle, map-side partials for every lane. */
+  private val groupShapeL = q(
+    "q_lower_group_shape",
+    """SELECT o_orderpriority AS key,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
+      |  COUNT(*) AS n,
+      |  MAX(o_totalprice) AS hi
+      |FROM orders GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.orders.group_by(o_orderpriority).transform_values(
+        |  lambda v: {total: v.sum(o_orderkey), n: v.count(), hi: v.max(o_totalprice)})""".stripMargin)
+      .orderBy("key")
+  }
+
   /** `try body else default` through the compiler — the body's ANSI
     * division-by-zero is CAUGHT by the TryOrNull expression (not merely
     * null-coalesced): event_ids divisible by 7 raise, and the else arm
@@ -180,5 +196,5 @@ object LoweredQueries extends QueryGroup {
   }
 
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
-    lastN, nth0, rollingSum, pct, pivotL, tryL)
+    groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL)
 }

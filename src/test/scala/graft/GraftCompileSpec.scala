@@ -194,6 +194,35 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shaped group aggregate fuses and matches the interpreter") {
+    val e = """$.nation.group_by(n_regionkey).transform_values(
+              |  lambda v: {total: v.sum(n_nationkey), n: v.count()})""".stripMargin
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect()
+      .map(r => r.getAs[Number]("key").longValue ->
+        (r.getAs[Number]("total").longValue, r.getAs[Number]("n").longValue))
+      .toMap
+    val exp = docAnswer(e) match {
+      case jexpr.JObj(fs) => fs.map { case (k, o) =>
+        k.toLong -> (
+          JValue.asNum(jexpr.Interp.fieldOf(o, "total")).get.toLong,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n")).get.toLong)
+      }.toMap
+      case other => fail(s"expected object, got ${other.kind}")
+    }
+    assert(got == exp && got.size == 5)
+    // single shuffle: one partial+final HashAggregate pair around one
+    // Exchange (AQE prints final + initial — inspect the final section)
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert("HashAggregate".r.findAllIn(plan).length == 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("f-string format specs lower and match the interpreter") {
     val e = """$.supplier.sort_by(s_suppkey).take(5).map(
               |  f"{s_acctbal:.2f}|{s_suppkey:d}|{s_name:>14}|{s_name:<14}|{s_name:^14}|{s_suppkey:05}")""".stripMargin
