@@ -286,9 +286,18 @@ object Lower {
     case Step.MapShape(pred, shape) =>
       val kept = pred.fold(st.df)(p => st.df.filter(predIn(st.df, p)))
       St(project(kept, shape))
+    case Step.Slice(Some(a), None) if a < 0 && st.order.nonEmpty =>
+      // suffix slice [-n:] == last(n): reversed-order top-k (bounded
+      // heap), re-sorted forward — needs the active explicit order
+      val cl = new ColLower(Some(st.df.schema))
+      def ord(flip: Boolean) = st.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d ^ flip) c.desc else c.asc
+      }
+      St(st.df.orderBy(ord(flip = true): _*).limit((-a).toInt)
+        .orderBy(ord(flip = false): _*), st.order)
     case Step.Slice(from, to) => // [a:b] on an ordered source
       val a = from.getOrElse(0L)
-      if (a < 0 || to.exists(_ < 0)) bail("negative slice on a table")
+      if (a < 0 || to.exists(_ < 0)) bail("negative slice on a table without a sort")
       val shifted = if (a > 0) st.df.offset(a.toInt) else st.df
       // open-ended [a:] is offset only — no limit (a Long.MaxValue
       // sentinel truncated to Int flips negative)
@@ -319,6 +328,16 @@ object Lower {
     // through as hidden columns, so order-dependent ops downstream
     // (rolling_*, lag, last…) can still sort by them
     if (name == "map" && st.order.nonEmpty) return mapOrdered(st, args)
+    if (name == "reverse") {
+      // sequence reversal = flip the active explicit order (M:34-35)
+      if (st.order.isEmpty) bail("reverse on unordered table (sort explicitly)")
+      val flipped = st.order.map { case (e, d) => (e, !d) }
+      val cl = new ColLower(Some(st.df.schema))
+      val cols = flipped.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d) c.desc else c.asc
+      }
+      return St(st.df.orderBy(cols: _*), flipped)
+    }
     val eff = if (orderSensitive(name)) st else St(stripHidden(st.df), st.order)
     val lowered = methodDf(eff, name, args, resolve)
     name match {

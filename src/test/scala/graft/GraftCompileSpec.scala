@@ -194,6 +194,21 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reverse and suffix slice lower on the active order") {
+    def runIds(e: String): Vector[Long] = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(runIds("$.nation.sort_by(n_nationkey).reverse().map(n_nationkey).first(3)")
+      == Vector(24L, 23L, 22L))
+    assert(runIds("$.nation.sort_by(n_nationkey)[-3:].map(n_nationkey)")
+      == Vector(22L, 23L, 24L))
+    assert(runIds("$.nation.sort_by(-n_nationkey)[-2:].map(n_nationkey)")
+      == Vector(1L, 0L))
+    // without an explicit order both still fall back to doc mode
+    assert(!Graft.lowers(spark, sfDir, "$.nation[-3:]"))
+    assert(!Graft.lowers(spark, sfDir, "$.nation.reverse()"))
+  }
+
   test("shaped group aggregate fuses and matches the interpreter") {
     val e = """$.nation.group_by(n_regionkey).transform_values(
               |  lambda v: {total: v.sum(n_nationkey), n: v.count()})""".stripMargin
