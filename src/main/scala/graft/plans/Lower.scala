@@ -73,7 +73,80 @@ object Lower {
       indexJoin(idxName, idxInit, body, resolve)
     case Comp(CompKind.List | CompKind.Gen, keyE, None, clauses, cond) =>
       comprehension(keyE, clauses, cond, resolve)
+    case Patch(target, fields) => patchTable(target, fields, resolve)
     case other => bail(s"not a rooted pipeline: $other")
+  }
+
+  /** Relational patch blocks (SURVEY §2.9 / §4.5): `patch $
+    * { table[*].path: value when cond }` compiles to per-row column
+    * rewrites — `withColumn`/`withField` with the guard folded into a
+    * CASE that keeps the old leaf, `@` bound to the old leaf column,
+    * and DELETE mapped to drop/dropFields. Entire patch stays one
+    * projection (OptimizeUpdateFields fuses the chains — asserted in
+    * PlanQualitySpec). Paths that iterate anything but table rows
+    * (`[n]`, `..f`) or conditionally DELETE fall back to doc mode.
+    */
+  private def patchTable(
+      target: Expr, fields: Vector[PatchField],
+      resolve: String => DataFrame): DataFrame = {
+    // `patch $ {t[*]...}` — every path names the same table first;
+    // `patch $.t {[*]...}` — the target chain IS the table.
+    val (df0, rowPaths): (DataFrame, Vector[PatchField]) = target match {
+      case Root =>
+        val tables = fields.map(_.path.headOption match {
+          case Some(PatchStep.Field(t)) => t
+          case other                    => bail(s"patch path must start at a table, got $other")
+        }).distinct
+        tables match {
+          case Vector(t) => (resolve(t), fields.map(f => f.copy(path = f.path.tail)))
+          case ts        => bail(s"patch over multiple tables: $ts")
+        }
+      case c @ Chain(Root, _) => (compileAst(c, resolve), fields)
+      case other              => bail(s"patch target $other")
+    }
+    rowPaths.foldLeft(df0) { (df, f) =>
+      val (rowGuard, steps) = f.path.toList match {
+        case PatchStep.Wild :: rest        => (None, rest)
+        case PatchStep.WildIf(p) :: rest   => (Some(p), rest)
+        case other => bail(s"patch path must iterate rows with [*], got $other")
+      }
+      val names = steps.map {
+        case PatchStep.Field(n) => n
+        case s                  => bail(s"patch step $s")
+      }
+      if (names.isEmpty) bail("patch must name a field")
+      val dotted = names.mkString(".")
+      val oldLeaf = col(dotted)
+      val cl = new ColLower(Some(df.schema), current = Some(oldLeaf))
+      val rowCl = new ColLower(Some(df.schema))
+      def guardCol: Option[Column] = {
+        val whenG = f.when.map(w => cl.truthy(cl.colExpr(w), w))
+        val rowG = rowGuard.map(p => rowCl.truthy(rowCl.colExpr(p), p))
+        (whenG ++ rowG).reduceOption(_ && _)
+      }
+      f.value match {
+        case None => // DELETE — unconditional only (a column either exists or not)
+          if (f.when.isDefined || rowGuard.isDefined)
+            bail("conditional DELETE on a table")
+          if (names.length == 1) df.drop(names.head)
+          else df.withColumn(names.head,
+            col(names.head).dropFields(names.tail.mkString(".")))
+        case Some(v) =>
+          val newV = v match {
+            case Lambda(Vector(p), body) => // lambda applies to the old leaf
+              cl.colExpr(rewrite(body) {
+                case Ident(`p`)              => Current
+                case Chain(Ident(`p`), rest) => Chain(Current, rest)
+              })
+            case e => cl.colExpr(e)
+          }
+          val finalV = guardCol.fold(newV)(g =>
+            when(coalesce(g, lit(false)), newV).otherwise(oldLeaf))
+          if (names.length == 1) df.withColumn(names.head, finalV)
+          else df.withColumn(names.head,
+            col(names.head).withField(names.tail.mkString("."), finalV))
+      }
+    }
   }
 
   /** Comprehension lowering (SURVEY §2.3 "cross join via nested
@@ -652,15 +725,20 @@ object Lower {
     * of the plan the expression runs against. Bare identifiers are row
     * fields; `@` is not addressable at the row level (only inside
     * higher-order args, unsupported here → fallback). */
-  private final class ColLower(schema: Option[org.apache.spark.sql.types.StructType]) {
+  private final class ColLower(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      current: Option[Column] = None) {
     import org.apache.spark.sql.types._
 
     def colExpr(e: Expr): Column = e match {
     case Ident(n)  => col(n)
     case Lit(v)    => litOf(v)
-    case Current   => bail("`@` has no relational meaning at row scope")
+    case Current   =>
+      current.getOrElse(bail("`@` has no relational meaning at row scope"))
     case Chain(Ident(n), steps) => fieldChain(col(n), n, steps)
-    case Chain(Current, steps)  => bail("`@`-rooted chain at row scope")
+    case Chain(Current, steps)  =>
+      current.map(fieldChain(_, "@", steps))
+        .getOrElse(bail("`@`-rooted chain at row scope"))
     case Unary("-", x)   => negate(colExpr(x))
     // `not` is null-sensitive: jetro not(falsy-null) = true, but SQL
     // NOT null = null — force two-valued before negating

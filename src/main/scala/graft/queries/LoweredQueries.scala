@@ -195,6 +195,17 @@ object LoweredQueries extends QueryGroup {
       "$.events.map({id: event_id, safe: try (100 / (event_id % 7)) else -1}).sort_by(id)")
   }
 
+  /** Patch block through the compiler: per-row guarded rewrite of a
+    * column, `@` bound to the old leaf — one projection, no UDF. */
+  private val patchL = q(
+    "q_lower_patch",
+    """SELECT event_id,
+      |  CASE WHEN value < 100 THEN value * 2 ELSE value END AS value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    lower(s, d, "patch $ { events[*].value: @ * 2 when @ < 100 }")
+      .select("event_id", "value").orderBy("event_id")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
-    groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL)
+    groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL)
 }

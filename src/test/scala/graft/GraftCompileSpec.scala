@@ -194,6 +194,36 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("patch blocks lower to guarded column rewrites") {
+    val e = """patch $ { nation[*].n_regionkey: @ * 10 when @ > 2, nation[*].tag: "x" }"""
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        (r.getAs[Number]("n_regionkey").longValue, r.getAs[String]("tag")))
+      .toMap
+    // same patch through the interpreter over the packed document
+    val rows = graft.core.Tables(spark, sfDir, "nation").toJSON.collect()
+    val doc = JValue.parse(s"""{"nation": [${rows.mkString(",")}]}""")
+    val exp = Jetro.compile(e).evalValue(doc) match {
+      case jexpr.JObj(fs) => fs("nation") match {
+        case jexpr.JArr(xs) => xs.map { o =>
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong -> (
+            JValue.asNum(jexpr.Interp.fieldOf(o, "n_regionkey")).get.toLong,
+            jexpr.Interp.fieldOf(o, "tag") match { case jexpr.JStr(s) => s; case _ => null })
+        }.toMap
+        case other => fail(s"expected array, got ${other.kind}")
+      }
+      case other => fail(s"expected object, got ${other.kind}")
+    }
+    assert(got == exp && got.size == 25)
+    // DELETE drops the column
+    val dropped = graft.plans.Lower
+      .compile("patch $ { nation[*].n_name: DELETE }",
+        t => graft.core.Tables(spark, sfDir, t))
+    assert(!dropped.columns.contains("n_name"))
+  }
+
   test("reverse and suffix slice lower on the active order") {
     def runIds(e: String): Vector[Long] = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))
