@@ -127,18 +127,59 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
-  /** IVF: nlist coarse centroids = the first nlist corpus vectors (a
-    * deterministic quantizer for testing; swap for trained centroids in
-    * production). Returns per-query top-k searching only the nprobe
-    * nearest clusters. */
+  /** Lloyd-iteration k-means centroids, DataFrame-native: seed with the
+    * first `nlist` corpus vectors (deterministic), then `iters` rounds
+    * of assign (broadcast-centroid argmax-cosine) + recompute
+    * (per-dimension mean via posexplode → groupBy(cluster, dim) —
+    * partial-aggregable, one shuffle per round, never collects
+    * vectors to the driver beyond the nlist centroids themselves).
+    * At 100 TB: train on a sample (`corpus.sample(...)`), the round
+    * cost is a corpus scan + a (nlist×dim)-row aggregate. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cents = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("cid"))
+        .orderBy(col("csim").desc, col("centroid_id"))
+      val assigned = vecs
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", round(cosine(corpus, "cv", "centv"), 4))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("cid"), col("cv"), col("centroid_id"))
+      cents = assigned
+        .select(col("centroid_id"),
+          posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("centv"))
+    }
+    cents
+  }
+
+  /** IVF: `nlist` coarse centroids — trained by [[kmeansCentroids]]
+    * when `trainIters > 0`, else the first nlist corpus vectors (the
+    * deterministic zero-cost quantizer). Returns per-query top-k
+    * searching only the nprobe nearest clusters. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val cents =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else corpus
+        .orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
     // assign: argmax cosine against broadcast centroids
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("centroid_id"))
     val assigned = corpus

