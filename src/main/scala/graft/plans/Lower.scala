@@ -212,20 +212,39 @@ object Lower {
       case Vector(Arg(_, Ident(k))) => k
       case _                        => return None
     }
+    val cl = new ColLower(Some(df.schema))
+    def aggFn(agg: String, target: Option[Column]): Option[Column] =
+      agg match {
+        case "sum"          => target.map(t => coalesce(sum(t), lit(0)))
+        case "avg" | "mean" => target.map(avg)
+        case "min"          => target.map(min)
+        case "max"          => target.map(max)
+        case "count" | "len" => Some(count(lit(1)))
+        case _              => None
+      }
     def aggOf(v: String, body: Expr): Option[Column] = body match {
       case Chain(Ident(ref), Vector(Step.Method(agg, aArgs))) if ref == v =>
         val target: Option[Column] = aArgs match {
-          case Vector(Arg(_, e)) => Some(colExpr(e))
+          case Vector(Arg(_, e)) => Some(cl.colExpr(e))
           case Vector()          => None
           case _                 => return None
         }
-        agg match {
-          case "sum"          => target.map(t => coalesce(sum(t), lit(0)))
-          case "avg" | "mean" => target.map(avg)
-          case "min"          => target.map(min)
-          case "max"          => target.map(max)
-          case "count" | "len" => Some(count(lit(1)))
-          case _              => None
+        aggFn(agg, target)
+      // `v.map(expr).agg()` — the map lane becomes the agg target
+      case Chain(Ident(ref), Vector(
+            Step.Method("map", Vector(Arg(_, m))),
+            Step.Method(agg, Vector()))) if ref == v =>
+        aggFn(agg, Some(cl.colExpr(m)))
+      // `v.filter(p).count()` / `v.filter(p).<agg>(x)` — conditional agg
+      case Chain(Ident(ref), Vector(
+            Step.Method("filter" | "where", Vector(Arg(_, p))),
+            Step.Method(agg, aArgs))) if ref == v =>
+        val cond = cl.truthy(cl.colExpr(p), p)
+        aArgs match {
+          case Vector(Arg(_, e)) => aggFn(agg, Some(when(cond, cl.colExpr(e))))
+          case Vector() if agg == "count" || agg == "len" =>
+            Some(count(when(coalesce(cond, lit(false)), lit(1))))
+          case _ => None
         }
       case _ => None
     }

@@ -268,6 +268,26 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("map/filter lanes inside group aggregates fuse and match") {
+    val e = """$.nation.group_by(n_regionkey).transform_values(
+              |  lambda v: {doubled: v.map(n_nationkey * 2).sum(),
+              |             high: v.filter(n_nationkey > 10).count()})""".stripMargin
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect()
+      .map(r => r.getAs[Number]("key").longValue ->
+        (r.getAs[Number]("doubled").longValue, r.getAs[Number]("high").longValue))
+      .toMap
+    val exp = docAnswer(e) match {
+      case jexpr.JObj(fs) => fs.map { case (k, o) =>
+        k.toLong -> (
+          JValue.asNum(jexpr.Interp.fieldOf(o, "doubled")).get.toLong,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "high")).get.toLong)
+      }.toMap
+      case other => fail(s"expected object, got ${other.kind}")
+    }
+    assert(got == exp && got.size == 5)
+  }
+
   test("f-string format specs lower and match the interpreter") {
     val e = """$.supplier.sort_by(s_suppkey).take(5).map(
               |  f"{s_acctbal:.2f}|{s_suppkey:d}|{s_name:>14}|{s_name:<14}|{s_name:^14}|{s_suppkey:05}")""".stripMargin
