@@ -648,10 +648,16 @@ object Lower {
       // key-range filter. Rows tied with the cut key are cut with it,
       // which is the only deterministic reading under key ties.
       if (st.order.isEmpty) bail(s"$name without an explicit sort")
-      if (st.order.length != 1) bail(s"$name over a composite sort")
-      val (keyE, desc) = st.order.head
+      // composite sorts work through a lexicographic struct key, but
+      // only when every key shares one direction (struct comparison
+      // can't mix asc/desc)
+      val dirs = st.order.map(_._2).distinct
+      if (dirs.length != 1) bail(s"$name over a mixed-direction sort")
+      val desc = dirs.head
       val cl = new ColLower(Some(df.schema))
-      val keyC = cl.colExpr(keyE)
+      val keyC =
+        if (st.order.length == 1) cl.colExpr(st.order.head._1)
+        else struct(st.order.map(o => cl.colExpr(o._1)): _*)
       val pred = cl.truthy(cl.colExpr(argE(args, 0)), argE(args, 0))
       // a null predicate is falsy → that row is a cut candidate
       val failKey = when(!coalesce(pred, lit(false)), keyC)

@@ -124,6 +124,16 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     // descending order flips the cut direction
     val desc = """$.nation.sort_by(-n_nationkey).take_while(n_nationkey > 20).map(n_nationkey)"""
     assert(run(desc) == Vector(24L, 23L, 22L, 21L))
+    // composite same-direction sort cuts on the lexicographic struct key
+    val comp2 = """$.nation.sort_by(n_regionkey, n_nationkey).take_while(n_regionkey < 2).map(n_nationkey)"""
+    val expComp = docAnswer(comp2) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other          => fail(s"expected array, got ${other.kind}")
+    }
+    assert(run(comp2) == expComp && expComp.length == 10)
+    // mixed directions can't struct-compare → doc fallback
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.sort_by(n_regionkey, -n_nationkey).take_while(n_regionkey < 2)"))
     // and without a sort in force it must NOT lower
     assert(!Graft.lowers(spark, sfDir, "$.nation.take_while(n_nationkey < 7)"))
   }
