@@ -6,9 +6,13 @@ import Expr._
 final class EvalException(msg: String) extends RuntimeException(msg)
 
 /** Evaluation environment: `$` root, `@` current, lexical bindings. */
-final case class Env(root: JValue, current: JValue, vars: Map[String, JValue]) {
+final case class Env(root: JValue, current: JValue, vars: Map[String, JValue],
+    rootAliases: Set[String] = Set.empty) {
   def withCurrent(c: JValue): Env = copy(current = c)
-  def bind(n: String, v: JValue): Env = copy(vars = vars + (n -> v))
+  def bind(n: String, v: JValue): Env =
+    copy(vars = vars + (n -> v), rootAliases = rootAliases - n)
+  def bindRootAlias(n: String, v: JValue): Env =
+    copy(vars = vars + (n -> v), rootAliases = rootAliases + n)
 }
 
 /** Tree-walk evaluator for document mode — the semantic anchor,
@@ -43,7 +47,16 @@ object Interp {
       })
     case ObjLit(fields) => evalObjLit(fields, env)
     case Let(binds, body) =>
-      val env2 = binds.foldLeft(env) { case (acc, (n, init)) => acc.bind(n, eval(init, acc)) }
+      val env2 = binds.foldLeft(env) { case (acc, (n, init)) =>
+        val v = eval(init, acc)
+        // an init that is itself a root write yields the post-init root
+        // doc — mark the binding so body chain-writes against it lift,
+        // and roll `$` forward so root reads/writes in the body observe
+        // the post-init state (patch_fusion_soundness.rs
+        // let_alias_to_root_then_chain_write_via_root_fuses)
+        if (isRootWrite(init, acc)) acc.bindRootAlias(n, v).copy(root = v)
+        else acc.bind(n, v)
+      }
       eval(body, env2)
     case Comp(kind, keyE, valE, clauses, condE) => evalComp(kind, keyE, valE, clauses, condE, env)
     case GlobalCall(name, args) => globalCall(name, args, env)
@@ -51,15 +64,34 @@ object Interp {
       // `.set/.modify/.delete/.unset/.merge` desugar to a patch ONLY on
       // $-rooted chains (INDEPTH.md §10 "Rooted $.<path> chains") and
       // return the whole written document; non-rooted forms stay plain
-      // method calls (tier1_non_root_set_is_method_call).
-      val write = if (base == Root) chainWrite(base, steps, env) else None
+      // method calls (tier1_non_root_set_is_method_call). A let-bound
+      // name whose init was itself a root write aliases the post-init
+      // root doc, so chain-writes against it lift too
+      // (patch_fusion_soundness.rs let_aliases_root_and_fuses).
+      val liftable = base == Root || (base match {
+        case Ident(n) => env.rootAliases.contains(n)
+        case _        => false
+      })
+      val write = if (liftable) chainWrite(base, steps, env) else None
       write match {
         case Some((pf, rest)) =>
           val patched = PatchEval.apply(eval(base, env), Vector(pf), env)
           if (rest.isEmpty) patched else evalChain(patched, rest, env)
         case None => evalChain(eval(base, env), steps, env)
       }
-    case Pipe(base, steps)      => evalPipe(eval(base, env), steps, env)
+    case Pipe(base, steps) =>
+      // a pipeline of ≥2 chain-writes all against the SAME non-root
+      // binding fuses into one patch on that binding's value — the
+      // lambda-body write-fusion shape (patch_fusion_phase_e.rs); a
+      // single write keeps the v1 rhs-value semantics
+      fusedBindingWrites(base, steps, env).getOrElse {
+        val bv = eval(base, env)
+        // a root WRITE rolls the document forward: later stages' `$`
+        // is the patched doc (patch_fusion_soundness.rs
+        // three_chained_sets_apply_in_order)
+        val e1 = if (isRootWrite(base, env)) env.copy(root = bv) else env
+        evalPipe(bv, steps, e1)
+      }
     case Unary("-", x) => eval(x, env) match {
       case JInt(n)   => JInt(-n)
       case JFloat(f) => JFloat(-f)
@@ -117,6 +149,55 @@ object Interp {
       case _ => JNull
     }
   }
+
+  private def isWriteMethod(s: Step): Boolean = s match {
+    case Step.Method("set" | "modify", as)       => as.length == 1
+    case Step.Method("delete", as)               => as.isEmpty
+    case Step.Method("unset", as)                => as.length == 1
+    case Step.Method("merge" | "deep_merge", as) => as.nonEmpty
+    case _                                       => false
+  }
+
+  /** Does `e` evaluate to the (whole) patched root document? True for
+    * root-based chain-writes ending in the write and for patches whose
+    * target is the root (directly or through a root alias). Used to
+    * roll `$` forward across pipe stages and to mark let bindings. */
+  private def isRootWrite(e: Expr, env: Env): Boolean = e match {
+    case Chain(Root, steps) =>
+      steps.nonEmpty && isWriteMethod(steps.last)
+    case Chain(Ident(n), steps) if env.rootAliases.contains(n) =>
+      steps.nonEmpty && isWriteMethod(steps.last)
+    case Patch(Root, _)           => true
+    case Patch(Chain(Root, _), _) => true
+    case Patch(Ident(n), _)       => env.rootAliases.contains(n)
+    case _                        => false
+  }
+
+  /** Pipeline of ≥2 chain-writes, every stage against the SAME non-root
+    * binding: fuse into one patch batch on the binding's value and
+    * return the patched value (reference patch_fusion_phase_e.rs E1/E2).
+    * Anything else — a single write, a read between writes, mixed
+    * bases — returns None and keeps per-stage v1 semantics. */
+  private def fusedBindingWrites(
+      base: Expr, steps: Vector[PipeStep], env: Env): Option[JValue] =
+    base match {
+      case Chain(Ident(x), s0)
+          if env.vars.contains(x) && !env.rootAliases.contains(x) =>
+        val stageSteps = steps.map {
+          case PipeStep.Forward(Chain(Ident(`x`), s)) => s
+          case _                                      => return None
+        }
+        val all = s0 +: stageSteps
+        if (all.length < 2) return None
+        val pfs = all.map { s =>
+          chainWrite(Ident(x), s, env) match {
+            case Some((pf, rest)) if rest.isEmpty => pf
+            case _                                => return None
+          }
+        }
+        Some(PatchEval.apply(env.vars(x), pfs, env))
+      case _ => None
+    }
 
   /** Detects a chain-write method (`set(v)`, `modify(e)`, `delete()`,
     * `unset(k)`) whose preceding steps form a pure path, and returns the
@@ -244,7 +325,10 @@ object Interp {
              !Set("coalesce", "chain", "join", "zip", "zip_longest",
                   "product", "range", "to_string", "type_of", "len")(n) =>
         v = Builtins.call(n, v, args, e.withCurrent(v))
-      case PipeStep.Forward(expr0) => v = eval(expr0, e.withCurrent(v))
+      case PipeStep.Forward(expr0) =>
+        v = eval(expr0, e.withCurrent(v))
+        // a root write rolls `$` forward for the remaining stages
+        if (isRootWrite(expr0, e)) e = e.copy(root = v)
       case PipeStep.BindName(n)    => e = e.bind(n, v)
       case PipeStep.BindObj(names, rest) => v match {
         case JObj(fs) =>
