@@ -408,7 +408,8 @@ object Lower {
     "filter", "find", "find_all", "where", "take", "skip", "drop", "first",
     "take_while", "drop_while", "last", "nth",
     "rolling_sum", "rolling_avg", "rolling_min", "rolling_max",
-    "lag", "lead", "diff_window", "pct_change", "cum_max", "cum_min")
+    "lag", "lead", "diff_window", "pct_change", "cum_max", "cum_min",
+    "accumulate")
 
   private def stripHidden(df: DataFrame): DataFrame = {
     val hidden = df.columns.filter(_.startsWith("__ord_"))
@@ -588,6 +589,33 @@ object Lower {
         case _         => min(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
       }
       df.withColumn(vis(0), out)
+    case "accumulate" =>
+      // running fold — only the additive fold lowers (running sum over
+      // the active order, seeded by the optional init); other operators
+      // fall back to the interpreter
+      if (st.order.isEmpty) bail("accumulate without an explicit sort")
+      val ok = argE(args, 0) match {
+        case Lambda(Vector(a, x), Binary("+", Ident(l), Ident(r))) =>
+          (l == a && r == x) || (l == x && r == a)
+        case _ => false
+      }
+      if (!ok) bail("accumulate: only an additive lambda lowers")
+      val init: Column =
+        if (args.length < 2) lit(0L)
+        else argE(args, 1) match {
+          case Lit(JInt(n))   => lit(n)
+          case Lit(JFloat(x)) => lit(x)
+          case e              => bail(s"accumulate: unsupported init $e")
+        }
+      val clA = new ColLower(Some(df.schema))
+      val ordA = st.order.map { case (e, d) =>
+        val c = clA.colExpr(e); if (d) c.desc else c.asc
+      }
+      val visA = df.columns.filterNot(_.startsWith("__ord_"))
+      if (visA.length != 1) bail("accumulate needs a single-column sequence")
+      val wA = Window.orderBy(ordA: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn(visA(0), init + sum(col(visA(0))).over(wA))
     case "pivot" =>
       // pivot(row, col, val) → groupBy(row).pivot(col).agg(max(val));
       // pivot(col, val) → one wide row. Doc mode resolves duplicate

@@ -184,7 +184,9 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       "$.nation.sort_by(n_nationkey).map(n_nationkey).lead(1)",
       "$.nation.sort_by(n_nationkey).map(n_nationkey).diff_window()",
       "$.nation.sort_by(n_nationkey).map(n_nationkey).pct_change()",
-      "$.nation.sort_by(n_nationkey).map(n_nationkey).cum_max()")
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).cum_max()",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).accumulate(lambda a, x: a + x)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).accumulate(lambda a, x: a + x, 100)")
     exprs.foreach { e =>
       val got = graft.plans.Lower
         .compile(e, t => graft.core.Tables(spark, sfDir, t))

@@ -340,4 +340,15 @@ class JexprSpec extends AnyFunSuite {
   test("bind destructuring") {
     assert(run(store, "$.store.books[0] -> {id, price} | f\"{id}@{price}\"") == "\"b1@9.99\"")
   }
+
+  test("object shaping with embedded pipelines (kvplan_obj_shaping.rs)") {
+    val doc = """{"books": [{"title": "a", "price": 50}, {"title": "b", "price": 150},
+                 |{"title": "c", "price": 200}], "name": {"first": "alice"}}""".stripMargin
+    assert(run(doc,
+      """{expensive: $.books.filter(@.price > 100).map(@.title), first_name: $.name.first}""")
+      == """{"expensive":["b","c"],"first_name":"alice"}""")
+    val big = "{\"items\": [" + (0 until 1000).map(i => s"""{"v": $i}""").mkString(",") + "]}"
+    assert(run(big, """{first_two: $.items.filter(@.v > 100).map(@.v).take(2)}""")
+      == """{"first_two":[101,102]}""")
+  }
 }
