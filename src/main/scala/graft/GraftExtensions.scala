@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, TryOrNull}
 
 /** Spark session extension: makes the engine's native expressions
   * available to every session created with
@@ -29,5 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("try_or_null"),
+      new ExpressionInfo(classOf[TryOrNull].getName, "try_or_null"),
+      (exprs: Seq[Expression]) => TryOrNull(exprs(0))))
   }
 }
