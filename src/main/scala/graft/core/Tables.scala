@@ -17,6 +17,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // events needs its conf + ts normalisation on EVERY access path —
+    // generic resolvers (Lower's table resolver, the CLI) come through
+    // here, and without the reroute they'd only work if some earlier
+    // events accessor had already set the session conf
+    if (name == "events") events(spark, sfDir)
+    else raw(spark, sfDir, name)
+
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
@@ -35,7 +43,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
+    raw(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

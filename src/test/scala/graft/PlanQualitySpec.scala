@@ -106,6 +106,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!afterJoin.contains("Exchange hashpartitioning"), afterJoin)
   }
 
+  test("error-absorbing try stays inside whole-stage codegen") {
+    val df = graft.queries.Catalog.queries("q_lower_try")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen marks appear
+    val plan = executed(df).toString
+    // the TryOrNull expression sits inside a codegen'd (*-marked)
+    // projection — no interpreted-eval fallback in the hot path
+    assert(plan.linesIterator.exists(l =>
+      l.contains("try_or_null") && l.contains("*(")), plan)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
