@@ -195,6 +195,19 @@ object LoweredQueries extends QueryGroup {
       "$.events.map({id: event_id, safe: try (100 / (event_id % 7)) else -1}).sort_by(id)")
   }
 
+  /** `accumulate(+)` through the compiler — seeded running sum over
+    * the explicit order (integral lane → exact on both engines). */
+  private val accumulateL = q(
+    "q_lower_accumulate",
+    """SELECT val AS event_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    100 + SUM(event_id) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS val
+      |  FROM events WHERE event_id <= 500)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events{event_id <= 500}.sort_by(event_id).map(event_id).accumulate(lambda a, x: a + x, 100)")
+  }
+
   /** Patch block through the compiler: per-row guarded rewrite of a
     * column, `@` bound to the old leaf — one projection, no UDF. */
   private val patchL = q(
@@ -207,5 +220,6 @@ object LoweredQueries extends QueryGroup {
   }
 
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
-    groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL)
+    groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
+    accumulateL)
 }

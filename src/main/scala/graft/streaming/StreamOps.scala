@@ -151,4 +151,12 @@ object StreamOps {
           Iterator(next)
         })
   }
+
+  /** Stream enrichment: the streaming `equi_join` against a STATIC
+    * dimension (the index-join idiom, §2.3, on a stream). Stream-static
+    * joins are stateless in Structured Streaming — each micro-batch
+    * joins against the dim as of that batch; with a bounded dim Spark
+    * broadcasts it, so no stream-side shuffle at any scale. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
 }

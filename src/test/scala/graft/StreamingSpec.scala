@@ -121,4 +121,18 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     want.collect().foreach(r => assert(gotMap(r.getLong(0)) === r.getLong(1)))
   }
+
+  test("stream-static broadcast enrichment parity") {
+    // dim: distinct event types labeled — bounded, broadcastable
+    val dim = batchEvents.select(col("event_type")).distinct()
+      .withColumn("label", upper(col("event_type")))
+    val got = runToTable(
+      StreamOps.enrich(streamEvents, dim, "event_type")
+        .select("event_id", "label"), "t_enrich")
+    val want = batchEvents.join(dim, Seq("event_type"))
+      .select("event_id", "label")
+    assert(got.count() === want.count())
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    want.collect().foreach(r => assert(gotMap(r.getLong(0)) === r.getString(1)))
+  }
 }
