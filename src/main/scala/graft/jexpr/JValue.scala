@@ -230,20 +230,20 @@ private final class JsonParser(s: String) {
 
   private def parseObj(): JValue = {
     expect('{'); skipWs()
-    var fields = Vector.empty[(String, JValue)]
     if (!atEnd && s.charAt(pos) == '}') { pos += 1; return JObj(VectorMap.empty) }
+    val b = VectorMap.newBuilder[String, JValue]
     var done = false
     while (!done) {
       skipWs()
       val k = parseString()
       skipWs(); expect(':')
       val v = parseValue()
-      fields :+= (k -> v)
+      b += (k -> v)
       skipWs()
       if (!atEnd && s.charAt(pos) == ',') pos += 1
       else { expect('}'); done = true }
     }
-    JObj(VectorMap.from(fields))
+    JObj(b.result())
   }
 
   private def parseArr(): JValue = {
@@ -260,9 +260,25 @@ private final class JsonParser(s: String) {
     JArr(buf.result())
   }
 
+  /** Escape-free fast path: scan to the closing quote and take one
+    * substring (the overwhelmingly common case); fall to the
+    * builder-based unescape loop only when a backslash appears. */
   private def parseString(): String = {
     expect('"')
-    val sb = new StringBuilder
+    val start = pos
+    val len = s.length
+    while (pos < len) {
+      val c = s.charAt(pos)
+      if (c == '"') { val r = s.substring(start, pos); pos += 1; return r }
+      if (c == '\\') return parseStringSlow(start)
+      pos += 1
+    }
+    fail("unterminated string")
+  }
+
+  private def parseStringSlow(start: Int): String = {
+    val sb = new StringBuilder(pos - start + 16)
+    sb.append(s.substring(start, pos)) // clean prefix before the first escape
     while (true) {
       if (atEnd) fail("unterminated string")
       val c = s.charAt(pos)
@@ -291,22 +307,36 @@ private final class JsonParser(s: String) {
     sys.error("unreachable")
   }
 
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
   private def parseNumber(): JValue = {
     val start = pos
-    if (!atEnd && s.charAt(pos) == '-') pos += 1
-    while (!atEnd && s.charAt(pos).isDigit) pos += 1
+    val len = s.length
+    var neg = false
+    if (pos < len && s.charAt(pos) == '-') { neg = true; pos += 1 }
+    // integer fast path: accumulate digits directly; fall back to the
+    // substring parse on overflow or a float tail
+    val digitsStart = pos
+    var acc = 0L
+    var overflow = false
+    while (pos < len && isAsciiDigit(s.charAt(pos))) {
+      if (acc > (Long.MaxValue - 9) / 10) overflow = true
+      else acc = acc * 10 + (s.charAt(pos) - '0')
+      pos += 1
+    }
     var isFloat = false
-    if (!atEnd && s.charAt(pos) == '.') {
+    if (pos < len && s.charAt(pos) == '.') {
       isFloat = true; pos += 1
-      while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      while (pos < len && isAsciiDigit(s.charAt(pos))) pos += 1
     }
-    if (!atEnd && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+    if (pos < len && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
       isFloat = true; pos += 1
-      if (!atEnd && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
-      while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      if (pos < len && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
+      while (pos < len && isAsciiDigit(s.charAt(pos))) pos += 1
     }
+    if (pos == digitsStart) fail("bad number")
+    if (!isFloat && !overflow) return JInt(if (neg) -acc else acc)
     val txt = s.substring(start, pos)
-    if (txt.isEmpty || txt == "-") fail("bad number")
     // toDoubleOption (not toDouble): a malformed literal like "77E" must
     // surface as a catchable parse error, not a NumberFormatException
     if (isFloat) txt.toDoubleOption.map(JFloat(_)).getOrElse(fail(s"bad number '$txt'"))
