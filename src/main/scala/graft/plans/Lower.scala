@@ -866,6 +866,30 @@ object Lower {
       case "re_replace_all" => regexp_replace(c, strLit(args, 0, ""), strLit(args, 1, ""))
       case "parse_int"   => c.cast("long")
       case "parse_float" | "to_number" => c.cast("double")
+      case "index_of"    => // 0-based, -1 on miss (mod.rs:2113-2122)
+        (locate(strLit(args, 0, ""), c) - 1).cast("long")
+      case "matches"     => // LITERAL containment, not regex (string.rs)
+        c.contains(a0)
+      case "replace"     => // FIRST occurrence only (replace_all is the global form)
+        val find = strLit(args, 0, "")
+        val rep = strLit(args, 1, "")
+        if (find.isEmpty) c
+        else {
+          val loc = locate(find, c)
+          when(loc > 0, concat(
+            c.substr(lit(1), loc - 1),
+            lit(rep),
+            c.substr(loc + find.length, length(c)))).otherwise(c)
+        }
+      case "strip_prefix" =>
+        val p = strLit(args, 0, "")
+        when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+      case "strip_suffix" =>
+        val p = strLit(args, 0, "")
+        when(c.endsWith(p), c.substr(lit(1), length(c) - p.length)).otherwise(c)
+      case "is_numeric"  => c.rlike("^[0-9]+$") // ascii digits only (mod.rs:2060-2062)
+      case "is_alpha"    => c.rlike("^\\p{L}+$")
+      case "is_ascii"    => c.rlike("^[\\x00-\\x7F]*$")
       case other => bail(s"no relational scalar fn .$other()")
     }
   }
@@ -1029,8 +1053,11 @@ object Lower {
     case "len" | "length" | "byte_len" | "parse_int" => Some(LongType)
     case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>
       Some(DoubleType)
-    case "starts_with" | "ends_with" | "includes" | "contains" | "re_match" =>
+    case "starts_with" | "ends_with" | "includes" | "contains" | "re_match" |
+         "matches" | "is_numeric" | "is_alpha" | "is_ascii" =>
       Some(BooleanType)
+    case "index_of" => Some(LongType)
+    case "replace" | "strip_prefix" | "strip_suffix" => Some(StringType)
     case _ => None
   }
 

@@ -206,6 +206,37 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("new scalar string fns lower and match the interpreter") {
+    val e = """$.region.sort_by(r_regionkey).map({
+              |  k: r_regionkey,
+              |  iof: r_name.index_of("A"),
+              |  m: r_name.matches("ME"),
+              |  rep: r_name.replace("A", "@"),
+              |  sp: r_name.strip_prefix("A"),
+              |  ss: r_name.strip_suffix("CA"),
+              |  num: r_name.is_numeric(),
+              |  alpha: r_name.is_alpha(),
+              |  ascii: r_name.is_ascii()})""".stripMargin
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect().map { r =>
+      (r.getAs[Number]("k").longValue, r.getAs[Number]("iof").longValue,
+       r.getAs[Boolean]("m"), r.getAs[String]("rep"), r.getAs[String]("sp"),
+       r.getAs[String]("ss"), r.getAs[Boolean]("num"),
+       r.getAs[Boolean]("alpha"), r.getAs[Boolean]("ascii"))
+    }.toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        def f(n: String) = jexpr.Interp.fieldOf(o, n)
+        def str(n: String) = f(n) match { case jexpr.JStr(s) => s; case v => fail(s"$n: $v") }
+        def b(n: String) = f(n) match { case jexpr.JBool(x) => x; case v => fail(s"$n: $v") }
+        (JValue.asNum(f("k")).get.toLong, JValue.asNum(f("iof")).get.toLong,
+         b("m"), str("rep"), str("sp"), str("ss"), b("num"), b("alpha"), b("ascii"))
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.length == 5)
+  }
+
   test("patch blocks lower to guarded column rewrites") {
     val e = """patch $ { nation[*].n_regionkey: @ * 10 when @ > 2, nation[*].tag: "x" }"""
     val got = graft.plans.Lower
