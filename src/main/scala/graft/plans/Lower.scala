@@ -196,7 +196,22 @@ object Lower {
             case None     => st = stage(st, steps(i), resolve); i += 1
           }
         }
-        stripHidden(st.df)
+        // materialise the active sequence order in the final result (the
+        // doc-mode array order contract) — redundant sorts are
+        // eliminated by Catalyst when the plan is already ordered.
+        // Computed sort keys that no longer resolve are skipped
+        // (best-effort, same as doc-mode's undefined table order).
+        val resolvable = st.order.nonEmpty && st.order.forall {
+          case (Ident(n), _) => st.df.columns.contains(n)
+          case _             => false
+        }
+        val ordered =
+          if (!resolvable) st.df
+          else st.df.orderBy(st.order.map { case (e, d) =>
+            val c = col(e.asInstanceOf[Ident].name)
+            if (d) c.desc else c.asc
+          }: _*)
+        stripHidden(ordered)
       case other => bail(s"chain must start at a table, got $other")
     }
 
