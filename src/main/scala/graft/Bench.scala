@@ -66,7 +66,7 @@ object Bench {
     * (~3-7 items each), one cold parse+compile+execute of its headline
     * chained query, single node, single thread — the direct
     * apples-to-apples number against the reference engine. */
-  private def docColdSeconds(): Double = {
+  private def coldJson(): String = {
     val cities = Array("Tokyo", "Berlin", "Paris", "Austin", "Toronto", "Oslo", "Lima", "Cairo")
     val sb = new StringBuilder(1 << 22)
     sb.append("{\"data\":[")
@@ -86,17 +86,45 @@ object Bench {
       i += 1
     }
     sb.append("]}")
-    val json = sb.toString
-    val expr = """$.data.filter(active).filter(score > 200).sort(-score).take(100)
-                 |.flat_map(items).filter(price > 50).map(qty * price).sum()""".stripMargin
-    // first run ONLY — the reference's cold bench is a truly cold
-    // parse+compile+eval; taking min-of-two would report a JIT-warmed
-    // number against the reference's cold one
-    val t0 = System.nanoTime()
-    val compiled = graft.jexpr.Jetro.compile(expr)   // cold compile
-    val doc = graft.jexpr.JValue.parse(json)         // cold parse
-    compiled.evalValue(doc)
-    (System.nanoTime() - t0) / 1e9
+    sb.toString
+  }
+
+  /** The reference's full cold query set (bench_cold.rs:177-455), each
+    * timed as one cold parse+compile+eval pass — first run only (no
+    * min-of-N; that would report a JIT-warmed number against the
+    * reference's genuinely cold one). The first query keeps the legacy
+    * metric name. */
+  private def docColdAll(): Seq[(String, Double)] = {
+    val json = coldJson()
+    val queries = Seq(
+      "b_doc_cold_8k" ->
+        """$.data.filter(active).filter(score > 200).sort(-score).take(100)
+          |.flat_map(items).filter(price > 50).map(qty * price).sum()""".stripMargin,
+      "b_doc_cold_q2" -> "$.data.flat_map(items).sort(-price).take(30).map({sku, price})",
+      "b_doc_cold_q3" -> "$.data.sort(-score).skip(200).take(50).map({id, city: user.addr.city, score})",
+      "b_doc_cold_q4" -> "$.data.filter(active).flat_map(tags).unique()",
+      "b_doc_cold_q5" -> "$.data.flat_map(items).filter(price > 100).map(qty * price).sum()",
+      "b_doc_cold_q6" ->
+        """$.data.filter(active).sort(-score).take(50).map(f"#{id} {user.name} ({user.addr.city}) score={score}")""",
+      "b_doc_cold_q7" -> "$.data.filter(score > 700).flat_map(items).map(price).avg()",
+      "b_doc_cold_q8" -> "$.data.sort(-score).take(20).map({id, city: user.addr.city, total: items.map(qty * price).sum()})",
+      "b_doc_cold_q9" -> "$.data.filter(active).filter(score > 500).flat_map(items).filter(price > 75).filter(qty > 2).len()",
+      "b_doc_cold_q10" -> "$.data.count_by(active)",
+      "b_doc_cold_q11" -> "$.data.sort(-score).take(300).map(user.addr.zip).unique()",
+      "b_doc_cold_q12" -> "$.data.flat_map(items).map(price).unique().len()")
+    queries.map { case (name, expr) =>
+      val sec =
+        try {
+          val t0 = System.nanoTime()
+          val compiled = graft.jexpr.Jetro.compile(expr) // cold compile
+          val doc = graft.jexpr.JValue.parse(json)       // cold parse
+          compiled.evalValue(doc)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      name -> sec
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,7 +159,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       name -> sec
-    } :+ ("b_doc_cold_8k" -> docColdSeconds())
+    } ++ docColdAll()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
