@@ -208,6 +208,50 @@ object LoweredQueries extends QueryGroup {
       "$.events{event_id <= 500}.sort_by(event_id).map(event_id).accumulate(lambda a, x: a + x, 100)")
   }
 
+  /** Suffix slice `[-n:]` through the compiler — reversed-order top-k
+    * re-sorted forward. */
+  private val suffixSlice = q(
+    "q_lower_suffix_slice",
+    """SELECT id FROM (
+      |  SELECT o_orderkey AS id FROM orders ORDER BY o_orderkey DESC LIMIT 5)
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    lower(s, d, "$.orders.sort_by(o_orderkey)[-5:].map({id: o_orderkey})")
+  }
+
+  /** `reverse()` through the compiler — flips the active order. */
+  private val reverseL = q(
+    "q_lower_reverse",
+    """SELECT n_nationkey AS k, n_name AS name FROM nation
+      |ORDER BY n_nationkey DESC""".stripMargin) { (s, d) =>
+    lower(s, d, "$.nation.sort_by(n_nationkey).reverse().map({k: n_nationkey, name: n_name})")
+  }
+
+  /** The scalar string-function surface through the compiler, checked
+    * cross-engine (DuckDB strpos/regexp agree with the Spark
+    * lowerings on literal semantics). */
+  private val scalarFns = q(
+    "q_lower_scalar_fns",
+    """SELECT r_regionkey AS k,
+      |  CAST(strpos(r_name, 'A') - 1 AS BIGINT) AS iof,
+      |  contains(r_name, 'ME') AS m,
+      |  regexp_replace(r_name, 'A', '@') AS rep,
+      |  CASE WHEN starts_with(r_name, 'A') THEN r_name[2:] ELSE r_name END AS sp,
+      |  CASE WHEN suffix(r_name, 'CA') THEN r_name[1:LENGTH(r_name)-2] ELSE r_name END AS ss,
+      |  regexp_full_match(r_name, '[0-9]+') AS num,
+      |  regexp_full_match(r_name, '\pL+') AS alpha
+      |FROM region ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.region.sort_by(r_regionkey).map({
+        |  k: r_regionkey,
+        |  iof: r_name.index_of("A"),
+        |  m: r_name.matches("ME"),
+        |  rep: r_name.replace("A", "@"),
+        |  sp: r_name.strip_prefix("A"),
+        |  ss: r_name.strip_suffix("CA"),
+        |  num: r_name.is_numeric(),
+        |  alpha: r_name.is_alpha()})""".stripMargin)
+  }
+
   /** Patch block through the compiler: per-row guarded rewrite of a
     * column, `@` bound to the old leaf — one projection, no UDF. */
   private val patchL = q(
@@ -221,5 +265,5 @@ object LoweredQueries extends QueryGroup {
 
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
-    accumulateL)
+    accumulateL, suffixSlice, reverseL, scalarFns)
 }
