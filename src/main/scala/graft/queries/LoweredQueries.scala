@@ -208,6 +208,31 @@ object LoweredQueries extends QueryGroup {
       "$.events{event_id <= 500}.sort_by(event_id).map(event_id).accumulate(lambda a, x: a + x, 100)")
   }
 
+  /** `cum_max()` through the compiler — comparison-only running
+    * extremum (exact on doubles, no arithmetic). */
+  private val cumMax = q(
+    "q_lower_cum_max",
+    """SELECT val AS value FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    MAX(value) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS val
+      |  FROM events WHERE event_id <= 500)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events{event_id <= 500}.sort_by(event_id).map(value).cum_max()")
+  }
+
+  /** `lag(2)` through the compiler. */
+  private val lagL = q(
+    "q_lower_lag",
+    """SELECT val AS event_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    LAG(CAST(event_id AS DOUBLE), 2) OVER (ORDER BY event_id) AS val
+      |  FROM events WHERE event_id <= 500)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events{event_id <= 500}.sort_by(event_id).map(event_id).lag(2)")
+  }
+
   /** Suffix slice `[-n:]` through the compiler — reversed-order top-k
     * re-sorted forward. */
   private val suffixSlice = q(
@@ -265,5 +290,5 @@ object LoweredQueries extends QueryGroup {
 
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
-    accumulateL, suffixSlice, reverseL, scalarFns)
+    accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL)
 }
