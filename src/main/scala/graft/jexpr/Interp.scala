@@ -167,9 +167,12 @@ object Interp {
       steps.nonEmpty && isWriteMethod(steps.last)
     case Chain(Ident(n), steps) if env.rootAliases.contains(n) =>
       steps.nonEmpty && isWriteMethod(steps.last)
-    case Patch(Root, _)           => true
-    case Patch(Chain(Root, _), _) => true
-    case Patch(Ident(n), _)       => env.rootAliases.contains(n)
+    // NOT Patch(Chain(Root, steps), _): that expression evaluates to the
+    // patched SUB-value (PatchEval over eval(target)), not the whole
+    // document — rolling `$` forward to it would resolve later stages
+    // against the sub-document.
+    case Patch(Root, _)     => true
+    case Patch(Ident(n), _) => env.rootAliases.contains(n)
     case _                        => false
   }
 

@@ -104,7 +104,19 @@ object Lower {
       case c @ Chain(Root, _) => (compileAst(c, resolve), fields)
       case other              => bail(s"patch target $other")
     }
-    rowPaths.foldLeft(df0) { (df, f) =>
+    // The reference's patch batches bind `@`, guards, and value columns to
+    // the PRE-BATCH document (jetro patch_fusion soundness:
+    // modify_after_set_reads_prebatch_value — locked by PatchFusionSpec for
+    // the interpreter). Sequential withColumn folds would let later fields
+    // see earlier writes, so instead every field's value/guard column is
+    // resolved against df0 and the whole batch applies in ONE select;
+    // same-path fields fold last-wins (guard-false keeps the previous
+    // field's result, matching sequential application with pre-batch reads).
+    final case class Write(top: String, nested: List[String],
+                           guard: Option[Column], value: Column)
+    var deletes = Vector.empty[List[String]] // DELETE paths, in order
+    var writes  = Vector.empty[Write]
+    rowPaths.foreach { f =>
       val (rowGuard, steps) = f.path.toList match {
         case PatchStep.Wild :: rest        => (None, rest)
         case PatchStep.WildIf(p) :: rest   => (Some(p), rest)
@@ -117,35 +129,84 @@ object Lower {
       if (names.isEmpty) bail("patch must name a field")
       val dotted = names.mkString(".")
       val oldLeaf = col(dotted)
-      val cl = new ColLower(Some(df.schema), current = Some(oldLeaf))
-      val rowCl = new ColLower(Some(df.schema))
-      def guardCol: Option[Column] = {
-        val whenG = f.when.map(w => cl.truthy(cl.colExpr(w), w))
-        val rowG = rowGuard.map(p => rowCl.truthy(rowCl.colExpr(p), p))
-        (whenG ++ rowG).reduceOption(_ && _)
+      val cl = new ColLower(Some(df0.schema), current = Some(oldLeaf))
+      val rowCl = new ColLower(Some(df0.schema))
+      // Doc-mode patch leaves bind ONLY `@` (PatchEval leafEnv =
+      // env.withCurrent(orig)); a bare identifier there is env-scoped
+      // (undefined at top level), NOT a row column — resolving it as a
+      // column would silently diverge, so bail to doc mode.
+      def bareIdent(e: Expr): Boolean = {
+        var found = false
+        rewrite(e) { case i @ Ident(_) => found = true; i }
+        found
       }
+      (f.when.toSeq ++ rowGuard).foreach(e =>
+        if (bareIdent(e)) bail("patch guard references an env identifier"))
       f.value match {
         case None => // DELETE — unconditional only (a column either exists or not)
           if (f.when.isDefined || rowGuard.isDefined)
             bail("conditional DELETE on a table")
-          if (names.length == 1) df.drop(names.head)
-          else df.withColumn(names.head,
-            col(names.head).dropFields(names.tail.mkString(".")))
+          deletes :+= names
         case Some(v) =>
-          val newV = v match {
+          val vE = v match {
             case Lambda(Vector(p), body) => // lambda applies to the old leaf
-              cl.colExpr(rewrite(body) {
+              rewrite(body) {
                 case Ident(`p`)              => Current
                 case Chain(Ident(`p`), rest) => Chain(Current, rest)
-              })
-            case e => cl.colExpr(e)
+              }
+            case e => e
           }
-          val finalV = guardCol.fold(newV)(g =>
-            when(coalesce(g, lit(false)), newV).otherwise(oldLeaf))
-          if (names.length == 1) df.withColumn(names.head, finalV)
-          else df.withColumn(names.head,
-            col(names.head).withField(names.tail.mkString("."), finalV))
+          if (bareIdent(vE)) bail("patch value references an env identifier")
+          val newV = cl.colExpr(vE)
+          val whenG = f.when.map(w => cl.truthy(cl.colExpr(w), w))
+          val rowG  = rowGuard.map(p => rowCl.truthy(rowCl.colExpr(p), p))
+          writes :+= Write(names.head, names.tail,
+            (whenG ++ rowG).reduceOption(_ && _), newV)
       }
+    }
+    // DELETE interleaved with a write on the same column is
+    // order-sensitive (delete-then-set recreates, set-then-delete removes)
+    // — doc mode sequences it correctly, so bail rather than guess.
+    val writtenTops = writes.map(_.top).toSet
+    if (deletes.exists(d => writtenTops(d.head)))
+      bail("patch mixes DELETE and write on one column")
+    // A whole-column write plus a nested write into the same column would
+    // need sequential application (the nested write lands on the new
+    // value) — bail to doc mode for that shape too.
+    writes.groupBy(_.top).foreach { case (t, ws) =>
+      if (ws.exists(_.nested.isEmpty) && ws.exists(_.nested.nonEmpty))
+        bail(s"patch mixes whole-column and nested writes on $t")
+    }
+    // Fold same-path fields: start from the pre-batch leaf, each field's
+    // guard selects its (pre-batch-resolved) value or keeps the fold so far.
+    def foldPath(full: String, ws: Seq[Write]): Column =
+      ws.foldLeft(col(full)) { (acc, w) =>
+        w.guard.fold(w.value)(g =>
+          when(coalesce(g, lit(false)), w.value).otherwise(acc))
+      }
+    val replacements: Map[String, Column] = writes.groupBy(_.top).map {
+      case (top, ws) if ws.head.nested.isEmpty =>
+        top -> foldPath(top, ws)
+      case (top, ws) =>
+        // distinct nested paths chain withField on the ORIGINAL column;
+        // same nested path folds first (ws is already in field order)
+        val byPath = ws.groupBy(_.nested).toSeq
+          .sortBy { case (p, _) => ws.indexWhere(_.nested == p) }
+        top -> byPath.foldLeft(col(top)) { case (acc, (nested, group)) =>
+          acc.withField(nested.mkString("."),
+            foldPath((top :: nested).mkString("."), group))
+        }
+    }
+    val kept = df0.columns.map(c =>
+      replacements.get(c).map(_.as(c)).getOrElse(col(c)))
+    val appended = writes.map(_.top).distinct
+      .filterNot(df0.columns.contains)
+      .map(t => replacements(t).as(t))
+    val patched = df0.select(kept ++ appended: _*)
+    deletes.foldLeft(patched) { (df, names) =>
+      if (names.length == 1) df.drop(names.head)
+      else df.withColumn(names.head,
+        col(names.head).dropFields(names.tail.mkString(".")))
     }
   }
 

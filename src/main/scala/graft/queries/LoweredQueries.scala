@@ -201,7 +201,7 @@ object LoweredQueries extends QueryGroup {
     "q_lower_accumulate",
     """SELECT val AS event_id FROM (
       |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
-      |    100 + SUM(event_id) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS val
+      |    CAST(100 + SUM(event_id) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS val
       |  FROM events WHERE event_id <= 500)
       |ORDER BY rn""".stripMargin) { (s, d) =>
     lower(s, d,

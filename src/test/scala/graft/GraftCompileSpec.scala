@@ -267,6 +267,46 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dropped.columns.contains("n_name"))
   }
 
+  test("compiled patch binds @ and guards to the PRE-BATCH frame") {
+    // same-path fields: last wins, but its `@` reads the pre-batch leaf
+    // (reference modify_after_set_reads_prebatch_value) — orig+5, not 15
+    val e = """patch $ { nation[*].n_regionkey: 10, nation[*].n_regionkey: @ + 5 }"""
+    def runMap(expr: String): Map[Long, Long] = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+      .collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[Number]("n_regionkey").longValue)
+      .toMap
+    val rows = graft.core.Tables(spark, sfDir, "nation").toJSON.collect()
+    val doc = JValue.parse(s"""{"nation": [${rows.mkString(",")}]}""")
+    def docMap(expr: String): Map[Long, Long] =
+      Jetro.compile(expr).evalValue(doc) match {
+        case jexpr.JObj(fs) => fs("nation") match {
+          case jexpr.JArr(xs) => xs.map { o =>
+            JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong ->
+              JValue.asNum(jexpr.Interp.fieldOf(o, "n_regionkey")).get.toLong
+          }.toMap
+          case other => fail(s"expected array, got ${other.kind}")
+        }
+        case other => fail(s"expected object, got ${other.kind}")
+      }
+    assert(runMap(e) == docMap(e) && runMap(e).values.forall(v => v >= 5 && v <= 9))
+    // guarded same-path fields: each guard binds `@` pre-batch; a
+    // guard-false later field keeps the EARLIER field's result
+    val e2 = """patch $ { nation[*].n_regionkey: 100 when @ > 2,
+               |          nation[*].n_regionkey: @ + 1 when @ <= 2 }""".stripMargin
+    assert(runMap(e2) == docMap(e2))
+    // a bare identifier in a patch guard/value is env-scoped in doc mode
+    // (NOT a row column) — the compiler must bail, not resolve it
+    assert(!Graft.lowers(spark, sfDir,
+      "patch $ { nation[*].n_regionkey: 100 when n_regionkey > 2 }"))
+    assert(!Graft.lowers(spark, sfDir,
+      "patch $ { nation[*].tag: n_name }"))
+    // mixed DELETE + write on one column is order-sensitive → doc mode
+    assert(!Graft.lowers(spark, sfDir,
+      "patch $ { nation[*].n_name: DELETE, nation[*].n_name: \"x\" }"))
+  }
+
   test("reverse and suffix slice lower on the active order") {
     def runIds(e: String): Vector[Long] = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))

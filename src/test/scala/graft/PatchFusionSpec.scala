@@ -38,6 +38,17 @@ class PatchFusionSpec extends AnyFunSuite {
     assert(q("""patch $ { k: 10, k: @ + 5 }""", """{"k": 1}""") == """{"k":6}""")
   }
 
+  test("rooted-chain patch target does NOT roll $ forward") {
+    // `patch $.sub {...}` evaluates to the patched SUB-value, not the
+    // whole document — a later pipe stage's `$` must still resolve
+    // against the original root, not the sub-object.
+    assert(q("""patch $.sub { k: 1 } | $.other""",
+      """{"sub": {"k": 0}, "other": 42}""") == "42")
+    // and the expression's own value is the patched sub-object
+    assert(q("""patch $.sub { k: 1 }""",
+      """{"sub": {"k": 0}, "other": 42}""") == """{"k":1}""")
+  }
+
   test("three chained sets apply in order") {
     assert(q("""$.a.set(1) | $.b.set(2) | $.c.set(3)""", "{}")
       == """{"a":1,"b":2,"c":3}""")
