@@ -485,7 +485,10 @@ object Lower {
     "take_while", "drop_while", "last", "nth",
     "rolling_sum", "rolling_avg", "rolling_min", "rolling_max",
     "lag", "lead", "diff_window", "pct_change", "cum_max", "cum_min",
-    "accumulate")
+    "accumulate", "zscore",
+    // keep-first/last-wins need the order; their partition keys exclude
+    // the hidden `__ord_*` columns explicitly
+    "unique", "distinct", "unique_by", "index_by")
 
   private def stripHidden(df: DataFrame): DataFrame = {
     val hidden = df.columns.filter(_.startsWith("__ord_"))
@@ -497,6 +500,8 @@ object Lower {
     // through as hidden columns, so order-dependent ops downstream
     // (rolling_*, lag, last…) can still sort by them
     if (name == "map" && st.order.nonEmpty) return mapOrdered(st, args)
+    if (Set("enumerate", "pairwise", "window", "chunk", "batch")(name))
+      return seqReshape(st, name, args)
     if (name == "reverse") {
       // sequence reversal = flip the active explicit order (M:34-35)
       if (st.order.isEmpty) bail("reverse on unordered table (sort explicitly)")
@@ -543,6 +548,59 @@ object Lower {
     St(shaped, rebased)
   }
 
+  /** Sequence-reshaping ops over the TOTAL active order (reference
+    * M:142-149; runtime bodies O:collection.rs:556-582,409). Like the
+    * rolling family these ride the inherent OrderBarrier (an
+    * unpartitioned row_number — the language's total array order has no
+    * partitioning key); outputs rebase the active order onto a hidden
+    * position column so chain-end materialisation keeps sequence order. */
+  private def seqReshape(st: St, name: String, args: Vector[Arg]): St = {
+    if (st.order.isEmpty) bail(s"$name without an explicit sort")
+    val df = st.df
+    val cl = new ColLower(Some(df.schema))
+    val ordCols = st.order.map { case (e, d) =>
+      val c = cl.colExpr(e); if (d) c.desc else c.asc
+    }
+    val w = Window.orderBy(ordCols: _*)
+    val rn = row_number().over(w)
+    val vis = df.columns.filterNot(_.startsWith("__ord_")).toIndexedSeq
+    def lane: Column =
+      if (vis.length == 1) col(vis(0))
+      else bail(s"$name needs a single-column sequence (map a field first)")
+    val ordAsc = Vector((Ident("__ord_0"): Expr, false))
+    name match {
+      case "enumerate" => // {index, value} objects (Builtins enumerate)
+        val value = if (vis.length == 1) col(vis(0)) else struct(vis.map(col): _*)
+        St(df.select((rn - 1).cast("long").as("index"), value.as("value")),
+          Vector((Ident("index"), false)))
+      case "pairwise" => // consecutive [prev, cur] pairs
+        St(df.select(array(lag(lane, 1).over(w), lane).as(vis(0)),
+            rn.as("__ord_0"))
+          .filter(col("__ord_0") >= 2), ordAsc)
+      case "window" => // sliding frames of exactly n (partials dropped)
+        val n = intLit(args, 0).toInt
+        if (n <= 0) St(df.limit(0).select(lane))
+        else {
+          val frame = collect_list(lane).over(w.rowsBetween(-(n - 1), 0))
+          St(df.select(frame.as(vis(0)), rn.as("__ord_0"))
+            .filter(col("__ord_0") >= n), ordAsc)
+        }
+      case _ => // chunk | batch — non-overlapping, last chunk partial
+        val n = intLit(args, 0).toInt
+        if (n <= 0) bail("chunk size must be positive")
+        // __pos (= rn) already encodes the active order ascending, so the
+        // in-chunk sort is a plain lexicographic sort_array
+        val tagged = df.select(lane.as("__v"),
+          floor((rn - 1) / n).cast("long").as("__chunk"), rn.as("__pos"))
+        val grouped = tagged.groupBy("__chunk")
+          .agg(sort_array(collect_list(struct(col("__pos"), col("__v"))))
+            .as("__fr"))
+        St(grouped.select(
+          transform(col("__fr"), x => x.getField("__v")).as(vis(0)),
+          col("__chunk").as("__ord_0")), ordAsc)
+    }
+  }
+
   private def methodDf(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): DataFrame = {
   val df = st.df
   name match {
@@ -571,12 +629,27 @@ object Lower {
     case "reverse" => bail("reverse on unordered table (sort explicitly)")
     case "take"  => df.limit(intLit(args, 0).toInt)
     case "skip" | "drop" => df.offset(intLit(args, 0).toInt)
-    case "unique" | "distinct" => df.distinct()
+    case "unique" | "distinct" =>
+      // full-row duplicates are indistinguishable, so plain distinct is
+      // exact when unordered; under an active order keep the FIRST
+      // occurrence (reference defs.rs:1424) via a window PARTITIONED by
+      // the row value — scale-safe, no total-order barrier
+      if (st.order.isEmpty) df.distinct()
+      else {
+        val vis = df.columns.filterNot(_.startsWith("__ord_"))
+        keepOnePerKey(st, df, vis.toIndexedSeq, flip = false)
+      }
     case "unique_by" =>
-      df.dropDuplicates(args.map {
+      // keep-FIRST per key (reference defs.rs:1424-1427): which row
+      // survives is observable through its non-key columns, so without
+      // an active order this cannot be answered relationally — bail to
+      // doc mode rather than keep an arbitrary row
+      val keys = args.map {
         case Arg(_, Ident(n)) => n
         case a                => bail(s"unique_by: unsupported key $a")
-      })
+      }
+      if (st.order.isEmpty) bail("unique_by without an explicit sort")
+      keepOnePerKey(st, df, keys, flip = false)
     case "compact" => // drop fully-null rows
       df.na.drop("all")
     case "count" =>
@@ -665,6 +738,21 @@ object Lower {
         case _         => min(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
       }
       df.withColumn(vis(0), out)
+    case "zscore" =>
+      // population stddev over the whole sequence (O:collection.rs:322;
+      // doc mode nums/flatten skip nulls, sd == 0 → 0.0). Two-pass:
+      // one whole-table aggregate broadcast back — NO window, no
+      // total-order barrier, scales like the catalog's q_zscore.
+      val visZ = df.columns.filterNot(_.startsWith("__ord_"))
+      if (visZ.length != 1) bail("zscore needs a single-column sequence")
+      val tz = col(visZ(0)).cast("double")
+      val stats = df.agg(
+        avg(tz).as("__m"), stddev_pop(tz).as("__sd"))
+      val z = when(col("__sd") === 0d, 0d)
+        .otherwise((tz - col("__m")) / col("__sd"))
+      df.crossJoin(broadcast(stats))
+        .withColumn(visZ(0), when(tz.isNotNull, z))
+        .drop("__m", "__sd")
     case "accumulate" =>
       // running fold — only the additive fold lowers (running sum over
       // the active order, seeded by the optional init); other operators
@@ -713,15 +801,37 @@ object Lower {
       val k = colExpr(argE(args, 0))
       df.groupBy(k.as("key")).agg(count(lit(1)).as("n"))
     case "group_by" =>
+      // group arrays preserve the active sequence order (reference
+      // D:1242 keeps document order): collect then array_sort with a
+      // comparator over the order keys — collect_list order is
+      // otherwise nondeterministic across shuffle partitions
       val k = colExpr(argE(args, 0))
-      df.groupBy(k.as("key"))
+      val collected = df.groupBy(k.as("key"))
         .agg(collect_list(struct(df.columns.map(col).toSeq: _*)).as("rows"))
-    case "index_by" => // last wins is order-dependent; keep ANY single row per key
+      if (st.order.isEmpty) collected
+      else {
+        val ordKeys = st.order.map {
+          case (Ident(n), d) if df.columns.contains(n) => (n, d)
+          case _ => bail("group_by: active order not materialised as columns")
+        }
+        val cmp = (l: Column, r: Column) =>
+          ordKeys.foldRight(lit(0)) { case ((n, desc), acc) =>
+            val (lf, rf) = (l.getField(n), r.getField(n))
+            when(if (desc) lf > rf else lf < rf, lit(-1))
+              .when(if (desc) lf < rf else lf > rf, lit(1))
+              .otherwise(acc)
+          }
+        collected.withColumn("rows", array_sort(col("rows"), cmp))
+      }
+    case "index_by" =>
+      // LAST wins (reference defs.rs:1328) — order-dependent like
+      // unique_by, so it needs the active order; reversed window per key
       val k = argE(args, 0) match {
         case Ident(n) => n
         case e        => bail(s"index_by: unsupported key $e")
       }
-      df.dropDuplicates(Seq(k))
+      if (st.order.isEmpty) bail("index_by without an explicit sort")
+      keepOnePerKey(st, df, Vector(k), flip = true)
     case "flat_map" | "explode" =>
       val fieldName = argE(args, 0) match {
         case Ident(n) => n
@@ -780,6 +890,23 @@ object Lower {
         .orderBy(if (desc) keyC.desc else keyC.asc)
     case other => bail(s"no relational lowering for .$other()")
   }
+  }
+
+  /** One surviving row per key under the active order: row_number over a
+    * window PARTITIONED by the key (a key-shuffle + per-key sort — fully
+    * distributed, unlike a total-order window). `flip` reverses the
+    * order so the LAST row under the active order wins (index_by). Ties
+    * on the order key pick an arbitrary row among the tied — document
+    * position does not exist relationally (same caveat as take_while). */
+  private def keepOnePerKey(
+      st: St, df: DataFrame, keys: Seq[String], flip: Boolean): DataFrame = {
+    val cl = new ColLower(Some(df.schema))
+    val ordCols = st.order.map { case (e, d) =>
+      val c = cl.colExpr(e); if (d ^ flip) c.desc else c.asc
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   private def identName(e: Expr): String = e match {

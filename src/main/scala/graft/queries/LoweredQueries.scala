@@ -288,7 +288,92 @@ object LoweredQueries extends QueryGroup {
       .select("event_id", "value").orderBy("event_id")
   }
 
+  /** keep-FIRST `unique_by` through the compiler (reference
+    * defs.rs:1424-1427): the surviving row's non-key columns prove which
+    * row won — DuckDB's arg_min is the keep-first oracle. */
+  private val uniqueByL = q(
+    "q_lower_unique_by",
+    """SELECT n_regionkey, MIN(n_nationkey) AS n_nationkey,
+      |  arg_min(n_name, n_nationkey) AS n_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    lower(s, d, "$.nation.sort_by(n_nationkey).unique_by(n_regionkey)")
+      .select("n_regionkey", "n_nationkey", "n_name")
+      .orderBy("n_regionkey")
+  }
+
+  /** last-wins `index_by` through the compiler (reference defs.rs:1328). */
+  private val indexByL = q(
+    "q_lower_index_by",
+    """SELECT user_id, MAX(event_id) AS event_id,
+      |  arg_max(value, event_id) AS value
+      |FROM events WHERE event_id <= 2000
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    lower(s, d, "$.events{event_id <= 2000}.sort_by(event_id).index_by(user_id)")
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id")
+  }
+
+  /** `enumerate()` through the compiler — 0-based index over the active
+    * order ({index, value} objects, Builtins enumerate). */
+  private val enumerateL = q(
+    "q_lower_enumerate",
+    """SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS idx,
+      |  c_custkey AS value
+      |FROM customer ORDER BY idx""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.sort_by(c_custkey).map(c_custkey).enumerate()")
+      .withColumnRenamed("index", "idx")
+      .orderBy("idx")
+  }
+
+  /** `chunk(7)` through the compiler — non-overlapping frames in the
+    * active order, flattened to a CSV lane for the scalar-only gate. */
+  private val chunkL = q(
+    "q_lower_chunk",
+    """SELECT MIN(c_custkey) AS first,
+      |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids
+      |FROM (SELECT c_custkey,
+      |        CAST((ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 7 AS BIGINT) AS cid
+      |      FROM customer)
+      |GROUP BY cid ORDER BY first""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.sort_by(c_custkey).map(c_custkey).chunk(7)")
+      .select(
+        element_at(col("c_custkey"), 1).as("first"),
+        array_join(transform(col("c_custkey"), _.cast("string")), ",").as("ids"))
+      .orderBy("first")
+  }
+
+  /** `zscore()` through the compiler — whole-sequence population z-score
+    * as aggregate + broadcast (no window). Both engines compute in
+    * doubles with different summation association → ROUND(6) on both. */
+  private val zscoreL = q(
+    "q_lower_zscore",
+    """SELECT z FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+      |    ROUND((value - AVG(value) OVER ()) /
+      |          stddev_pop(value) OVER (), 6) AS z
+      |  FROM events)
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    lower(s, d, "$.events.sort_by(event_id).map(value).zscore()")
+      .select(round(col("value"), 6).as("z"))
+  }
+
+  /** lowered `group_by` materialising per-group row arrays — the array
+    * follows the ACTIVE order (descending here), proving the
+    * deterministic-order contract (reference D:1242). */
+  private val groupCollectL = q(
+    "q_lower_group_collect",
+    """SELECT n_regionkey AS key,
+      |  string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_nationkey DESC) AS ids
+      |FROM nation GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    lower(s, d, "$.nation.sort_by(-n_nationkey).group_by(n_regionkey)")
+      .select(col("key"),
+        array_join(transform(col("rows"),
+          r => r.getField("n_nationkey").cast("string")), ",").as("ids"))
+      .orderBy("key")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
-    accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL)
+    accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
+    uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL)
 }

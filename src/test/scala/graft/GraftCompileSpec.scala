@@ -206,6 +206,118 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unique_by keeps FIRST and index_by keeps LAST under the active order") {
+    def run(e: String) = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+    // nation: 5 rows per region; the surviving row is observable through
+    // n_nationkey, so keep-first vs arbitrary is a real distinction
+    def runPairs(e: String): Map[Long, Long] = run(e).collect()
+      .map(r => r.getAs[Number]("n_regionkey").longValue ->
+        r.getAs[Number]("n_nationkey").longValue).toMap
+    def docPairs(e: String): Map[Long, Long] = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        JValue.asNum(jexpr.Interp.fieldOf(o, "n_regionkey")).get.toLong ->
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong).toMap
+      case jexpr.JObj(fs) => fs.values.map(o =>
+        JValue.asNum(jexpr.Interp.fieldOf(o, "n_regionkey")).get.toLong ->
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong).toMap
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    val asc  = "$.nation.sort_by(n_nationkey).unique_by(n_regionkey)"
+    val desc = "$.nation.sort_by(-n_nationkey).unique_by(n_regionkey)"
+    assert(runPairs(asc) == docPairs(asc))
+    assert(runPairs(desc) == docPairs(desc))
+    assert(runPairs(asc) != runPairs(desc)) // the order genuinely decides
+    val idx = "$.nation.sort_by(n_nationkey).index_by(n_regionkey)"
+    assert(runPairs(idx) == docPairs(idx))     // last wins
+    assert(runPairs(idx) == runPairs(desc))    // last(asc) == first(desc)
+    // without an order the survivor is unobservable → doc fallback
+    assert(!Graft.lowers(spark, sfDir, "$.nation.unique_by(n_regionkey)"))
+    assert(!Graft.lowers(spark, sfDir, "$.nation.index_by(n_regionkey)"))
+    // keep-first unique over values after a projection under a live sort
+    val uq = "$.nation.sort_by(n_nationkey).map(n_regionkey).unique()"
+    val gotU = run(uq).collect().map(_.getAs[Number](0).longValue).toVector
+    val expU = docAnswer(uq) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other          => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotU == expU && gotU.length == 5)
+  }
+
+  test("enumerate / pairwise / window / chunk lower and match the interpreter") {
+    def run(e: String) = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val en = "$.nation.sort_by(-n_nationkey).map(n_nationkey).enumerate()"
+    val gotEn = run(en).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toVector
+    val expEn = docAnswer(en) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "index")).get.toLong,
+         JValue.asNum(jexpr.Interp.fieldOf(o, "value")).get.toLong)
+      }
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotEn == expEn && gotEn.length == 25)
+    def runArrays(e: String): Vector[Vector[Long]] = run(e).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].longValue).toVector)
+      .toVector
+    def docArrays(e: String): Vector[Vector[Long]] = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map {
+        case jexpr.JArr(ys) => ys.map(y => JValue.asNum(y).get.toLong)
+        case other          => fail(s"unexpected ${other.kind}")
+      }
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    for (e <- Seq(
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).pairwise()",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).window(3)",
+      "$.nation.sort_by(-n_nationkey).map(n_nationkey).chunk(4)",
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).chunk(7)"))
+      assert(runArrays(e) == docArrays(e), e)
+    // all of these are order-dependent → doc fallback without a sort
+    for (e <- Seq("$.nation.enumerate()", "$.nation.map(n_nationkey).pairwise()",
+      "$.nation.map(n_nationkey).window(3)", "$.nation.map(n_nationkey).chunk(4)"))
+      assert(!Graft.lowers(spark, sfDir, e), e)
+  }
+
+  test("zscore lowers as aggregate + broadcast, matches to 9 decimals") {
+    val e = "$.nation.sort_by(n_nationkey).map(n_nationkey).zscore()"
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect().map(_.getAs[Number](0).doubleValue).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get)
+      case other          => fail(s"unexpected ${other.kind}")
+    }
+    assert(got.length == exp.length &&
+      got.zip(exp).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // scale contract: two-pass aggregate + broadcast join, NO window
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lowered group_by arrays follow the active order") {
+    val e = "$.nation.sort_by(-n_nationkey).group_by(n_regionkey)"
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map { r =>
+        r.getAs[Number]("key").longValue ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getAs[Number]("n_nationkey").longValue).toVector
+      }.toMap
+    val exp = docAnswer(e) match {
+      case jexpr.JObj(fs) => fs.map { case (k, v) => k.toLong -> (v match {
+        case jexpr.JArr(xs) => xs.map(o =>
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong)
+        case other => fail(s"unexpected ${other.kind}")
+      })}
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    assert(got == exp && got.size == 5)
+    // each group array is descending — the active order, not collect order
+    assert(got.values.forall(v => v == v.sortBy(-_)))
+  }
+
   test("new scalar string fns lower and match the interpreter") {
     val e = """$.region.sort_by(r_regionkey).map({
               |  k: r_regionkey,
