@@ -90,7 +90,12 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val signed = withSignature(df, idCol, textCol, k).cache()
+    // memory-serialized cache would pin corpus-sized shingle arrays in
+    // executor memory at 100 TB; DISK_ONLY keeps the reuse (banding +
+    // the two verify joins read it) without competing with shuffle/agg
+    // memory — recompute would re-shingle the full text three times
+    val signed = withSignature(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // band hash = xxhash64 of the band's signature slice + band index.
     // Only (id, band, bucket) flows into the self-join: 24-byte rows,

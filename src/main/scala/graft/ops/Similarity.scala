@@ -144,15 +144,8 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
     val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("cid"))
-        .orderBy(col("csim").desc, col("centroid_id"))
-      val assigned = vecs
-        .crossJoin(broadcast(cents))
-        .withColumn("csim", round(cosine(corpus, "cv", "centv"), 4))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
-        .select(col("cid"), col("cv"), col("centroid_id"))
-      cents = assigned
+      val assigned = assign(vecs, cents, corpus)
+      val recomputed = assigned
         .select(col("centroid_id"),
           posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
@@ -160,10 +153,33 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
-          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("centv"))
+          expr("transform(dm, p -> CAST(p.m AS FLOAT))").as("newv"))
+      // a centroid that wins no vectors this round would vanish from the
+      // recompute groupBy, silently shrinking nlist — carry it forward
+      cents = cents
+        .join(recomputed, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("newv"), col("centv")).as("centv"))
     }
     cents
   }
+
+  /** Nearest-centroid assignment as a partial-aggregable aggregate:
+    * `groupBy(cid).agg(max(struct(csim, centroid_id, centv)))` folds the
+    * argmax map-side before the one shuffle on `cid` — no sort, no
+    * unique-key window pass over corpus×nlist rows. Ties on the rounded
+    * similarity go to the highest centroid_id (any fixed rule works;
+    * struct max gives this one for free). */
+  private def assign(
+      vecs: DataFrame, cents: DataFrame, hof: DataFrame): DataFrame =
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(hof, "cv", "centv"), 4))
+      .groupBy("cid")
+      .agg(
+        first(col("cv")).as("cv"), // constant within the group
+        max(struct(col("csim"), col("centroid_id"))).as("best"))
+      .select(col("cid"), col("cv"), col("best.centroid_id").as("centroid_id"))
 
   /** IVF: `nlist` coarse centroids — trained by [[kmeansCentroids]]
     * when `trainIters > 0`, else the first nlist corpus vectors (the
@@ -180,15 +196,11 @@ object Similarity {
       else corpus
         .orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    // assign: argmax cosine against broadcast centroids
-    val wAssign = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("centroid_id"))
-    val assigned = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(corpus, "cv", "centv"), 4))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select("cid", "cv", "centroid_id")
+    // assign: argmax cosine against broadcast centroids — a map-side
+    // foldable aggregate, not a window (see [[assign]])
+    val assigned =
+      assign(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        cents, corpus)
     // probe lists per query
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("centroid_id"))
     val probes = queries

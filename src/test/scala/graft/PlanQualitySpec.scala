@@ -116,6 +116,19 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("try_or_null") && l.contains("*(")), plan)
   }
 
+  test("IVF centroid assignment is a partial aggregate, not a window") {
+    import org.apache.spark.sql.functions._
+    // the corpus-side argmax (nearest centroid per vector) must fold
+    // map-side: HashAggregate pairs around one exchange on cid, and NO
+    // Window (a window would sort corpus×nlist rows after the shuffle)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", nlist = 4, iters = 1)
+    val plan = executed(cents).toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
