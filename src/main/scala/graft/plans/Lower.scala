@@ -240,6 +240,13 @@ object Lower {
   private def compileChain(
       steps: Vector[Step], resolve: String => DataFrame,
       postSource: DataFrame => DataFrame): DataFrame =
+    materialize(compileChainSt(steps, resolve, postSource))
+
+  /** The chain WITHOUT the final order materialisation — for callers
+    * (zip, zip_longest) that need the sub-pipeline's active order. */
+  private def compileChainSt(
+      steps: Vector[Step], resolve: String => DataFrame,
+      postSource: DataFrame => DataFrame = identity): St =
     steps.head match {
       case Step.Field(table) =>
         var st = St(postSource(resolve(table)))
@@ -257,24 +264,28 @@ object Lower {
             case None     => st = stage(st, steps(i), resolve); i += 1
           }
         }
-        // materialise the active sequence order in the final result (the
-        // doc-mode array order contract) — redundant sorts are
-        // eliminated by Catalyst when the plan is already ordered.
-        // Computed sort keys that no longer resolve are skipped
-        // (best-effort, same as doc-mode's undefined table order).
-        val resolvable = st.order.nonEmpty && st.order.forall {
-          case (Ident(n), _) => st.df.columns.contains(n)
-          case _             => false
-        }
-        val ordered =
-          if (!resolvable) st.df
-          else st.df.orderBy(st.order.map { case (e, d) =>
-            val c = col(e.asInstanceOf[Ident].name)
-            if (d) c.desc else c.asc
-          }: _*)
-        stripHidden(ordered)
+        st
       case other => bail(s"chain must start at a table, got $other")
     }
+
+  /** Materialise the active sequence order in the final result (the
+    * doc-mode array order contract) — redundant sorts are eliminated by
+    * Catalyst when the plan is already ordered. Computed sort keys that
+    * no longer resolve are skipped (best-effort, same as doc-mode's
+    * undefined table order). */
+  private def materialize(st: St): DataFrame = {
+    val resolvable = st.order.nonEmpty && st.order.forall {
+      case (Ident(n), _) => st.df.columns.contains(n)
+      case _             => false
+    }
+    val ordered =
+      if (!resolvable) st.df
+      else st.df.orderBy(st.order.map { case (e, d) =>
+        val c = col(e.asInstanceOf[Ident].name)
+        if (d) c.desc else c.asc
+      }: _*)
+    stripHidden(ordered)
+  }
 
   /** `group_by(k).transform_values(lambda v: v.<agg>(field))` — the
     * reference's group-then-aggregate idiom (SYNTAX.md full examples) —
@@ -474,7 +485,55 @@ object Lower {
       }
       St(sliced, st.order)
     case Step.Method(name, args) => method(st, name, args, resolve)
+    case Step.Descendant(Some(name)) => descendStep(st, name)
     case other => bail(s"unsupported step $other")
+  }
+
+  /** `$..name` — schema-directed deep descent (reference structural
+    * backend exec/structural.rs:22-40, opcode.rs:206-209): every match
+    * is a static column path (StructOps.descendantPaths), emitted
+    * pre-order per row and flattened across rows like the interpreter's
+    * document walk. Null leaves are filtered — a null field is absent
+    * from the document the interpreter walks (toJSON omits nulls).
+    * Matches hiding inside array/map ELEMENTS have no static column
+    * path → bail to doc mode. */
+  private def descendStep(st: St, name: String): St = {
+    import org.apache.spark.sql.types._
+    val df = st.df
+    def containsName(t: DataType): Boolean = t match {
+      case s: StructType    => s.fields.exists(f => f.name == name || containsName(f.dataType))
+      case ArrayType(e, _)  => containsName(e)
+      case MapType(_, v, _) => containsName(v)
+      case _                => false
+    }
+    def hiddenInContainer(t: DataType): Boolean = t match {
+      case s: StructType    => s.fields.exists(f => hiddenInContainer(f.dataType))
+      case ArrayType(e, _)  => containsName(e) || hiddenInContainer(e)
+      case MapType(_, v, _) => containsName(v) || hiddenInContainer(v)
+      case _                => false
+    }
+    if (df.schema.fields.exists(f => hiddenInContainer(f.dataType)))
+      bail("deep descent: matches inside array/map elements")
+    val vis = df.columns.filterNot(_.startsWith("__ord_"))
+    val visSchema = StructType(df.schema.fields.filter(f => vis.contains(f.name)))
+    val paths = graft.ops.StructOps.descendantPaths(visSchema, name)
+    if (paths.isEmpty) bail(s"deep descent: no '$name' in the plan schema")
+    val arr = filter(array(paths.map(col): _*), x => x.isNotNull)
+    if (st.order.isEmpty) St(df.select(explode(arr).as("value")))
+    else {
+      // carry the active order through the flatten, plus the in-row
+      // pre-order position as the final sequence key
+      val cl = new ColLower(Some(df.schema))
+      val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
+        cl.colExpr(e).as(s"__ord_$i")
+      }
+      val sel = df.select(
+        ordCols :+ posexplode(arr).as(Seq("__ord_p", "value")): _*)
+      val rebased = st.order.zipWithIndex.map { case ((_, d), i) =>
+        (Ident(s"__ord_$i"): Expr, d)
+      } :+ ((Ident("__ord_p"): Expr, false))
+      St(sel, rebased)
+    }
   }
 
   /** Ops that consume or preserve the active sequence order; everything
@@ -502,6 +561,8 @@ object Lower {
     if (name == "map" && st.order.nonEmpty) return mapOrdered(st, args)
     if (Set("enumerate", "pairwise", "window", "chunk", "batch")(name))
       return seqReshape(st, name, args)
+    if (name == "zip" || name == "zip_longest")
+      return zipStep(st, name, args, resolve)
     if (name == "reverse") {
       // sequence reversal = flip the active explicit order (M:34-35)
       if (st.order.isEmpty) bail("reverse on unordered table (sort explicitly)")
@@ -599,6 +660,42 @@ object Lower {
           transform(col("__fr"), x => x.getField("__v")).as(vis(0)),
           col("__chunk").as("__ord_0")), ordAsc)
     }
+  }
+
+  /** `zip(other)` / `zip_longest(other)` — positional pairing of two
+    * independently-ordered sequences via row_number join (the catalog's
+    * q_zip_tables mapping, reference M:164-167). Each side numbers over
+    * its OWN active order (two total-order windows — both sequences are
+    * total orders, same inherent barrier as the rolling family), then an
+    * equi-join (full outer for zip_longest, null padding) on position. */
+  private def zipStep(
+      st: St, name: String, args: Vector[Arg],
+      resolve: String => DataFrame): St = {
+    if (st.order.isEmpty) bail(s"$name without an explicit sort")
+    val rightSt = argE(args, 0) match {
+      case Chain(Root, steps) if steps.nonEmpty =>
+        compileChainSt(steps, resolve)
+      case e => bail(s"$name: right side must be a table pipeline, got $e")
+    }
+    if (rightSt.order.isEmpty) bail(s"$name: right side without an explicit sort")
+    def numbered(s: St, v: String, rn: String): DataFrame = {
+      val vis = s.df.columns.filterNot(_.startsWith("__ord_"))
+      if (vis.length != 1) bail(s"$name needs single-column sequences")
+      val cl = new ColLower(Some(s.df.schema))
+      val ordCols = s.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d) c.desc else c.asc
+      }
+      s.df.select(col(vis(0)).as(v),
+        row_number().over(Window.orderBy(ordCols: _*)).as(rn))
+    }
+    val l = numbered(st, "__lv", "__lrn")
+    val r = numbered(rightSt, "__rv", "__rrn")
+    val joined = l.join(r, col("__lrn") === col("__rrn"),
+      if (name == "zip") "inner" else "full_outer")
+    St(joined.select(
+      array(col("__lv"), col("__rv")).as("value"),
+      coalesce(col("__lrn"), col("__rrn")).as("__ord_0")),
+      Vector((Ident("__ord_0"), false)))
   }
 
   private def methodDf(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): DataFrame = {
@@ -839,6 +936,35 @@ object Lower {
       }
       val others = df.columns.filterNot(_ == fieldName).map(col).toSeq
       df.select(others :+ explode(col(fieldName)).as(fieldName): _*)
+    case "diff" | "intersect" | "union" =>
+      // value-based set ops over whole rows (Builtins diff/intersect/
+      // union, reference M:136-141): diff keeps the receiver's
+      // duplicates (anti join), intersect/union dedup — and since the
+      // dedup key is the WHOLE row, which copy survives is
+      // unobservable, so distinct() is exact without an order.
+      // JValue.eq treats nulls as equal → null-safe <=> conditions.
+      val right0 = argE(args, 0) match {
+        case c @ Chain(Root, _) => compileAst(c, resolve)
+        case e => bail(s"$name: right side must be a table pipeline, got $e")
+      }
+      // single-column lanes pair by VALUE (scalar sequences have no
+      // field names in the document model) — align the right's name;
+      // multi-column rows are objects, where names are the identity
+      val right =
+        if (df.columns.length == 1 && right0.columns.length == 1)
+          right0.withColumnRenamed(right0.columns(0), df.columns(0))
+        else right0
+      if (df.columns.sorted.toSeq != right.columns.sorted.toSeq)
+        bail(s"$name: mismatched columns")
+      val l = df.alias("__l")
+      val r = right.alias("__r")
+      def cond = df.columns.map(c =>
+        col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+      name match {
+        case "diff"      => l.join(r, cond, "left_anti")
+        case "intersect" => l.join(r, cond, "left_semi").distinct()
+        case _           => df.unionByName(right).distinct()
+      }
     case "equi_join" => // inner hash join, right wins on name collision (O:array.rs:489-548)
       val right = argE(args, 0) match {
         case c @ Chain(Root, _) => compileAst(c, resolve)
@@ -1012,6 +1138,13 @@ object Lower {
         case FPart.Text(s)            => lit(s)
         case FPart.Interp(x, None)    => displayCol(colExpr(x))
         case FPart.Interp(x, Some(f)) => fmtSpec(x, f)
+      }: _*)
+    case ObjLit(fields) => // nested object literal → struct column
+      struct(fields.map {
+        case ObjField.Short(n)                  => col(n).as(n)
+        case ObjField.KV(Lit(JStr(k)), v, None) => colExpr(v).as(k)
+        case ObjField.KV(Ident(k), v, None)     => colExpr(v).as(k)
+        case f => bail(s"object literal field unsupported: $f")
       }: _*)
     case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
     case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)

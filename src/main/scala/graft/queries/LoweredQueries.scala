@@ -372,8 +372,69 @@ object LoweredQueries extends QueryGroup {
       .orderBy("key")
   }
 
+  /** `$..key` deep descent through the compiler — the jetro text builds
+    * a two-level struct, `..key` expands both matches per row from the
+    * plan schema (StructOps.descendantPaths) and flattens pre-order. */
+  private val deepL = q(
+    "q_lower_deep",
+    """SELECT value FROM (
+      |  SELECT n_nationkey AS o, 0 AS p, CAST(n_regionkey AS BIGINT) AS value
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey AS o, 1 AS p, CAST(n_regionkey * 10 AS BIGINT) AS value
+      |  FROM nation)
+      |ORDER BY o, p""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.nation.sort_by(n_nationkey)
+        |.map({id: n_nationkey, geo: {key: n_regionkey, inner: {key: n_regionkey * 10}}})
+        |..key""".stripMargin)
+  }
+
+  /** `zip(other)` through the compiler — positional row_number join of
+    * two independently-ordered (bounded) lanes. */
+  private val zipL = q(
+    "q_lower_zip",
+    """WITH o AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey DESC) AS rn
+      |           FROM orders ORDER BY o_orderkey DESC LIMIT 10),
+      |     c AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+      |           FROM customer ORDER BY c_custkey LIMIT 10)
+      |SELECT o.o_orderkey AS a, c.c_custkey AS b
+      |FROM o JOIN c USING (rn) ORDER BY a DESC""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.orders.sort_by(-o_orderkey).take(10).map(o_orderkey)
+        |.zip($.customer.sort_by(c_custkey).take(10).map(c_custkey))""".stripMargin)
+      .select(
+        element_at(col("value"), 1).as("a"),
+        element_at(col("value"), 2).as("b"))
+      .orderBy(col("a").desc)
+  }
+
+  /** `diff(other)` through the compiler — whole-row anti join keeping
+    * the receiver's duplicates (reference M:136-137). */
+  private val setExceptL = q(
+    "q_lower_set_except",
+    """SELECT n_regionkey FROM nation
+      |WHERE n_regionkey NOT IN
+      |  (SELECT r_regionkey FROM region WHERE r_regionkey < 2)
+      |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.nation.map(n_regionkey).diff($.region{r_regionkey < 2}.map(r_regionkey))")
+      .orderBy("n_regionkey")
+  }
+
+  /** `union(other)` through the compiler — deduped value union. */
+  private val setUnionL = q(
+    "q_lower_set_union",
+    """SELECT n_regionkey AS v FROM nation
+      |UNION SELECT r_regionkey FROM region ORDER BY v""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.nation.map({v: n_regionkey}).union($.region.map({v: r_regionkey}))")
+      .orderBy("v")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
-    uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL)
+    uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL, deepL,
+    zipL, setExceptL, setUnionL)
 }

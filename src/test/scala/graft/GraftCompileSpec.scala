@@ -318,6 +318,86 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(v => v == v.sortBy(-_)))
   }
 
+  test("deep descent $..field lowers via schema paths and matches") {
+    val e = """$.nation.sort_by(-n_nationkey)
+              |.map({id: n_nationkey, geo: {key: n_regionkey, inner: {key: n_regionkey * 10}}})
+              |..key""".stripMargin
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other          => fail(s"unexpected ${other.kind}")
+    }
+    assert(got == exp && got.length == 50)
+    // no match in the schema → doc fallback (empty array there)
+    assert(!Graft.lowers(spark, sfDir, "$.nation..no_such_field"))
+  }
+
+  test("zip / zip_longest lower as positional row_number joins") {
+    // two-table doc for the interpreter side
+    def docAnswer2(expr: String, tables: String*): JValue = {
+      val parts = tables.map { t =>
+        val rows = graft.core.Tables(spark, sfDir, t).toJSON.collect()
+        s""""$t": [${rows.mkString(",")}]"""
+      }
+      Jetro.compile(expr).evalValue(JValue.parse(s"{${parts.mkString(",")}}"))
+    }
+    def runPairs(e: String): Vector[(Option[Long], Option[Long])] =
+      graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map { r =>
+          val xs = r.getSeq[Any](0)
+          (Option(xs(0)).map(_.asInstanceOf[Number].longValue),
+           Option(xs(1)).map(_.asInstanceOf[Number].longValue))
+        }.toVector
+    def docPairs(e: String): Vector[(Option[Long], Option[Long])] =
+      docAnswer2(e, "nation", "region") match {
+        case jexpr.JArr(xs) => xs.map {
+          case jexpr.JArr(Vector(a, b)) =>
+            (JValue.asNum(a).map(_.toLong), JValue.asNum(b).map(_.toLong))
+          case other => fail(s"unexpected ${other.kind}")
+        }
+        case other => fail(s"unexpected ${other.kind}")
+      }
+    val z = """$.nation.sort_by(n_nationkey).take(6).map(n_nationkey)
+              |.zip($.region.sort_by(-r_regionkey).map(r_regionkey))""".stripMargin
+    val zl = """$.nation.sort_by(n_nationkey).take(6).map(n_nationkey)
+               |.zip_longest($.region.sort_by(-r_regionkey).map(r_regionkey))""".stripMargin
+    assert(runPairs(z) == docPairs(z) && runPairs(z).length == 5)
+    assert(runPairs(zl) == docPairs(zl) && runPairs(zl).length == 6)
+    assert(runPairs(zl).last._2.isEmpty) // null padding past the shorter side
+    // unordered sides → doc fallback
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.map(n_nationkey).zip($.region.sort_by(r_regionkey).map(r_regionkey))"))
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).zip($.region.map(r_regionkey))"))
+  }
+
+  test("diff / intersect / union lower as whole-row joins") {
+    def run(e: String): Vector[Long] = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number](0).longValue).toVector.sorted
+    // diff keeps the receiver's duplicates (15 nation rows outside 0/1)
+    val d = "$.nation.map(n_regionkey).diff($.region{r_regionkey < 2}.map(r_regionkey))"
+    assert(run(d) == Vector.fill(5)(2L) ++ Vector.fill(5)(3L) ++ Vector.fill(5)(4L))
+    // intersect dedups
+    val i = "$.nation.map(n_regionkey).intersect($.region{r_regionkey >= 3}.map(r_regionkey))"
+    assert(run(i) == Vector(3L, 4L))
+    // union dedups across both sides; single-column lanes pair by value
+    val u = "$.nation.map({v: n_regionkey}).union($.region.map({v: r_regionkey}))"
+    assert(run(u) == Vector(0L, 1L, 2L, 3L, 4L))
+    assert(run("$.nation.map(n_regionkey).union($.region.map(r_regionkey))")
+      == Vector(0L, 1L, 2L, 3L, 4L))
+    // whole-ROW diff: only non-region-1 rows removed
+    val rows = "$.nation.diff($.nation{n_regionkey != 1})"
+    val got = graft.plans.Lower
+      .compile(rows, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Number]("n_regionkey").longValue).toVector
+    assert(got == Vector.fill(5)(1L))
+    // mismatched multi-column row sets bail to doc mode
+    assert(!Graft.lowers(spark, sfDir, "$.nation.union($.region)"))
+  }
+
   test("new scalar string fns lower and match the interpreter") {
     val e = """$.region.sort_by(r_regionkey).map({
               |  k: r_regionkey,
