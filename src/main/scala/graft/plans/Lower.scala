@@ -609,12 +609,93 @@ object Lower {
     St(shaped, rebased)
   }
 
+  // ——— distributed total-order machinery ———————————————————————————
+  //
+  // The language's sequence ops (rolling, lag, enumerate, accumulate…)
+  // are defined over the TOTAL active order. The naive Spark mapping is
+  // `Window.orderBy(keys)` with no partition spec — correct, but it
+  // funnels the whole table through ONE task (the OrderBarrier, SURVEY
+  // §4.4). The helpers below replace that barrier with distributed
+  // shapes that scale with the cluster:
+  //
+  //   runningOverOrder — range-repartition on the order keys (partition
+  //     ids are then monotone with the key ranges and equal keys stay in
+  //     one partition), aggregate each partition's lane, prefix-combine
+  //     the ≤#partitions per-partition aggregates in a tiny window,
+  //     broadcast the exclusive prefixes back, and combine with the
+  //     within-partition running aggregate. Two distributed shuffles
+  //     replace the single-task sort.
+  //
+  //   withGlobalRn — global row number as a running count(1).
+  //
+  //   blockedWindow — bounded ±k frames: global row number → fixed-size
+  //     blocks → the k boundary rows of each block duplicated into the
+  //     neighbouring block ("carries"), so every frame is complete
+  //     inside its block and the Window can partition by block. Blocks
+  //     have exactly B ≥ k+1 rows (except the last), so one hop of
+  //     carries is always sufficient. Carries are dropped afterwards.
+
+  private def runningOverOrder(
+      df: DataFrame, ordCols: Seq[Column], lane: Column,
+      aggFn: Column => Column, combine: (Column, Column) => Column,
+      out: String): DataFrame = {
+    val parted = df.repartitionByRange(ordCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lane", lane)
+    val perPid = parted.groupBy("__pid").agg(aggFn(col("__lane")).as("__t"))
+    // exclusive prefix per pid — a window over ≤ #shuffle-partitions rows
+    val offs = perPid.select(col("__pid"),
+      aggFn(col("__t")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        .as("__pre"))
+    val wIn = Window.partitionBy("__pid").orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parted.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, combine(col("__pre"), aggFn(col("__lane")).over(wIn)))
+      .drop("__pid", "__pre", "__lane")
+  }
+
+  /** Global 1-based row number over `ordCols` without a single-task
+    * barrier. Ties (equal keys) get an arbitrary stable intra-order,
+    * same as the unpartitioned-window mapping this replaces. */
+  private def withGlobalRn(df: DataFrame, ordCols: Seq[Column], out: String): DataFrame =
+    runningOverOrder(df, ordCols, lit(1L), sum,
+      (pre, w) => coalesce(pre, lit(0L)) + w, out)
+
+  /** Run `compute(aug, w)` where `w` is a by-block window whose frames
+    * see `back` rows before / `fwd` rows after every row; the computed
+    * frame may reference `__grn` (global row number) for global
+    * position gates. Carry duplicates are removed afterwards. Block
+    * size is tunable via `graft.lower.blockRows` (tests shrink it to
+    * exercise the carry path). */
+  private def blockedWindow(
+      df: DataFrame, ordCols: Seq[Column], back: Int, fwd: Int)(
+      compute: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+      .get("graft.lower.blockRows", "4096").toLong
+    val b = math.max(conf, math.max(back, fwd).toLong + 1L)
+    val g = withGlobalRn(df, ordCols, "__grn")
+    val pos = (col("__grn") - 1) % b
+    val base = g.withColumn("__blk", ((col("__grn") - 1) / b).cast("long"))
+      .withColumn("__carry", lit(false))
+    var aug = base
+    if (back > 0) aug = aug.unionByName(
+      base.filter(pos >= b - back)
+        .withColumn("__blk", col("__blk") + 1)
+        .withColumn("__carry", lit(true)))
+    if (fwd > 0) aug = aug.unionByName(
+      base.filter(pos < fwd)
+        .withColumn("__blk", col("__blk") - 1)
+        .withColumn("__carry", lit(true)))
+    val w = Window.partitionBy("__blk").orderBy("__grn")
+    compute(aug, w).filter(!col("__carry")).drop("__grn", "__blk", "__carry")
+  }
+
   /** Sequence-reshaping ops over the TOTAL active order (reference
-    * M:142-149; runtime bodies O:collection.rs:556-582,409). Like the
-    * rolling family these ride the inherent OrderBarrier (an
-    * unpartitioned row_number — the language's total array order has no
-    * partitioning key); outputs rebase the active order onto a hidden
-    * position column so chain-end materialisation keeps sequence order. */
+    * M:142-149; runtime bodies O:collection.rs:556-582,409), on the
+    * distributed order machinery above (no single-task barrier);
+    * outputs rebase the active order onto a hidden position column so
+    * chain-end materialisation keeps sequence order. */
   private def seqReshape(st: St, name: String, args: Vector[Arg]): St = {
     if (st.order.isEmpty) bail(s"$name without an explicit sort")
     val df = st.df
@@ -622,8 +703,6 @@ object Lower {
     val ordCols = st.order.map { case (e, d) =>
       val c = cl.colExpr(e); if (d) c.desc else c.asc
     }
-    val w = Window.orderBy(ordCols: _*)
-    val rn = row_number().over(w)
     val vis = df.columns.filterNot(_.startsWith("__ord_")).toIndexedSeq
     def lane: Column =
       if (vis.length == 1) col(vis(0))
@@ -632,27 +711,36 @@ object Lower {
     name match {
       case "enumerate" => // {index, value} objects (Builtins enumerate)
         val value = if (vis.length == 1) col(vis(0)) else struct(vis.map(col): _*)
-        St(df.select((rn - 1).cast("long").as("index"), value.as("value")),
+        St(withGlobalRn(df, ordCols, "__grn")
+          .select((col("__grn") - 1).cast("long").as("index"), value.as("value")),
           Vector((Ident("index"), false)))
       case "pairwise" => // consecutive [prev, cur] pairs
-        St(df.select(array(lag(lane, 1).over(w), lane).as(vis(0)),
-            rn.as("__ord_0"))
+        val out = blockedWindow(df, ordCols, 1, 0) { (aug, w) =>
+          aug.withColumn(vis(0), array(lag(lane, 1).over(w), lane))
+            .withColumn("__ord_0", col("__grn"))
+        }
+        St(out.select(col(vis(0)), col("__ord_0"))
           .filter(col("__ord_0") >= 2), ordAsc)
       case "window" => // sliding frames of exactly n (partials dropped)
         val n = intLit(args, 0).toInt
         if (n <= 0) St(df.limit(0).select(lane))
         else {
-          val frame = collect_list(lane).over(w.rowsBetween(-(n - 1), 0))
-          St(df.select(frame.as(vis(0)), rn.as("__ord_0"))
+          val out = blockedWindow(df, ordCols, n - 1, 0) { (aug, w) =>
+            aug.withColumn(vis(0),
+                collect_list(lane).over(w.rowsBetween(-(n - 1), 0)))
+              .withColumn("__ord_0", col("__grn"))
+          }
+          St(out.select(col(vis(0)), col("__ord_0"))
             .filter(col("__ord_0") >= n), ordAsc)
         }
       case _ => // chunk | batch — non-overlapping, last chunk partial
         val n = intLit(args, 0).toInt
         if (n <= 0) bail("chunk size must be positive")
-        // __pos (= rn) already encodes the active order ascending, so the
+        // __pos (= global rn) encodes the active order ascending, so the
         // in-chunk sort is a plain lexicographic sort_array
-        val tagged = df.select(lane.as("__v"),
-          floor((rn - 1) / n).cast("long").as("__chunk"), rn.as("__pos"))
+        val tagged = withGlobalRn(df, ordCols, "__grn").select(lane.as("__v"),
+          floor((col("__grn") - 1) / n).cast("long").as("__chunk"),
+          col("__grn").as("__pos"))
         val grouped = tagged.groupBy("__chunk")
           .agg(sort_array(collect_list(struct(col("__pos"), col("__v"))))
             .as("__fr"))
@@ -665,9 +753,9 @@ object Lower {
   /** `zip(other)` / `zip_longest(other)` — positional pairing of two
     * independently-ordered sequences via row_number join (the catalog's
     * q_zip_tables mapping, reference M:164-167). Each side numbers over
-    * its OWN active order (two total-order windows — both sequences are
-    * total orders, same inherent barrier as the rolling family), then an
-    * equi-join (full outer for zip_longest, null padding) on position. */
+    * its OWN active order with the distributed global row number (no
+    * single-task barrier), then an equi-join (full outer for
+    * zip_longest, null padding) on position. */
   private def zipStep(
       st: St, name: String, args: Vector[Arg],
       resolve: String => DataFrame): St = {
@@ -685,8 +773,7 @@ object Lower {
       val ordCols = s.order.map { case (e, d) =>
         val c = cl.colExpr(e); if (d) c.desc else c.asc
       }
-      s.df.select(col(vis(0)).as(v),
-        row_number().over(Window.orderBy(ordCols: _*)).as(rn))
+      withGlobalRn(s.df, ordCols, rn).select(col(vis(0)).as(v), col(rn))
     }
     val l = numbered(st, "__lv", "__lrn")
     val r = numbered(rightSt, "__rv", "__rrn")
@@ -795,46 +882,56 @@ object Lower {
       }
     case "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" |
          "lag" | "lead" | "diff_window" | "pct_change" | "cum_max" | "cum_min" =>
-      // windowed sequence ops over the TOTAL active order. The
-      // unpartitioned window is the inherent OrderBarrier of a
-      // total-order frame — there is no key to partition by in the
-      // language semantics; the keyed scale shape is the catalog's
-      // partitioned q_rolling family (WindowQueries).
+      // windowed sequence ops over the TOTAL active order, on the
+      // distributed order machinery (blockedWindow / runningOverOrder —
+      // no single-task OrderBarrier; see the helpers' scaladoc).
       if (st.order.isEmpty) bail(s"$name without an explicit sort")
       val cl = new ColLower(Some(df.schema))
       val ordCols = st.order.map { case (e, d) =>
         val c = cl.colExpr(e); if (d) c.desc else c.asc
       }
-      val w = Window.orderBy(ordCols: _*)
       val vis = df.columns.filterNot(_.startsWith("__ord_"))
       if (vis.length != 1) bail(s"$name needs a single-column sequence (map a field first)")
       // doc mode coerces the lane to floats (Builtins nums) — match it
       val t = col(vis(0)).cast("double")
-      val out = name match {
+      name match {
         case "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
           val n = intLit(args, 0).toInt
           if (n <= 0) bail("window size must be positive")
-          val frame = w.rowsBetween(-(n - 1), 0)
-          val agg = name match {
-            case "rolling_sum" => sum(t).over(frame)
-            case "rolling_avg" => avg(t).over(frame)
-            case "rolling_min" => min(t).over(frame)
-            case _             => max(t).over(frame)
+          blockedWindow(df, ordCols, n - 1, 0) { (aug, w) =>
+            val agg = name match {
+              case "rolling_sum" => sum(t).over(w.rowsBetween(-(n - 1), 0))
+              case "rolling_avg" => avg(t).over(w.rowsBetween(-(n - 1), 0))
+              case "rolling_min" => min(t).over(w.rowsBetween(-(n - 1), 0))
+              case _             => max(t).over(w.rowsBetween(-(n - 1), 0))
+            }
+            // fewer than n positions available → null (Builtins rolling)
+            aug.withColumn(vis(0), when(col("__grn") >= n, agg))
           }
-          // fewer than n positions available → null (Builtins rolling)
-          when(row_number().over(w) >= n, agg)
-        case "lag" =>
-          lag(t, if (args.nonEmpty) intLit(args, 0).toInt else 1).over(w)
-        case "lead" =>
-          lead(t, if (args.nonEmpty) intLit(args, 0).toInt else 1).over(w)
-        case "diff_window" => t - lag(t, 1).over(w)
+        case "lag" | "lead" =>
+          val k = if (args.nonEmpty) intLit(args, 0).toInt else 1
+          val (back, fwd) = if (name == "lag") (k, 0) else (0, k)
+          blockedWindow(df, ordCols, back, fwd) { (aug, w) =>
+            aug.withColumn(vis(0),
+              if (name == "lag") lag(t, k).over(w) else lead(t, k).over(w))
+          }
+        case "diff_window" =>
+          blockedWindow(df, ordCols, 1, 0) { (aug, w) =>
+            aug.withColumn(vis(0), t - lag(t, 1).over(w))
+          }
         case "pct_change" =>
-          val p = lag(t, 1).over(w)
-          when(p.isNotNull && p =!= 0, (t - p) / p) // p==0 → null, no ANSI div error
-        case "cum_max" => max(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        case _         => min(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          blockedWindow(df, ordCols, 1, 0) { (aug, w) =>
+            val p = lag(t, 1).over(w)
+            // p==0 → null, no ANSI div error
+            aug.withColumn(vis(0), when(p.isNotNull && p =!= 0, (t - p) / p))
+          }
+        case "cum_max" =>
+          runningOverOrder(df, ordCols, t, max, (pre, w) => greatest(pre, w), "__run")
+            .withColumn(vis(0), col("__run")).drop("__run")
+        case _ =>
+          runningOverOrder(df, ordCols, t, min, (pre, w) => least(pre, w), "__run")
+            .withColumn(vis(0), col("__run")).drop("__run")
       }
-      df.withColumn(vis(0), out)
     case "zscore" =>
       // population stddev over the whole sequence (O:collection.rs:322;
       // doc mode nums/flatten skip nulls, sd == 0 → 0.0). Two-pass:
@@ -874,9 +971,12 @@ object Lower {
       }
       val visA = df.columns.filterNot(_.startsWith("__ord_"))
       if (visA.length != 1) bail("accumulate needs a single-column sequence")
-      val wA = Window.orderBy(ordA: _*)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      df.withColumn(visA(0), init + sum(col(visA(0))).over(wA))
+      // distributed running sum (runningOverOrder): null prefix/within
+      // combine as coalesce(pre+w, pre, w) — null only when BOTH are,
+      // matching the single window's sum-skips-nulls behaviour
+      runningOverOrder(df, ordA, col(visA(0)), sum,
+          (pre, w) => coalesce(pre + w, pre, w), "__run")
+        .withColumn(visA(0), init + col("__run")).drop("__run")
     case "pivot" =>
       // pivot(row, col, val) → groupBy(row).pivot(col).agg(max(val));
       // pivot(col, val) → one wide row. Doc mode resolves duplicate

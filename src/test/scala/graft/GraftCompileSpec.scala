@@ -206,6 +206,68 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("blocked windows cross block boundaries correctly (tiny blocks)") {
+    // shrink the block size so the boundary-carry path fires on 25-150
+    // row frames — every frame that spans a block edge must see the
+    // carried rows from the neighbouring block
+    spark.conf.set("graft.lower.blockRows", "7")
+    try {
+      val exprs = Seq(
+        "$.customer.sort_by(c_custkey).map(c_custkey).rolling_sum(5)",
+        "$.customer.sort_by(-c_custkey).map(c_custkey).rolling_max(3)",
+        "$.customer.sort_by(c_custkey).map(c_custkey).lag(6)",
+        "$.customer.sort_by(c_custkey).map(c_custkey).lead(4)",
+        "$.customer.sort_by(c_custkey).map(c_custkey).diff_window()",
+        "$.customer.sort_by(c_custkey).map(c_custkey).pct_change()",
+        "$.customer.sort_by(c_custkey).map(c_custkey).cum_min()",
+        "$.customer.sort_by(c_custkey).map(c_custkey).accumulate(lambda a, x: a + x, 7)")
+      exprs.foreach { e =>
+        val got = graft.plans.Lower
+          .compile(e, t => graft.core.Tables(spark, sfDir, t))
+          .collect()
+          .map(r => Option(r.get(0)).map(_.asInstanceOf[Number].doubleValue))
+          .toVector
+        val exp = docAnswer(e) match {
+          case jexpr.JArr(xs) => xs.map {
+            case jexpr.JFloat(f) => Some(f)
+            case jexpr.JInt(n)   => Some(n.toDouble)
+            case jexpr.JNull     => None
+            case other           => fail(s"$e: unexpected ${other.kind}")
+          }
+          case other => fail(s"$e: expected array, got ${other.kind}")
+        }
+        assert(got == exp, e)
+      }
+      // the reshapers ride the same machinery
+      val pw = "$.customer.sort_by(c_custkey).map(c_custkey).pairwise()"
+      val gotPw = graft.plans.Lower
+        .compile(pw, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map(_.getSeq[Any](0).map(_.asInstanceOf[Number].longValue).toVector)
+        .toVector
+      val expPw = docAnswer(pw) match {
+        case jexpr.JArr(xs) => xs.map {
+          case jexpr.JArr(p) => p.map(x => JValue.asNum(x).get.toLong)
+          case other         => fail(s"unexpected ${other.kind}")
+        }
+        case other => fail(s"unexpected ${other.kind}")
+      }
+      assert(gotPw == expPw)
+      val wn = "$.customer.sort_by(c_custkey).map(c_custkey).window(6)"
+      val gotWn = graft.plans.Lower
+        .compile(wn, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map(_.getSeq[Any](0).map(_.asInstanceOf[Number].longValue).toVector)
+        .toVector
+      val expWn = docAnswer(wn) match {
+        case jexpr.JArr(xs) => xs.map {
+          case jexpr.JArr(p) => p.map(x => JValue.asNum(x).get.toLong)
+          case other         => fail(s"unexpected ${other.kind}")
+        }
+        case other => fail(s"unexpected ${other.kind}")
+      }
+      assert(gotWn == expWn && gotWn.forall(_.length == 6))
+    } finally spark.conf.unset("graft.lower.blockRows")
+  }
+
   test("unique_by keeps FIRST and index_by keeps LAST under the active order") {
     def run(e: String) = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))

@@ -129,6 +129,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("lowered total-order windows are blocked, not single-task") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case q: QueryStageExec        => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => Nil
+      }
+      p +: (p.children ++ extra).flatMap(nodes)
+    }
+    for (e <- Seq(
+        "$.events.sort_by(event_id).map(event_id).rolling_sum(3)",
+        "$.events.sort_by(event_id).map(event_id).cum_max()",
+        "$.events.sort_by(event_id).map(event_id).accumulate(lambda a, x: a + x)")) {
+      val df = graft.plans.Lower.compile(e, t => Tables(spark, sf, t))
+      df.collect() // finalize the adaptive plan
+      val wins = nodes(executed(df)).collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, e)
+      // every data-frame window partitions (by __blk or __pid); the only
+      // unpartitioned windows allowed are the prefix-combines over the
+      // per-partition stats aggregate (≤ #shuffle-partitions rows)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(nodes(w).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"$e: unpartitioned window over a non-aggregated frame:\n$w")
+      }
+      assert(wins.exists(_.partitionSpec.nonEmpty), e)
+    }
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(

@@ -43,17 +43,27 @@ def main():
     # queries) — any list/struct-typed column crashes its sort. Scan all
     # output dirs for non-scalar schemas up front.
     import os
+    failed = set()
     for name in sorted(os.listdir(out_dir)):
         p = f"{out_dir}/{name}"
         if not os.path.isdir(p):
             continue
-        types = con.sql(f"DESCRIBE SELECT * FROM '{p}/*.parquet'").fetchall()
+        try:
+            types = con.sql(f"DESCRIBE SELECT * FROM '{p}/*.parquet'").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: unreadable output ({e})")
+            n_fail += 1
+            failed.add(name)
+            continue
         bad = [(c, t) for c, t, *_ in types
                if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
         if bad:
             print(f"FAIL {name}: non-scalar output columns {bad}")
             n_fail += 1
+            failed.add(name)
     for name, sql in sorted(oracle.items()):
+        if name in failed:
+            continue  # already counted in the schema scan
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
