@@ -80,6 +80,23 @@ object Text {
   def fingerprint(textCol: String): Column =
     minhashLane(charShingles(textCol, 8), 0)
 
+  /** Portable variant of [[fingerprint]]: the same shingle→min pipeline
+    * with md5 as the lane hash. md5 hex is bit-identical across engines,
+    * so a DuckDB oracle can recompute it exactly; the xxhash64 lane
+    * above stays the production fast path (codegen'd, no hex strings). */
+  def fingerprintPortable(textCol: String): Column =
+    array_min(transform(charShingles(textCol, 8), s => md5(s)))
+
+  /** Portable k-lane MinHash signature: lane i = min md5(shingle∥"#i")
+    * over the char-8-gram shingles, lanes joined with ':'. Same
+    * signature algebra as [[minhashSignature]] (per-lane independent
+    * salted min), engine-portable for oracle checks. */
+  def minhashSignaturePortable(textCol: String, k: Int): Column =
+    concat_ws(":", (0 until k).map { l =>
+      array_min(transform(charShingles(textCol, 8),
+        s => md5(concat(s, lit("#" + l)))))
+    }: _*)
+
   /** Tiny per-language stopword inventories for the heuristic
     * language-ID below. Deliberately small: language ID at scale is a
     * scoring pass over the token array, not a model invocation. */

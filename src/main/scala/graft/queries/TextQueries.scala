@@ -125,20 +125,35 @@ object TextQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signatures — xxhash64-based, no DuckDB equivalent →
-    * rows-only check; invariants asserted in DedupSpec. The k-lane
-    * signature is rendered as one fixed-width hex string so the
-    * driver's pandas load sees only scalar columns. */
-  private val minhashSig = q("q_minhash_sig", null, tags = Set("noOracle")) {
-    (s, d) =>
-      Dedup.withSignature(Tables.documents(s, d), "doc_id", "text")
-        .select(col("id"),
-          array_join(
-            transform(col("sig"), x => lpad(hex(x), 16, "0")), "").as("sig"))
-        .orderBy("id")
+  /** MinHash signatures, portable md5 lanes — the DuckDB oracle
+    * recomputes lane i = min md5(8-gram∥"#i") exactly, so the whole
+    * shingle→salted-min signature pipeline is hash-verified. The
+    * production xxhash64 signature (Dedup.withSignature) is the same
+    * algebra with a codegen'd hash; it is differential-tested against
+    * an HOF oracle in DedupSpec. */
+  private val minhashSig = q(
+    "q_minhash_sig",
+    """WITH sh AS (
+      |  SELECT doc_id, list_transform(
+      |    range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> substring(text, i, 8)) AS ss
+      |  FROM documents)
+      |SELECT doc_id AS id,
+      |  list_aggregate(list_transform(ss, s -> md5(s || '#0')), 'min') || ':' ||
+      |  list_aggregate(list_transform(ss, s -> md5(s || '#1')), 'min') || ':' ||
+      |  list_aggregate(list_transform(ss, s -> md5(s || '#2')), 'min') || ':' ||
+      |  list_aggregate(list_transform(ss, s -> md5(s || '#3')), 'min') AS sig
+      |FROM sh ORDER BY id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        Text.minhashSignaturePortable("text", 4).as("sig"))
+      .orderBy("id")
   }
 
-  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify. */
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify —
+    * rows-only: candidates depend on xxhash64 banding DuckDB can't
+    * reproduce; the exact-Jaccard verifier is oracled as
+    * q_ngram_jaccard and recall is asserted in DedupSpec. */
   private val minhashPairs = q("q_minhash_pairs", null, tags = Set("noOracle")) {
     (s, d) =>
       Dedup.minhashNearDups(
@@ -146,20 +161,29 @@ object TextQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
   }
 
-  /** SimHash values + banded near-dup pairs (Hamming ≤ 12). */
+  /** SimHash values + banded near-dup pairs — rows-only: the 64-bit
+    * simhash rides xxhash64 token hashes DuckDB can't reproduce;
+    * Hamming-radius correctness is asserted in DedupSpec. */
   private val simhashPairs = q("q_simhash_pairs", null, tags = Set("noOracle")) {
     (s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", radius = 4)
         .orderBy("id_a", "id_b")
   }
 
-  /** Content fingerprint (char-8-gram min-hash). */
-  private val fingerprint = q("q_fingerprint", null, tags = Set("noOracle")) {
-    (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        Text.fingerprint("text").as("fp"))
-        .orderBy("doc_id")
+  /** Content fingerprint (char-8-gram min-hash), portable md5 lane so
+    * the DuckDB oracle recomputes it exactly; the xxhash64 production
+    * lane (Text.fingerprint) is spec-tested in TextSpec. */
+  private val fingerprint = q(
+    "q_fingerprint",
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(
+      |    range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> md5(substring(text, i, 8))), 'min') AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.fingerprintPortable("text").as("fp"))
+      .orderBy("doc_id")
   }
 
   def defs = Seq(
