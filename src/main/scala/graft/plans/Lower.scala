@@ -563,6 +563,8 @@ object Lower {
       return seqReshape(st, name, args)
     if (name == "zip" || name == "zip_longest")
       return zipStep(st, name, args, resolve)
+    if (name == "find_index" || name == "indices_where")
+      return idxStep(st, name, args)
     if (name == "reverse") {
       // sequence reversal = flip the active explicit order (M:34-35)
       if (st.order.isEmpty) bail("reverse on unordered table (sort explicitly)")
@@ -748,6 +750,28 @@ object Lower {
           transform(col("__fr"), x => x.getField("__v")).as(vis(0)),
           col("__chunk").as("__ord_0")), ordAsc)
     }
+  }
+
+  /** `find_index(pred)` / `indices_where(pred)` — 0-based sequence
+    * positions of predicate matches over the active order (reference
+    * M:60-61; runtime O:collection.rs find_index/indices_where): global
+    * row number, filter, then `min(grn)-1` (find_index, null when no
+    * match — min over an empty frame) or all `grn-1` ascending
+    * (indices_where). Fully distributed — the position assignment is
+    * the two-pass prefix count, the rest is filter + aggregate. */
+  private def idxStep(st: St, name: String, args: Vector[Arg]): St = {
+    if (st.order.isEmpty) bail(s"$name without an explicit sort")
+    val cl = new ColLower(Some(st.df.schema))
+    val ordCols = st.order.map { case (e, d) =>
+      val c = cl.colExpr(e); if (d) c.desc else c.asc
+    }
+    val g = withGlobalRn(st.df, ordCols, "__grn")
+    val matched = g.filter(predIn(g, argE(args, 0)))
+    if (name == "find_index")
+      St(matched.agg((min(col("__grn")) - 1).cast("long").as("find_index")))
+    else
+      St(matched.select((col("__grn") - 1).cast("long").as("value")),
+        Vector((Ident("value"), false)))
   }
 
   /** `zip(other)` / `zip_longest(other)` — positional pairing of two

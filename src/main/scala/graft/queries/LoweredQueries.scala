@@ -432,9 +432,30 @@ object LoweredQueries extends QueryGroup {
       .orderBy("v")
   }
 
+  /** `find_index(pred)` through the compiler — 0-based first-match
+    * position over the active order via min(global row number). */
+  private val findIndexL = q(
+    "q_lower_find_index",
+    """SELECT CAST(MIN(CASE WHEN value > 300 THEN idx END) AS BIGINT) AS find_index
+      |FROM (SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx, value
+      |      FROM events)""".stripMargin) { (s, d) =>
+    lower(s, d, "$.events.sort_by(event_id).find_index(value > 300)")
+  }
+
+  /** `indices_where(pred)` through the compiler — every matching
+    * 0-based position, ascending. */
+  private val indicesL = q(
+    "q_lower_indices",
+    """SELECT idx AS value
+      |FROM (SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx, value
+      |      FROM events WHERE event_id <= 2000)
+      |WHERE value > 250 ORDER BY value""".stripMargin) { (s, d) =>
+    lower(s, d, "$.events{event_id <= 2000}.sort_by(event_id).indices_where(value > 250)")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL, deepL,
-    zipL, setExceptL, setUnionL)
+    zipL, setExceptL, setUnionL, findIndexL, indicesL)
 }

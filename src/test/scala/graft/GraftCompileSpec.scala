@@ -268,6 +268,35 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.lower.blockRows")
   }
 
+  test("find_index / indices_where lower via global row numbers") {
+    val fi = "$.nation.sort_by(-n_nationkey).find_index(n_regionkey == 2)"
+    val gotFi = graft.plans.Lower
+      .compile(fi, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Number].longValue)).head
+    val expFi = docAnswer(fi) match {
+      case jexpr.JInt(n) => Some(n)
+      case jexpr.JNull   => None
+      case other         => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotFi == expFi)
+    // no match → null (min over empty)
+    val none = "$.nation.sort_by(n_nationkey).find_index(n_regionkey == 99)"
+    assert(graft.plans.Lower
+      .compile(none, t => graft.core.Tables(spark, sfDir, t))
+      .collect().head.isNullAt(0))
+    val iw = "$.nation.sort_by(-n_nationkey).indices_where(n_regionkey == 2)"
+    val gotIw = graft.plans.Lower
+      .compile(iw, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getLong(0)).toVector
+    val expIw = docAnswer(iw) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other          => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotIw == expIw && gotIw.nonEmpty)
+    // unordered → doc fallback
+    assert(!Graft.lowers(spark, sfDir, "$.nation.find_index(n_regionkey == 2)"))
+  }
+
   test("unique_by keeps FIRST and index_by keeps LAST under the active order") {
     def run(e: String) = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))
