@@ -159,4 +159,20 @@ object StreamOps {
     * broadcasts it, so no stream-side shuffle at any scale. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** The relational compiler on a STREAMING frame: the same jetro text
+    * that runs against parquet tables (graft.plans.Lower) compiles
+    * against an unbounded stream. Stateless lowerings — `{pred}` /
+    * filter, map shapes, pick/omit, scalar functions, f-strings, patch
+    * blocks — become pure per-micro-batch maps (zero state, no
+    * shuffle at any scale). `None` when the lowering bails (doc-mode
+    * fallback territory). Order-dependent chains (`sort_by` + the
+    * window family) compile to sorts/global row numbers that
+    * Structured Streaming rejects when the query starts — the same
+    * contract as hand-written streaming code, asserted in
+    * StreamingSpec. */
+  def lowerStream(expr: String, table: String, stream: DataFrame): Option[DataFrame] =
+    graft.plans.Lower.tryCompile(expr, t =>
+      if (t == table) stream
+      else throw new graft.plans.LowerException(s"not the stream table: $t"))
 }

@@ -44,6 +44,26 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
   private lazy val streamEvents: DataFrame =
     StreamOps.readEventStream(spark, streamDir)
 
+  test("compiled jetro pipelines run on streams (batch/stream parity)") {
+    val e = """$.events{event_type == "purchase" and value > 50}
+              |.map({id: event_id, user: user_id, amt: value * 2})""".stripMargin
+    val lowered = StreamOps.lowerStream(e, "events", streamEvents)
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_lowered_jetro")
+    val want = graft.plans.Lower.compile(e, _ => batchEvents)
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("amt")).head.getDouble(0)
+      === want.agg(sum("amt")).head.getDouble(0) +- 1e-6)
+    // order-dependent chains either bail at compile or are rejected by
+    // Structured Streaming when the query starts — never silently wrong
+    StreamOps.lowerStream(
+      "$.events.sort_by(event_id).map(event_id).rolling_sum(3)",
+      "events", streamEvents) match {
+      case Some(df) => intercept[Exception] { runToTable(df, "t_lowered_sorted") }
+      case None     => ()
+    }
+  }
+
   test("stateless filter/shape parity") {
     val got = runToTable(StreamOps.filterShape(streamEvents), "t_filter")
     val want = StreamOps.filterShape(batchEvents)
