@@ -55,7 +55,14 @@ object Bench {
       "q_doc_pipeline" -> cat("q_doc_pipeline"), // document-mode interpreter
       "q_minhash_pairs" -> cat("q_minhash_pairs"), // dedup pillar
       "q_cosine_topk" -> cat("q_cosine_topk"),     // similarity pillar
-      "b_lowered" -> cat("q_lower_pipeline"))      // jetro→Catalyst compiler
+      "b_lowered" -> cat("q_lower_pipeline"),      // jetro→Catalyst compiler
+      // the distributed total-order machinery (blockedWindow) over the
+      // WHOLE events table — tracks the cost of the no-single-task
+      // window family at bench scale
+      "b_lowered_window" -> ((s: SparkSession, d: String) =>
+        graft.plans.Lower.compile(
+          "$.events.sort_by(event_id).map(value).rolling_sum(8)",
+          t => Tables(s, d, t))))
   }
 
   private def runOnce(df: DataFrame): Unit =
