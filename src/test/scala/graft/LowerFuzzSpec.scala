@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jexpr.{JValue, Jetro}
+
+/** Randomized two-backend differential: generated pipelines are compiled
+  * by `plans.Lower` AND interpreted in document mode over the same rows;
+  * results must be identical (the reference's cross-backend guarantee,
+  * README.md:269-271). Complements GraftCompileSpec's hand-written cases
+  * with combination coverage — predicate × sort direction × lane × op ×
+  * block size — under a deterministic seed.
+  *
+  * Lanes for ARITHMETIC ops (rolling_sum/avg, accumulate, diff,
+  * pct_change) are integer-valued columns: integer sums ≤ 2^53 are
+  * order-insensitive in double arithmetic, so the distributed
+  * prefix-combine and the interpreter's sequential fold agree bit-for-
+  * bit. Comparison-only ops (min/max/lag/lead/cum/take/skip/reverse)
+  * also fuzz the double column.
+  */
+class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var doc: JValue = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-lower-fuzz")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = graft.core.Tables(spark, sfDir, "customer").toJSON.collect()
+    doc = JValue.parse(s"""{"customer": [${rows.mkString(",")}]}""")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docEval(e: String): JValue = Jetro.compile(e).evalValue(doc)
+
+  private def sparkRows(e: String) = graft.plans.Lower
+    .compile(e, t => graft.core.Tables(spark, sfDir, t)).collect()
+
+  private def asD(v: JValue): Option[Double] = v match {
+    case jexpr.JInt(n)   => Some(n.toDouble)
+    case jexpr.JFloat(f) => Some(f)
+    case jexpr.JNull     => None
+    case other           => fail(s"unexpected ${other.kind}")
+  }
+
+  private val preds = Seq(
+    "", "{c_acctbal > 1000}", "{c_nationkey < 13}",
+    "{c_acctbal > -100 and c_nationkey >= 3}", "{c_custkey <= 90}",
+    "{c_acctbal > 999999}") // empty-result stressor
+
+  test("random lane pipelines: compiled == interpreted") {
+    val rng = new scala.util.Random(20260813)
+    val cases = (0 until 90).map { _ =>
+      def k = 1 + rng.nextInt(6)
+      val pred = preds(rng.nextInt(preds.length))
+      val dir = if (rng.nextBoolean()) "-" else ""
+      val arith = Seq(
+        s"rolling_sum($k)", s"rolling_avg($k)",
+        s"accumulate(lambda a, x: a + x, ${rng.nextInt(100)})")
+      val cmp = Seq(
+        s"rolling_min($k)", s"rolling_max($k)", s"lag($k)", s"lead($k)",
+        "cum_max()", "cum_min()", s"take(${5 + rng.nextInt(40)})",
+        s"skip(${rng.nextInt(40)})", "reverse()")
+      val custkeyOnly = Seq("diff_window()", "pct_change()")
+      val (lane, op) = rng.nextInt(3) match {
+        case 0 => (Seq("c_custkey", "c_nationkey")(rng.nextInt(2)),
+                   arith(rng.nextInt(arith.length)))
+        case 1 => (Seq("c_custkey", "c_nationkey", "c_acctbal")(rng.nextInt(3)),
+                   cmp(rng.nextInt(cmp.length)))
+        case _ => ("c_custkey", custkeyOnly(rng.nextInt(2)))
+      }
+      val blk = if (rng.nextInt(3) == 0) Some(3 + rng.nextInt(9)) else None
+      (s"$$.customer$pred.sort_by(${dir}c_custkey).map($lane).$op", blk)
+    }
+    cases.foreach { case (e, blk) =>
+      blk match {
+        case Some(b) => spark.conf.set("graft.lower.blockRows", b.toString)
+        case None    => spark.conf.unset("graft.lower.blockRows")
+      }
+      val got = sparkRows(e)
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Number].doubleValue))
+        .toVector
+      val exp = docEval(e) match {
+        case jexpr.JArr(xs) => xs.map(asD)
+        case other          => fail(s"$e: expected array, got ${other.kind}")
+      }
+      assert(got == exp, e)
+    }
+    spark.conf.unset("graft.lower.blockRows")
+  }
+
+  test("random aggregate pipelines: compiled == interpreted") {
+    val rng = new scala.util.Random(42)
+    (0 until 40).foreach { _ =>
+      val pred = preds(rng.nextInt(preds.length))
+      val dir = if (rng.nextBoolean()) "-" else ""
+      val e = rng.nextInt(3) match {
+        case 0 =>
+          val lane = Seq("c_custkey", "c_nationkey")(rng.nextInt(2))
+          val agg = Seq("count()", "sum()", "avg()", "min()", "max()")(rng.nextInt(5))
+          s"$$.customer$pred.map($lane).$agg"
+        case 1 =>
+          s"$$.customer$pred.sort_by(${dir}c_custkey)" +
+            s".find_index(c_acctbal > ${rng.nextInt(9000)})"
+        case _ =>
+          s"$$.customer$pred.sort_by(${dir}c_custkey)" +
+            s".indices_where(c_nationkey == ${rng.nextInt(25)})"
+      }
+      if (e.contains("indices_where")) {
+        val got = sparkRows(e).map(_.getLong(0)).toVector
+        val exp = docEval(e) match {
+          case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+          case other          => fail(s"$e: expected array, got ${other.kind}")
+        }
+        assert(got == exp, e)
+      } else {
+        val got = Option(sparkRows(e).head.get(0))
+          .map(_.asInstanceOf[Number].doubleValue)
+        assert(got == asD(docEval(e)), e)
+      }
+    }
+  }
+}
