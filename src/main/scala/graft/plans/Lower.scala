@@ -460,6 +460,21 @@ object Lower {
     case other             => (other, false)
   }
 
+  /** The frame explicitly sorted by the active order (no-op when
+    * unordered). Limits/offsets MUST go through this rather than rely
+    * on the physical row order: upstream ops (the blocked window
+    * family) are distributed and leave the frame hash-partitioned, not
+    * globally ordered. A redundant sort over an already-sorted child is
+    * eliminated by Catalyst (EliminateSorts). */
+  private def orderedDf(st: St): DataFrame =
+    if (st.order.isEmpty) st.df
+    else {
+      val cl = new ColLower(Some(st.df.schema))
+      st.df.orderBy(st.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d) c.desc else c.asc
+      }: _*)
+    }
+
   private def stage(st: St, s: Step, resolve: String => DataFrame): St = s match {
     case Step.InlineFilter(p) => St(st.df.filter(predIn(st.df, p)), st.order)
     case Step.MapShape(pred, shape) =>
@@ -477,7 +492,7 @@ object Lower {
     case Step.Slice(from, to) => // [a:b] on an ordered source
       val a = from.getOrElse(0L)
       if (a < 0 || to.exists(_ < 0)) bail("negative slice on a table without a sort")
-      val shifted = if (a > 0) st.df.offset(a.toInt) else st.df
+      val shifted = if (a > 0) orderedDf(st).offset(a.toInt) else orderedDf(st)
       // open-ended [a:] is offset only — no limit (a Long.MaxValue
       // sentinel truncated to Int flips negative)
       val sliced = to.fold(shifted) { b =>
@@ -835,8 +850,8 @@ object Lower {
     case "sort" | "sort_by" =>
       df.orderBy(args.map(a => sortCol(a.e)): _*)
     case "reverse" => bail("reverse on unordered table (sort explicitly)")
-    case "take"  => df.limit(intLit(args, 0).toInt)
-    case "skip" | "drop" => df.offset(intLit(args, 0).toInt)
+    case "take"  => orderedDf(st).limit(intLit(args, 0).toInt)
+    case "skip" | "drop" => orderedDf(st).offset(intLit(args, 0).toInt)
     case "unique" | "distinct" =>
       // full-row duplicates are indistinguishable, so plain distinct is
       // exact when unordered; under an active order keep the FIRST
@@ -877,7 +892,8 @@ object Lower {
       df.agg(coalesce(min(coalesce(predIn(df, argE(args, 0)), lit(false))),
         lit(true)).as("all"))
     case "first" =>
-      if (args.isEmpty) df.limit(1) else df.limit(intLit(args, 0).toInt)
+      if (args.isEmpty) orderedDf(st).limit(1)
+      else orderedDf(st).limit(intLit(args, 0).toInt)
     case "last" => // order-dependent (M:122-123): top-k on the REVERSED
       // order (TakeOrderedAndProject, bounded heap), re-sorted forward
       // for last(n) since takeRight keeps original order

@@ -268,6 +268,37 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.lower.blockRows")
   }
 
+  test("take/skip/slice after a blocked window re-apply the order") {
+    // the blocked window family leaves the frame hash-partitioned by
+    // block, NOT globally ordered — a bare limit would grab arbitrary
+    // rows; take/skip/first/slice must sort by the active order first
+    spark.conf.set("graft.lower.blockRows", "5")
+    try {
+      val exprs = Seq(
+        "$.customer.sort_by(c_custkey).map(c_custkey).cum_max().take(7)",
+        "$.customer.sort_by(c_custkey).map(c_custkey).rolling_sum(3).skip(140)",
+        "$.customer.sort_by(-c_custkey).map(c_custkey).lag(2).first(4)",
+        "$.customer.sort_by(c_custkey).map(c_custkey).accumulate(lambda a, x: a + x)[3:9]")
+      exprs.foreach { e =>
+        val got = graft.plans.Lower
+          .compile(e, t => graft.core.Tables(spark, sfDir, t))
+          .collect()
+          .map(r => Option(r.get(0)).map(_.asInstanceOf[Number].doubleValue))
+          .toVector
+        val exp = docAnswer(e) match {
+          case jexpr.JArr(xs) => xs.map {
+            case jexpr.JFloat(f) => Some(f)
+            case jexpr.JInt(n)   => Some(n.toDouble)
+            case jexpr.JNull     => None
+            case other           => fail(s"$e: unexpected ${other.kind}")
+          }
+          case other => fail(s"$e: expected array, got ${other.kind}")
+        }
+        assert(got == exp, e)
+      }
+    } finally spark.conf.unset("graft.lower.blockRows")
+  }
+
   test("find_index / indices_where lower via global row numbers") {
     val fi = "$.nation.sort_by(-n_nationkey).find_index(n_regionkey == 2)"
     val gotFi = graft.plans.Lower
