@@ -559,7 +559,7 @@ object Lower {
     "take_while", "drop_while", "last", "nth",
     "rolling_sum", "rolling_avg", "rolling_min", "rolling_max",
     "lag", "lead", "diff_window", "pct_change", "cum_max", "cum_min",
-    "accumulate", "zscore",
+    "accumulate", "zscore", "remove",
     // keep-first/last-wins need the order; their partition keys exclude
     // the hidden `__ord_*` columns explicitly
     "unique", "distinct", "unique_by", "index_by")
@@ -875,6 +875,65 @@ object Lower {
       keepOnePerKey(st, df, keys, flip = false)
     case "compact" => // drop fully-null rows
       df.na.drop("all")
+    case "remove" =>
+      // value or predicate form (M:134-135, D:148-163). Value form keeps
+      // rows whose single-column value differs (JValue.eq treats nulls
+      // as equal → null-safe <=>); lambda form keeps rows where the
+      // predicate is NOT truthy (the interpreter's filterNot(truthy)
+      // keeps null-predicate rows too).
+      val visR = df.columns.filterNot(_.startsWith("__ord_"))
+      argE(args, 0) match {
+        case Lambda(Vector(x), body) =>
+          val rebased =
+            if (visR.length == 1)
+              rewrite(body) { case Ident(`x`) => Ident(visR(0)) }
+            else
+              rewrite(body) {
+                case Chain(Ident(`x`), Step.Field(f) +: rest) =>
+                  if (rest.isEmpty) Ident(f) else Chain(Ident(f), rest)
+              }
+          df.filter(!coalesce(predIn(df, rebased), lit(false)))
+        case Lit(v) =>
+          if (visR.length != 1) bail("remove(value) needs a single-column sequence")
+          df.filter(!(col(visR(0)) <=> litOf(v)))
+        case e => bail(s"remove: unsupported argument $e")
+      }
+    case "implode" =>
+      // inverse of explode (M:78-79, O:collection.rs:525): group rows by
+      // every column except `field`, collapsing `field` into an array.
+      // Doc mode preserves document order inside the array (groupedBy
+      // keeps row order), so the lowering requires the ACTIVE order and
+      // sorts each array by it — same contract as the group_by lowering;
+      // unordered tables have no defined array order → doc mode.
+      val fieldI = argE(args, 0) match {
+        case Ident(n)     => n
+        case Lit(JStr(n)) => n
+        case e            => bail(s"implode: unsupported field $e")
+      }
+      val visI = df.columns.filterNot(_.startsWith("__ord_"))
+      if (!visI.contains(fieldI)) bail(s"implode: no column $fieldI")
+      val othersI = visI.filterNot(_ == fieldI)
+      if (othersI.isEmpty) bail("implode with no residual key columns")
+      if (st.order.isEmpty) bail("implode without an explicit sort")
+      val ordKeysI = st.order.map {
+        case (Ident(n), d) if df.columns.contains(n) => (n, d)
+        case _ => bail("implode: active order not materialised as columns")
+      }
+      val cellI = struct(
+        ordKeysI.map(_._1).distinct.map(col) :+ col(fieldI).as("__v"): _*)
+      val collectedI = df.groupBy(othersI.map(col).toSeq: _*)
+        .agg(collect_list(cellI).as("__xs"))
+      val cmpI = (l: Column, r: Column) =>
+        ordKeysI.foldRight(lit(0)) { case ((n, desc), acc) =>
+          val (lf, rf) = (l.getField(n), r.getField(n))
+          when(if (desc) lf > rf else lf < rf, lit(-1))
+            .when(if (desc) lf < rf else lf > rf, lit(1))
+            .otherwise(acc)
+        }
+      collectedI
+        .withColumn(fieldI,
+          transform(array_sort(col("__xs"), cmpI), x => x.getField("__v")))
+        .drop("__xs")
     case "count" =>
       if (args.isEmpty) df.agg(count(lit(1)).as("count"))
       else df.filter(predIn(df, args(0).e)).agg(count(lit(1)).as("count"))

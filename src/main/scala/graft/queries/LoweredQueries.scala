@@ -453,9 +453,36 @@ object LoweredQueries extends QueryGroup {
     lower(s, d, "$.events{event_id <= 2000}.sort_by(event_id).indices_where(value > 250)")
   }
 
+  /** `remove(lambda)` through the compiler — predicate-form removal is
+    * a negated filter that keeps null-predicate rows (D:148-163
+    * filterNot(truthy)). */
+  private val removeL = q(
+    "q_lower_remove",
+    """SELECT event_id AS id, value AS v FROM events
+      |WHERE NOT (value > 450) ORDER BY id""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.events.sort_by(event_id).map({id: event_id, v: value}).remove(x => x.v > 450)")
+  }
+
+  /** `implode(field)` through the compiler — rows sharing the residual
+    * key collapse into an array that follows the active order
+    * (O:collection.rs:525; array flattened to a csv lane for the
+    * scalar-only driver compare). */
+  private val implodeL = q(
+    "q_lower_implode",
+    """SELECT t, string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids
+      |FROM (SELECT event_type AS t, event_id AS id FROM events WHERE value > 250)
+      |GROUP BY t ORDER BY t""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.events{value > 250}.map({t: event_type, id: event_id}).sort_by(id).implode("id")""")
+      .select(col("t"),
+        array_join(transform(col("id"), x => x.cast("string")), ",").as("ids"))
+      .orderBy("t")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL, deepL,
-    zipL, setExceptL, setUnionL, findIndexL, indicesL)
+    zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL)
 }

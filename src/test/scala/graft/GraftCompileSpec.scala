@@ -520,6 +520,53 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Graft.lowers(spark, sfDir, "$.nation.union($.region)"))
   }
 
+  test("remove and implode lower and match the interpreter") {
+    def run(e: String) = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+    // predicate-form remove over a shaped row: x.field rebases onto the
+    // row's columns, null predicates keep the row (filterNot(truthy))
+    val rm = "$.events.sort_by(event_id).map({id: event_id, v: value}).remove(x => x.v > 450)"
+    val gotRm = run(rm).collect()
+      .map(r => r.getAs[Number]("id").longValue).toVector
+    val expRm = docAnswer(rm) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        JValue.asNum(jexpr.Interp.fieldOf(o, "id")).get.toLong)
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(gotRm == expRm && gotRm.nonEmpty)
+    // value-form remove on a scalar lane (null-safe equality)
+    val rv = "$.events{event_id <= 20}.sort_by(event_id).map(event_id).remove(7)"
+    val gotRv = run(rv).collect().map(_.getLong(0)).toVector
+    val expRv = docAnswer(rv) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(gotRv == expRv && !gotRv.contains(7L))
+    // implode: arrays follow the active order; groups match doc mode
+    val im = """$.events{value > 250}.map({t: event_type, id: event_id}).sort_by(id).implode("id")"""
+    val gotIm = run(im).collect().map(r =>
+      r.getAs[String]("t") ->
+        r.getAs[scala.collection.Seq[Long]]("id").toVector).toMap
+    val expIm = docAnswer(im) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        val t = jexpr.Interp.fieldOf(o, "t") match {
+          case jexpr.JStr(s) => s
+          case v             => fail(s"t: $v")
+        }
+        val ids = jexpr.Interp.fieldOf(o, "id") match {
+          case jexpr.JArr(is) => is.map(x => JValue.asNum(x).get.toLong)
+          case v              => fail(s"id: $v")
+        }
+        t -> ids
+      }.toMap
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(gotIm == expIm && gotIm.nonEmpty)
+    // unordered implode has no defined array order → doc mode
+    assert(!Graft.lowers(spark, sfDir,
+      """$.events.map({t: event_type, id: event_id}).implode("id")"""))
+  }
+
   test("new scalar string fns lower and match the interpreter") {
     val e = """$.region.sort_by(r_regionkey).map({
               |  k: r_regionkey,
