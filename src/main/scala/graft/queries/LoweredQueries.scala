@@ -342,6 +342,44 @@ object LoweredQueries extends QueryGroup {
       .orderBy("first")
   }
 
+  /** `pairwise()` through the compiler — consecutive [prev, cur] pairs
+    * in the active order (reference M:142-149; runtime body
+    * O:collection.rs:556-582), flattened to two scalar lanes for the
+    * gate. */
+  private val pairwiseL = q(
+    "q_lower_pairwise",
+    """SELECT prev, cur FROM (
+      |  SELECT LAG(c_custkey) OVER (ORDER BY c_custkey) AS prev,
+      |    c_custkey AS cur
+      |  FROM customer)
+      |WHERE prev IS NOT NULL ORDER BY cur""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.sort_by(c_custkey).map(c_custkey).pairwise()")
+      .select(
+        element_at(col("c_custkey"), 1).as("prev"),
+        element_at(col("c_custkey"), 2).as("cur"))
+      .orderBy("cur")
+  }
+
+  /** `window(6)` through the compiler — sliding frames of exactly n in
+    * the active order, partial leading frames dropped (reference
+    * M:142-149; runtime body O:collection.rs:556-582); frames flattened
+    * to a CSV lane for the scalar-only gate. */
+  private val windowL = q(
+    "q_lower_window",
+    """SELECT last, ids FROM (
+      |  SELECT c_custkey AS last,
+      |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn,
+      |    string_agg(CAST(c_custkey AS VARCHAR), ',')
+      |      OVER (ORDER BY c_custkey ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS ids
+      |  FROM customer)
+      |WHERE rn >= 6 ORDER BY last""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.sort_by(c_custkey).map(c_custkey).window(6)")
+      .select(
+        element_at(col("c_custkey"), 6).as("last"),
+        array_join(transform(col("c_custkey"), _.cast("string")), ",").as("ids"))
+      .orderBy("last")
+  }
+
   /** `zscore()` through the compiler — whole-sequence population z-score
     * as aggregate + broadcast (no window). Both engines compute in
     * doubles with different summation association → ROUND(6) on both. */
@@ -483,6 +521,7 @@ object LoweredQueries extends QueryGroup {
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
-    uniqueByL, indexByL, enumerateL, chunkL, zscoreL, groupCollectL, deepL,
+    uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
+    groupCollectL, deepL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL)
 }
