@@ -96,4 +96,15 @@ object Jetro {
     import org.apache.spark.sql.functions.{array, lit}
     jetroEvalManyUdf(array(exprs.map(lit): _*), col)
   }
+
+  /** Native per-document eval: compile `expr` to a columnar expression
+    * over the STRUCT column `doc` (no UDF, no JSON round-trip — array
+    * stages become codegen'd higher-order functions). Returns None when
+    * some construct has no exact columnar lowering; callers then fall
+    * back to `jetroEval(expr, to_json(doc))`. Unlike the UDF family the
+    * result is TYPED (long count, double sum, …), not JSON text. */
+  def evalNative(
+      expr: String, doc: Column,
+      docType: org.apache.spark.sql.types.StructType): Option[Column] =
+    graft.plans.Lower.compileDocColumn(expr, doc, docType)
 }

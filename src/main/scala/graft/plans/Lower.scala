@@ -66,6 +66,25 @@ object Lower {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  /** Row-scope document compile: a per-document jetro expression →
+    * native `Column` over the struct column `doc` of type `docType`,
+    * with `$` bound to the document. The whole pipeline lowers to
+    * codegen'd expressions (higher-order functions for array stages) —
+    * no interpreter UDF, no JSON round-trip — or returns None so the
+    * caller can fall back to [[graft.jexpr.Jetro]]'s UDFs. This is the
+    * reference's compile-when-possible backend ladder
+    * (ir/physical.rs:219-230) applied PER ROW instead of per table.
+    */
+  def compileDocColumn(
+      expr: String, doc: Column,
+      docType: org.apache.spark.sql.types.StructType): Option[Column] =
+    try Some(new ColLower(None, rootStruct = Some((doc, docType)))
+      .colExpr(parseCached(expr)))
+    catch {
+      case _: LowerException             => None
+      case _: graft.jexpr.ParseException => None
+    }
+
   def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
     case Chain(Root, steps) if steps.nonEmpty =>
       compileChain(steps, resolve, identity)
@@ -850,8 +869,9 @@ object Lower {
     case "sort" | "sort_by" =>
       df.orderBy(args.map(a => sortCol(a.e)): _*)
     case "reverse" => bail("reverse on unordered table (sort explicitly)")
-    case "take"  => orderedDf(st).limit(intLit(args, 0).toInt)
-    case "skip" | "drop" => orderedDf(st).offset(intLit(args, 0).toInt)
+    // negative n clamps to 0 (interpreter take/drop are Scala-clamped)
+    case "take"  => orderedDf(st).limit(math.max(intLit(args, 0), 0L).toInt)
+    case "skip" | "drop" => orderedDf(st).offset(math.max(intLit(args, 0), 0L).toInt)
     case "unique" | "distinct" =>
       // full-row duplicates are indistinguishable, so plain distinct is
       // exact when unordered; under an active order keep the FIRST
@@ -952,7 +972,7 @@ object Lower {
         lit(true)).as("all"))
     case "first" =>
       if (args.isEmpty) orderedDf(st).limit(1)
-      else orderedDf(st).limit(intLit(args, 0).toInt)
+      else orderedDf(st).limit(math.max(intLit(args, 0), 0L).toInt)
     case "last" => // order-dependent (M:122-123): top-k on the REVERSED
       // order (TakeOrderedAndProject, bounded heap), re-sorted forward
       // for last(n) since takeRight keeps original order
@@ -962,7 +982,7 @@ object Lower {
         val c = cl.colExpr(e); if (d ^ flip) c.desc else c.asc
       }
       if (args.isEmpty) df.orderBy(ord(flip = true): _*).limit(1)
-      else df.orderBy(ord(flip = true): _*).limit(intLit(args, 0).toInt)
+      else df.orderBy(ord(flip = true): _*).limit(math.max(intLit(args, 0), 0L).toInt)
         .orderBy(ord(flip = false): _*)
     case "nth" => // i-th of the active order; negative counts from the end
       if (st.order.isEmpty) bail("nth without an explicit sort")
@@ -1266,8 +1286,9 @@ object Lower {
     else bail("no-arg aggregate needs a single-column input")
 
   private def intLit(args: Vector[Arg], i: Int): Long = argE(args, i) match {
-    case Lit(JInt(n)) => n
-    case e            => bail(s"expected integer literal, got $e")
+    case Lit(JInt(n))             => n
+    case Unary("-", Lit(JInt(n))) => -n // `nth(-1)` parses as unary minus
+    case e                        => bail(s"expected integer literal, got $e")
   }
 
   private def sortCol(e: Expr): Column = e match {
@@ -1306,20 +1327,59 @@ object Lower {
     * of the plan the expression runs against. Bare identifiers are row
     * fields; `@` is not addressable at the row level (only inside
     * higher-order args, unsupported here → fallback). */
+  /** Row-scope expression lowering.
+    *
+    * Four binding contexts share this class:
+    *   - table-row scope (relational mode): `schema` = the plan schema,
+    *     `Ident(n)` resolves to `col(n)`;
+    *   - `@`-rebased scope: `current` (+ `currentDt`) carry the value
+    *     `@` denotes;
+    *   - array-element scope (inside `filter`/`map`/… bodies over an
+    *     array lane): `identBase` is the element column and `schema` its
+    *     struct type, so bare idents resolve to element FIELDS — exactly
+    *     the interpreter's `env.withCurrent(elem)` shorthand scoping
+    *     (Interp.body) — and `param` names the lambda variable;
+    *   - document scope (per-row doc promotion): `rootStruct` binds `$`
+    *     to a struct column, so whole per-document pipelines compile to
+    *     codegen'd higher-order functions instead of the interpreter UDF.
+    */
   private final class ColLower(
       schema: Option[org.apache.spark.sql.types.StructType],
-      current: Option[Column] = None) {
+      current: Option[Column] = None,
+      identBase: Option[Column] = None,
+      currentDt: Option[org.apache.spark.sql.types.DataType] = None,
+      param: Option[String] = None,
+      rootStruct: Option[(Column, org.apache.spark.sql.types.StructType)] = None) {
     import org.apache.spark.sql.types._
 
+    private def identCol(n: String): Column =
+      if (param.contains(n))
+        current.getOrElse(bail("lambda param outside element scope"))
+      else identBase match {
+        case Some(b) =>
+          if (schema.exists(_.fieldNames.contains(n))) b.getField(n)
+          else bail(s"no field $n on the array element")
+        case None => col(n)
+      }
+
+    private def identDt(n: String): Option[DataType] =
+      if (param.contains(n)) currentDt
+      else schema.flatMap(_.find(_.name == n).map(_.dataType))
+
     def colExpr(e: Expr): Column = e match {
-    case Ident(n)  => col(n)
+    case Ident(n)  => identCol(n)
     case Lit(v)    => litOf(v)
     case Current   =>
       current.getOrElse(bail("`@` has no relational meaning at row scope"))
-    case Chain(Ident(n), steps) => fieldChain(col(n), n, steps)
+    case Root      =>
+      rootStruct.map(_._1).getOrElse(bail("`$` has no row-scope meaning here"))
+    case Chain(Ident(n), steps) => fieldChain(identCol(n), identDt(n), steps)
     case Chain(Current, steps)  =>
-      current.map(fieldChain(_, "@", steps))
+      current.map(fieldChain(_, currentDt, steps))
         .getOrElse(bail("`@`-rooted chain at row scope"))
+    case Chain(Root, steps) if rootStruct.isDefined =>
+      val (rc, rt) = rootStruct.get
+      fieldChain(rc, Some(rt), steps)
     case Unary("-", x)   => negate(colExpr(x))
     // `not` is null-sensitive: jetro not(falsy-null) = true, but SQL
     // NOT null = null — force two-valued before negating
@@ -1357,16 +1417,304 @@ object Lower {
     case other => bail(s"no relational lowering for expression $other")
   }
 
-  private def fieldChain(base: Column, name: String, steps: Vector[Step]): Column =
-    steps.foldLeft(base) { (c, s) =>
-      s match {
-        case Step.Field(n)         => c.getField(n)
-        case Step.Index(Lit(JInt(i))) => element_at(c, i.toInt + (if (i >= 0) 1 else 0))
-        case Step.Method(m, args)  => scalarFn(m, c, args)
-        case Step.Optional         => c // Spark navigation is already null-safe
-        case other                 => bail(s"field-chain step $other")
+  /** Walk a postfix chain over a column, threading the STATIC Spark type
+    * so array lanes dispatch to the higher-order-function pipeline ops
+    * below and scalar lanes keep the 1:1 scalar builtins. An unknown
+    * type falls back to the scalar mapping (never silently to the array
+    * one — array semantics require the element type). */
+  private def fieldChain(base: Column, baseDt: Option[DataType], steps: Vector[Step]): Column = {
+    var c = base
+    var dt: Option[DataType] = baseDt
+    steps.foreach {
+      case Step.Field(n) =>
+        c = c.getField(n)
+        dt = dt.flatMap {
+          case st: StructType => st.find(_.name == n).map(_.dataType)
+          case _              => None
+        }
+      case Step.Index(Lit(JInt(i))) => dt match {
+        case Some(ArrayType(et, _)) =>
+          // interpreter indexOf: 0-based, negative from the end, null
+          // out of bounds (never an ANSI error)
+          c = if (i >= 0) get(c, lit(i.toInt))
+              else get(c, size(c) + lit(i.toInt))
+          dt = Some(et)
+        case _ =>
+          c = element_at(c, i.toInt + (if (i >= 0) 1 else 0)); dt = None
+      }
+      case Step.Index(e) => dt match {
+        case Some(ArrayType(et, _)) if inferDt(e).exists(integralDt) =>
+          val i = colExpr(e).cast("int")
+          c = get(c, when(i >= 0, i).otherwise(size(c) + i))
+          dt = Some(et)
+        case _ => bail(s"dynamic index over untyped lane")
+      }
+      case Step.Slice(a, b) => dt match {
+        case Some(ArrayType(_, _)) => c = sliceArr(c, a, b) // type unchanged
+        case _                     => bail("slice over a non-array lane")
+      }
+      case Step.InlineFilter(p) => dt match {
+        case Some(at: ArrayType) =>
+          c = filter(c, x => new EBody(at, p).pred(x))
+        case _ => bail("inline filter over a non-array lane")
+      }
+      case Step.Method(m, args) => dt match {
+        case Some(at: ArrayType) if arrayOps(m) =>
+          val (c2, dt2) = arrayMethod(m, c, at, args)
+          c = c2; dt = dt2
+        case _ =>
+          c = scalarFn(m, c, args); dt = scalarFnReturn(m)
+      }
+      case Step.Optional => () // Spark navigation is already null-safe
+      case other         => bail(s"field-chain step $other")
+    }
+    c
+  }
+
+  /** Array-pipeline methods with an exact columnar lowering. Names that
+    * double as string builtins (`len`, `reverse`, `includes`, …)
+    * dispatch here only when the lane is statically array-typed. */
+  private val arrayOps: Set[String] = Set(
+    "filter", "find", "find_all", "where", "map", "flat_map", "compact",
+    "count", "len", "length", "sum", "avg", "mean", "min", "max",
+    "first", "last", "nth", "take", "skip", "drop", "unique", "distinct",
+    "reverse", "any", "exists", "all", "includes", "contains", "join")
+
+  /** One per-element body (lambda or shorthand) over an array lane. */
+  private final class EBody(at: ArrayType, raw: Expr) {
+    private val (bodyExpr, bodyParam): (Expr, Option[String]) = raw match {
+      case Lambda(ps, b) if ps.length == 1 => (b, Some(ps(0)))
+      case Lambda(_, _)                    => bail("multi-param lambda at row scope")
+      case other                           => (other, None)
+    }
+    private def scope(x: Column): ColLower = at.elementType match {
+      case st: StructType => new ColLower(
+        Some(st), current = Some(x), identBase = Some(x),
+        currentDt = Some(st), param = bodyParam)
+      case et => new ColLower(
+        None, current = Some(x), currentDt = Some(et), param = bodyParam)
+    }
+    def apply(x: Column): Column = scope(x).colExpr(bodyExpr)
+    /** Raw three-valued truthiness (null falls out in filter position). */
+    def pred(x: Column): Column = {
+      val s = scope(x); s.truthy(s.colExpr(bodyExpr), bodyExpr)
+    }
+    /** Two-valued truthiness for null-sensitive quantifiers. */
+    def predStrict(x: Column): Column = coalesce(pred(x), lit(false))
+    /** Static Spark type of the body, when derivable. */
+    def dt: Option[DataType] = scope(lit(null)).inferDt(bodyExpr)
+  }
+
+  private def identityBody(at: ArrayType, args: Vector[Arg], i: Int): EBody =
+    new EBody(at, if (i < args.length) args(i).e else Current)
+
+  /** `[a:b]` with the interpreter's clamp semantics (Interp.sliceOf):
+    * negative from the end, indices clamped into [0, len], empty when
+    * a ≥ b. */
+  private def sliceArr(c: Column, from: Option[Long], to: Option[Long]): Column = {
+    val len = size(c).cast("long")
+    def clamp(iOpt: Option[Long], dflt: Column): Column = iOpt match {
+      case None    => dflt
+      case Some(i) =>
+        val base = if (i < 0) len + lit(i) else lit(i)
+        greatest(least(base, len), lit(0L))
+    }
+    val a = clamp(from, lit(0L))
+    val b = clamp(to, len)
+    slice(c, (a + 1).cast("int"), greatest(b - a, lit(0L)).cast("int"))
+  }
+
+  private def arrayMethod(
+      name: String, c: Column, at: ArrayType,
+      args: Vector[Arg]): (Column, Option[DataType]) = {
+    val someArr: Option[DataType] = Some(at)
+    def body(i: Int): EBody = identityBody(at, args, i)
+    // interpreter array-RETURNING builtins go through `elems`, which
+    // reads a null receiver as the EMPTY sequence (Builtins.elems) — so
+    // e.g. map/take on a missing field yield [], not null. Scalar-valued
+    // ops keep the null-safe column forms (get/array_min/... already
+    // return the interpreter's null). `reverse` and `{pred}` inline
+    // filters pass null through, matching their non-elems interpreter
+    // bodies.
+    def nz(x: Column): Column = coalesce(x, array().cast(at))
+    def mappedWithDt(): (Column, DataType) = {
+      // the lane the aggregate consumes: the receiver itself, or the
+      // receiver mapped through the shorthand/lambda argument
+      if (args.isEmpty) (c, at.elementType)
+      else {
+        val b = body(0)
+        val d = b.dt.getOrElse(bail(s"$name body type unknown"))
+        (transform(c, b(_)), d)
       }
     }
+    name match {
+      case "filter" | "find" | "find_all" | "where" =>
+        // multi-arg form ANDs all predicates (Builtins filter)
+        if (args.isEmpty) (nz(c), someArr)
+        else {
+          val preds = args.indices.map(i => body(i))
+          (filter(nz(c), x => preds.map(_.pred(x)).reduce(_ && _)), someArr)
+        }
+      case "map" =>
+        val b = body(0)
+        (transform(nz(c), b(_)),
+          b.dt.map(ArrayType(_, containsNull = true)))
+      case "flat_map" =>
+        val b = body(0)
+        b.dt match {
+          case Some(ArrayType(et, _)) =>
+            // interpreter flattens arrays and DROPS null results
+            (flatten(filter(transform(nz(c), b(_)), _.isNotNull)),
+              Some(ArrayType(et, containsNull = true)))
+          case Some(d) =>
+            // scalar body: like map, but null results are dropped
+            (filter(transform(nz(c), b(_)), _.isNotNull),
+              Some(ArrayType(d, containsNull = true)))
+          case None => bail("flat_map body type unknown")
+        }
+      case "compact" => (filter(c, _.isNotNull), someArr) // null passes through (no elems)
+      case "count" =>
+        val counted = if (args.isEmpty) c else filter(c, x => body(0).pred(x))
+        (when(c.isNull, lit(0L)).otherwise(size(counted).cast("long")),
+          Some(LongType))
+      case "len" | "length" =>
+        (when(c.isNull, lit(0L)).otherwise(size(c).cast("long")), Some(LongType))
+      case "sum" =>
+        // empty → 0; nulls skipped; Int/Float polymorphic (Builtins sum).
+        // One typed-lane representation note: on a FRACTIONAL lane the
+        // empty/all-null sum is 0.0 (the column is double), where the
+        // interpreter's polymorphic fold starts at int 0 — numerically
+        // equal, differing only in int-vs-float rendering. A single
+        // column cannot be int-or-double per row; DocColumnSpec pins
+        // this as the documented exception to bit-identical output.
+        val (mapped, d) = mappedWithDt()
+        val zero =
+          if (integralDt(d)) lit(0L)
+          else if (numericDt(d)) lit(0.0)
+          else bail(s"sum over non-numeric lane ${d.simpleString}")
+        val nn = filter(mapped, _.isNotNull)
+        (coalesce(aggregate(nn, zero, (a, x) => a + x), zero),
+          Some(if (integralDt(d)) LongType else DoubleType))
+      case "avg" | "mean" =>
+        // nulls skipped; empty → null; always float (Builtins avg)
+        val (mapped, d) = mappedWithDt()
+        if (!numericDt(d)) bail(s"avg over non-numeric lane ${d.simpleString}")
+        val nn = filter(mapped, _.isNotNull)
+        val n = size(nn)
+        (when(n > 0,
+          aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) / n),
+          Some(DoubleType))
+      case "min" | "max" =>
+        // nulls skipped; empty → null (Builtins min/max)
+        val (mapped, d) = mappedWithDt()
+        ((if (name == "min") array_min(mapped) else array_max(mapped)), Some(d))
+      case "first" if args.isEmpty => (get(c, lit(0)), Some(at.elementType))
+      case "last" if args.isEmpty  =>
+        (get(c, size(c) - 1), Some(at.elementType))
+      case "first" => // first(n) ≡ take(n)
+        (slice(nz(c), lit(1), lit(math.max(intLit(args, 0), 0L).toInt)), someArr)
+      case "last" => // last(n) ≡ takeRight(n)
+        val n = math.max(intLit(args, 0), 0L).toInt
+        val a = nz(c)
+        (slice(a,
+          greatest(size(a) - n + 1, lit(1)),
+          greatest(least(lit(n), size(a)), lit(0))), someArr)
+      case "nth" =>
+        val i = intLit(args, 0)
+        val idx = if (i >= 0) lit(i.toInt) else size(c) + lit(i.toInt)
+        (get(c, idx), Some(at.elementType)) // get: null out of bounds / negative
+      case "take" =>
+        (slice(nz(c), lit(1), lit(math.max(intLit(args, 0), 0L).toInt)), someArr)
+      case "skip" | "drop" =>
+        val n = math.max(intLit(args, 0), 0L).toInt
+        if (n == 0) (nz(c), someArr)
+        else (slice(nz(c), lit(n + 1), greatest(size(nz(c)) - n, lit(0))), someArr)
+      case "unique" | "distinct" => (array_distinct(nz(c)), someArr) // keep-first
+      case "reverse" => (reverse(c), someArr)
+      case "any" | "exists" =>
+        (coalesce(exists(c, x => body(0).predStrict(x)), lit(false)),
+          Some(BooleanType))
+      case "all" =>
+        (coalesce(forall(c, x => body(0).predStrict(x)), lit(true)),
+          Some(BooleanType))
+      case "includes" | "contains" =>
+        (coalesce(array_contains(c, colExpr(argE(args, 0))), lit(false)),
+          Some(BooleanType))
+      case "join" => at.elementType match {
+        case StringType =>
+          val sep = strLit(args, 0, "")
+          (coalesce(array_join(c, sep), lit("")), Some(StringType))
+        case other => bail(s"join lowered only for string lanes, got ${other.simpleString}")
+      }
+      case other => bail(s"no columnar array lowering for .$other()")
+    }
+  }
+
+  private def integralDt(d: DataType): Boolean = d match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+  private def numericDt(d: DataType): Boolean = d.isInstanceOf[NumericType]
+
+  /** Static Spark type of a row-scope expression, when derivable. Used
+    * for array-op decisions (sum zero typing, flat_map shape, map result
+    * lanes) — the KIND must be right; exact width may differ from the
+    * analyzer's (e.g. int vs long), which only ever widens. */
+  private def inferDt(e: Expr): Option[DataType] = e match {
+    case Lit(JInt(_))   => Some(LongType)
+    case Lit(JFloat(_)) => Some(DoubleType)
+    case Lit(JStr(_))   => Some(StringType)
+    case Lit(JBool(_))  => Some(BooleanType)
+    case Current        => currentDt
+    case Ident(n)       => identDt(n)
+    case Unary("-", x)  => inferDt(x)
+    case Unary("not", _) => Some(BooleanType)
+    case Binary(op, l, r) => op match {
+      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "or" | "~=" | "has" =>
+        Some(BooleanType)
+      case "/" => Some(DoubleType) // jetro float division
+      case "+" | "-" | "*" | "%" =>
+        (inferDt(l), inferDt(r)) match {
+          case (Some(a), Some(b)) if integralDt(a) && integralDt(b) => Some(LongType)
+          case (Some(a), Some(b)) if numericDt(a) && numericDt(b)   => Some(DoubleType)
+          case _                                                    => None
+        }
+      case "??" =>
+        (inferDt(l), inferDt(r)) match {
+          case (Some(a), Some(b)) if a == b => Some(a)
+          case _                            => None
+        }
+      case _ => None
+    }
+    case IfElse(_, t, f) =>
+      (inferDt(t), inferDt(f)) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case _                            => None
+      }
+    case TryElse(b, d) =>
+      (inferDt(b), inferDt(d)) match {
+        case (Some(a), Some(bb)) if a == bb => Some(a)
+        case _                              => None
+      }
+    case Cast(_, to) => to match {
+      case "int"              => Some(LongType)
+      case "float" | "number" => Some(DoubleType)
+      case "string"           => Some(StringType)
+      case "bool"             => Some(BooleanType)
+      case _                  => None
+    }
+    case FString(_)                 => Some(StringType)
+    case GlobalCall("to_string", _) => Some(StringType)
+    case ObjLit(fields) =>
+      val fs = fields.map {
+        case ObjField.Short(n)                  => identDt(n).map(StructField(n, _))
+        case ObjField.KV(Lit(JStr(k)), v, None) => inferDt(v).map(StructField(k, _))
+        case ObjField.KV(Ident(k), v, None)     => inferDt(v).map(StructField(k, _))
+        case _                                  => None
+      }
+      if (fs.forall(_.isDefined)) Some(StructType(fs.flatten)) else None
+    case _ => dtOf(e)
+  }
 
   /** Scalar builtins that map 1:1 onto codegen'd Spark functions
     * (SURVEY §2.8 table). */
@@ -1560,9 +1908,17 @@ object Lower {
     * the plan schema (structs descended, arrays element-typed, scalar
     * builtins mapped to their return types). */
   private def dtOf(e: Expr): Option[DataType] = e match {
-    case Ident(n) => schema.flatMap(_.find(_.name == n).map(_.dataType))
-    case Chain(Ident(n), steps) =>
-      steps.foldLeft(dtOf(Ident(n))) { (acc, s) =>
+    case Ident(n) => identDt(n)
+    case Current  => currentDt
+    case Root     => rootStruct.map(_._2)
+    case Chain(base, steps) =>
+      val b: Option[DataType] = base match {
+        case Ident(n) => identDt(n)
+        case Current  => currentDt
+        case Root     => rootStruct.map(_._2)
+        case _        => None
+      }
+      steps.foldLeft(b) { (acc, s) =>
         s match {
           case Step.Field(f) => acc.flatMap {
             case st: StructType => st.find(_.name == f).map(_.dataType)
@@ -1572,11 +1928,33 @@ object Lower {
             case ArrayType(et, _) => Some(et)
             case _                => None
           }
+          case Step.Slice(_, _) => acc.collect { case at: ArrayType => at }
+          case Step.InlineFilter(_) => acc.collect { case at: ArrayType => at }
           case Step.Optional      => acc
-          case Step.Method(m, _)  => scalarFnReturn(m)
+          case Step.Method(m, _)  => acc match {
+            case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
+            case _                                  => scalarFnReturn(m)
+          }
           case _                  => None
         }
       }
+    case _ => None
+  }
+
+  /** Static return type of an array-pipeline method, for chain typing
+    * (body-dependent lanes — map/flat_map — report None). */
+  private def arrayMethodReturn(m: String, at: ArrayType): Option[DataType] = m match {
+    case "count" | "len" | "length"            => Some(LongType)
+    case "sum" =>
+      if (integralDt(at.elementType)) Some(LongType)
+      else if (numericDt(at.elementType)) Some(DoubleType) else None
+    case "avg" | "mean"                        => Some(DoubleType)
+    case "min" | "max" | "nth" => Some(at.elementType)
+    // first/last: element no-arg, array with n — args not visible here
+    case "any" | "exists" | "all" | "includes" | "contains" => Some(BooleanType)
+    case "join"                                => Some(StringType)
+    case "filter" | "find" | "find_all" | "where" | "compact" | "take" |
+         "skip" | "drop" | "unique" | "distinct" | "reverse" => Some(at)
     case _ => None
   }
 

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.jexpr.{JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JValue, Jetro}
+import scala.collection.immutable.VectorMap
+
+/** Differential contract for the row-scope document lowering
+  * (Lower.compileDocColumn / Jetro.evalNative): the SAME per-document
+  * jetro pipeline must produce identical values through (a) the native
+  * columnar lowering (higher-order functions, no UDF) and (b) the
+  * document interpreter over the to_json'd row — the same two-backend
+  * guarantee GraftCompileSpec asserts at table scope, applied per row.
+  * Data includes empty arrays, null arrays, and null elements to pin
+  * the interpreter's edge semantics (sum empty→0, avg empty→null,
+  * nulls skipped in aggregates, null out-of-bounds indexing).
+  */
+class DocColumnSpec extends SparkSpec {
+
+  private val itemType = StructType(Seq(
+    StructField("qty", LongType, nullable = true),
+    StructField("price", DoubleType, nullable = true),
+    StructField("tag", StringType, nullable = true)))
+  private val docType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("items", ArrayType(itemType, containsNull = false), nullable = true),
+    StructField("nums", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  /** Deterministic corpus: varying lengths, an empty-items row, a
+    * null-items row, null elements in `nums`. */
+  private lazy val docs = {
+    val rows = (0 until 40).map { i =>
+      val items =
+        if (i == 7) null
+        else (0 until i % 6).map { j =>
+          Row((i * 3 + j) % 7L, ((i * 7 + j * 13) % 40) / 4.0 + 0.25,
+            s"t${(i + j) % 5}")
+        }
+      val nums =
+        if (i == 11) null
+        else (0 until i % 5).map { j =>
+          if ((i + j) % 6 == 0) null else java.lang.Long.valueOf((i * 5 + j) % 9L)
+        }
+      val tags = (0 until i % 4).map(j => s"g${(i * j) % 3}")
+      Row(i.toLong, items, nums, tags)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), docType)
+  }
+
+  private def toJ(v: Any): JValue = v match {
+    case null                  => JNull
+    case r: Row                =>
+      JObj(VectorMap.from(r.schema.fieldNames.zipWithIndex.map {
+        case (n, i) => n -> toJ(r.get(i))
+      }))
+    case s: scala.collection.Seq[_] => JArr(s.map(toJ).toVector)
+    case l: Long               => JInt(l)
+    case i: Int                => JInt(i.toLong)
+    case d: Double             => JFloat(d)
+    case f: Float              => JFloat(f.toDouble)
+    case s: String             => JStr(s)
+    case b: Boolean            => JBool(b)
+    case other                 => fail(s"unmapped Spark value $other (${other.getClass})")
+  }
+
+  /** Run one expression through both backends over every doc row. */
+  private def differential(expr: String): Unit = {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    val nativeCol = Jetro.evalNative(expr, doc, docType)
+      .getOrElse(fail(s"did not lower: $expr"))
+    val both = docs
+      .select(col("id"), nativeCol.as("native"), to_json(doc).as("json"))
+      .orderBy("id")
+      .collect()
+    val compiled = Jetro.compile(expr)
+    both.foreach { r =>
+      val native = toJ(r.get(1))
+      val interp = compiled.evalValue(JValue.parse(r.getString(2)))
+      assert(jEq(native, interp),
+        s"row id=${r.getLong(0)} expr=$expr native=${native.render} interp=${interp.render}")
+    }
+  }
+
+  /** Structural equality with ONE numeric relaxation: JInt(n) ≡
+    * JFloat(n.0) — the documented typed-lane exception (a fractional
+    * column renders the interpreter's polymorphic int results, e.g. the
+    * empty sum's int 0, as 0.0). */
+  private def jEq(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JInt(x), JFloat(y))   => x.toDouble == y
+    case (JFloat(x), JInt(y))   => x == y.toDouble
+    case (JArr(xs), JArr(ys))   =>
+      xs.length == ys.length && xs.lazyZip(ys).forall(jEq)
+    case (JObj(xs), JObj(ys))   =>
+      xs.keySet == ys.keySet && xs.forall { case (k, v) => jEq(v, ys(k)) }
+    case _                      => a == b
+  }
+
+  private val exprs = Seq(
+    "$.id",
+    "$.items.count()",
+    "$.items.len()",
+    "$.items.filter(qty > 2).count()",
+    "$.items.count(qty > 2)",
+    "$.items{qty > 2}.count()",
+    "$.items.filter(qty > 2).map(qty).sum()",
+    "$.items.map(qty * price).sum()",
+    "$.items.map(price).avg()",
+    "$.items.map(qty).min()",
+    "$.items.map(qty).max()",
+    "$.items.sum(qty)",
+    "$.items.avg(price)",
+    "$.items.first()",
+    "$.items.last()",
+    "$.items.nth(1)",
+    "$.items.nth(-1)",
+    "$.items.nth(9)",
+    "$.items.map(qty).first(2)",
+    "$.items.map(qty).last(2)",
+    "$.items.map(qty).take(2)",
+    "$.items.map(qty).skip(2)",
+    "$.items.map(tag).unique()",
+    "$.items.reverse().map(qty)",
+    "$.items.any(qty > 4)",
+    "$.items.all(qty > 0)",
+    "$.items.map(qty).includes(3)",
+    "$.items.map(tag).join(\",\")",
+    "$.items.flat_map(tag)",
+    "$.items.map({q: qty, p: price})",
+    "$.items.filter(lambda x: x.qty > 2).map(lambda x: x.price).sum()",
+    "$.items.filter(price > 1.0).map(qty).skip(1).take(2).sum()",
+    "$.items.filter(qty > 1, price > 1.0).count()",
+    "$.nums.sum()",
+    "$.nums.avg()",
+    "$.nums.min()",
+    "$.nums.compact()",
+    "$.nums[0]",
+    "$.nums[-1]",
+    "$.nums[1:3]",
+    "$.nums[:2]",
+    "$.nums[-2:]",
+    "$.tags.count()",
+    "$.tags.join(\"|\")")
+
+  exprs.foreach { e =>
+    test(s"native == interpreter: $e") { differential(e) }
+  }
+
+  test("unsupported constructs refuse to lower (fallback contract)") {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    for (e <- Seq(
+      "$.items.sort_by(qty)",           // ordering inside a row lane
+      "$.items.map(qty).median()",      // no such builtin mapping
+      "$.missing_field.count()",        // unknown root field
+      "$.items.map(qty ?? unknown)"))   // untypeable body
+      assert(Jetro.evalNative(e, doc, docType).isEmpty, e)
+  }
+
+  test("native doc pipeline plan contains no UDF and stays codegen'd") {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    val df = docs.select(
+      Jetro.evalNative("$.items.filter(qty > 2).map(qty * price).sum()",
+        doc, docType).get.as("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("Project"), plan)
+  }
+}

@@ -10,10 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("extension-injected functions resolve from SQL") {
+    // All suites share one JVM and one SparkContext. `spark.sql
+    // .extensions` is a STATIC conf read from the context's conf at
+    // session build, so it can only take effect in a fresh JVM; the
+    // builder's `withExtensions` hook runs the SAME injection entry
+    // point (GraftExtensions.apply) on a new session over the reused
+    // context. Detach the shared session first so getOrCreate builds a
+    // new one, and re-attach it afterwards instead of stopping (stop()
+    // would kill the context for every later suite).
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive  = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-spec")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,6 +42,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](1).length == 4)
       assert(row.getLong(2) == 7L) // single voter: its bits carry
       assert(row.isNullAt(3)) // ANSI div-by-zero absorbed to null
-    } finally spark.stop()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
