@@ -51,6 +51,39 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
+  /** The SAME headline pipeline through the native columnar backend
+    * (Jetro.evalNative / Lower.compileDocColumn): the per-document
+    * pipeline compiles to codegen'd higher-order functions over the
+    * struct column — no to_json, no JSON parse, no interpreter UDF.
+    * This is the reference's compile-when-possible execution ladder
+    * (ir/physical.rs:219-230) applied per row; q_doc_pipeline keeps the
+    * interpreter pillar honest, this row keeps the compiled one fast.
+    * Same oracle as q_doc_pipeline — two more unrelated paths agreeing. */
+  private val docNative = q(
+    "q_doc_native",
+    """SELECT l_orderkey AS okey,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(COALESCE(SUM(l_quantity) FILTER (WHERE l_quantity > 25), 0)
+      |       AS DOUBLE) AS qty_big
+      |FROM lineitem GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    val docs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))).as("items"))
+    val docType = org.apache.spark.sql.types.StructType(
+      docs.schema.filter(_.name == "items"))
+    val doc = struct(col("items"))
+    def native(expr: String) = Jetro.evalNative(expr, doc, docType)
+      .getOrElse(sys.error(s"q_doc_native must lower: $expr"))
+    docs.select(
+      col("okey"),
+      native("$.items.filter(qty > 25).count()").as("n_big"),
+      native("$.items.filter(qty > 25).map(qty).sum()")
+        .cast("double").as("qty_big"))
+      .orderBy("okey")
+  }
+
   /** Recursive descent `$..k` (opcode.rs:206-209) over a two-level doc:
     * `{"root":{"k":okey},"items":[{"k":qty},…]}` — deep-sum must equal
     * okey + Σqty. */
@@ -114,5 +147,5 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
-  def defs = Seq(docPipeline, docDeep, docPatch, docTop2)
+  def defs = Seq(docPipeline, docNative, docDeep, docPatch, docTop2)
 }
