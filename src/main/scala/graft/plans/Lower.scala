@@ -1029,6 +1029,10 @@ object Lower {
           }
         case "lag" | "lead" =>
           val k = if (args.nonEmpty) intLit(args, 0).toInt else 1
+          // interpreter throws IndexOutOfBounds on negative n
+          // (Builtins.scala:421-428) — never lower it to Spark's
+          // direction-flipping lag(t, -k)
+          if (k < 0) bail(s"negative $name")
           val (back, fwd) = if (name == "lag") (k, 0) else (0, k)
           blockedWindow(df, ordCols, back, fwd) { (aug, w) =>
             aug.withColumn(vis(0),
@@ -1349,7 +1353,8 @@ object Lower {
       identBase: Option[Column] = None,
       currentDt: Option[org.apache.spark.sql.types.DataType] = None,
       param: Option[String] = None,
-      rootStruct: Option[(Column, org.apache.spark.sql.types.StructType)] = None) {
+      rootStruct: Option[(Column, org.apache.spark.sql.types.StructType)] = None,
+      scalarElem: Boolean = false) {
     import org.apache.spark.sql.types._
 
     private def identCol(n: String): Column =
@@ -1359,6 +1364,11 @@ object Lower {
         case Some(b) =>
           if (schema.exists(_.fieldNames.contains(n))) b.getField(n)
           else bail(s"no field $n on the array element")
+        // scalar-element scope: the interpreter resolves a bare ident as
+        // env.vars then fieldOf(element) — JNull over a scalar
+        // (Interp.scala:36,120-123) — so col(n) would silently read an
+        // ENCLOSING row column instead; force the interpreter fallback
+        case None if scalarElem => bail(s"bare identifier $n over a scalar element")
         case None => col(n)
       }
 
@@ -1492,7 +1502,8 @@ object Lower {
         Some(st), current = Some(x), identBase = Some(x),
         currentDt = Some(st), param = bodyParam)
       case et => new ColLower(
-        None, current = Some(x), currentDt = Some(et), param = bodyParam)
+        None, current = Some(x), currentDt = Some(et), param = bodyParam,
+        scalarElem = true)
     }
     def apply(x: Column): Column = scope(x).colExpr(bodyExpr)
     /** Raw three-valued truthiness (null falls out in filter position). */
@@ -1741,8 +1752,15 @@ object Lower {
       case "split"       =>
         split(c, java.util.regex.Pattern.quote(strLit(args, 0, "")))
       case "repeat"      => repeat(c, intLit(args, 0).toInt)
-      case "pad_left"    => lpad(c, intLit(args, 0).toInt, strLit(args, 1, " "))
-      case "pad_right"   => rpad(c, intLit(args, 0).toInt, strLit(args, 1, " "))
+      case "pad_left" | "pad_right" =>
+        // interpreter pad (Strings.scala:212-219): unchanged whenever
+        // len >= w (incl. negative w — Spark lpad/rpad TRUNCATE there),
+        // and pads with the FIRST char of the fill (Spark repeats the
+        // whole fill string)
+        val w = intLit(args, 0).toInt
+        val fill = strLit(args, 1, " ").headOption.getOrElse(' ').toString
+        val padded = if (name == "pad_left") lpad(c, w, fill) else rpad(c, w, fill)
+        when(length(c) >= w, c).otherwise(padded)
       case "to_base64"   => base64(c.cast("binary"))
       case "from_base64" => unbase64(c).cast("string")
       case "re_match"    => c.rlike(strLit(args, 0, ""))

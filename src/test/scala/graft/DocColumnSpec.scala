@@ -154,7 +154,11 @@ class DocColumnSpec extends SparkSpec {
       "$.items.sort_by(qty)",           // ordering inside a row lane
       "$.items.map(qty).median()",      // no such builtin mapping
       "$.missing_field.count()",        // unknown root field
-      "$.items.map(qty ?? unknown)"))   // untypeable body
+      "$.items.map(qty ?? unknown)",    // untypeable body
+      // bare ident over a SCALAR element: interpreter = fieldOf(elem) →
+      // JNull (Interp.scala:36,120) — col(id) would read the row column
+      "$.nums.filter(id > 0)",
+      "$.nums.map(id)"))                // same, in map position
       assert(Jetro.evalNative(e, doc, docType).isEmpty, e)
   }
 

@@ -598,6 +598,48 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.length == 5)
   }
 
+  test("pad_left/pad_right keep interpreter semantics (short width, fill char)") {
+    // interpreter pad (Strings.scala:212-219) is a no-op when len >= w
+    // (Spark lpad/rpad TRUNCATE there) and pads with the FIRST fill char
+    // (Spark repeats the whole fill) — both guarded in the lowering
+    val e = """$.region.sort_by(r_regionkey).map({
+              |  k: r_regionkey,
+              |  short: r_name.pad_left(3),
+              |  neg: r_name.pad_right(-5),
+              |  fill: r_name.pad_left(12, "ab"),
+              |  rfill: r_name.pad_right(11, "xy")})""".stripMargin
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect().map { r =>
+      (r.getAs[Number]("k").longValue, r.getAs[String]("short"),
+       r.getAs[String]("neg"), r.getAs[String]("fill"), r.getAs[String]("rfill"))
+    }.toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        def str(n: String) = jexpr.Interp.fieldOf(o, n) match {
+          case jexpr.JStr(s) => s; case v => fail(s"$n: $v")
+        }
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong,
+         str("short"), str("neg"), str("fill"), str("rfill"))
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.length == 5)
+    // the short/negative widths must really be no-ops, not truncations
+    assert(got.forall { case (_, s, n, _, _) => s == n && s.length >= 3 })
+  }
+
+  test("negative lag/lead refuse to lower (interpreter throws there)") {
+    // Builtins.scala:421-428 index out of bounds on negative n — the
+    // lowering must not silently flip direction via Spark lag(t, -k)
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).lag(-1)"))
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).lead(-2)"))
+    // non-negative still lowers
+    assert(Graft.lowers(spark, sfDir,
+      "$.nation.sort_by(n_nationkey).map(n_nationkey).lag(2)"))
+  }
+
   test("patch blocks lower to guarded column rewrites") {
     val e = """patch $ { nation[*].n_regionkey: @ * 10 when @ > 2, nation[*].tag: "x" }"""
     val got = graft.plans.Lower
