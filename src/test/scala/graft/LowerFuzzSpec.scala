@@ -33,8 +33,11 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-lower-fuzz")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = graft.core.Tables(spark, sfDir, "customer").toJSON.collect()
-    doc = JValue.parse(s"""{"customer": [${rows.mkString(",")}]}""")
+    val fields = Seq("customer", "region").map { t =>
+      val rows = graft.core.Tables(spark, sfDir, t).toJSON.collect()
+      s""""$t": [${rows.mkString(",")}]"""
+    }
+    doc = JValue.parse(fields.mkString("{", ",", "}"))
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -95,6 +98,71 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == exp, e)
     }
     spark.conf.unset("graft.lower.blockRows")
+  }
+
+  /** Edge-literal sweep: negative / zero / small / large argument
+    * literals across the scalar-fn and sequence-op surface. The contract
+    * under test is the compiler's lower-exactly-or-bail rule in its
+    * sharpest corner: where the interpreter ERRORS (negative lag,
+    * chunk(0)…) the lowering must bail or error too — never silently
+    * produce a direction-flipped / truncated / padded value (the round-4
+    * advice bugs were exactly this class). */
+  test("edge literals: lowering bails or matches the interpreter exactly") {
+    import scala.util.{Failure, Success, Try}
+    def toJ(v: Any): JValue = v match {
+      case null                       => jexpr.JNull
+      case l: Long                    => jexpr.JInt(l)
+      case i: Int                     => jexpr.JInt(i.toLong)
+      case d: Double                  => jexpr.JFloat(d)
+      case f: Float                   => jexpr.JFloat(f.toDouble)
+      case s: String                  => jexpr.JStr(s)
+      case b: Boolean                 => jexpr.JBool(b)
+      case s: scala.collection.Seq[_] => jexpr.JArr(s.map(toJ).toVector)
+      case d: java.math.BigDecimal    => jexpr.JFloat(d.doubleValue)
+      case other => fail(s"unmapped Spark value $other (${other.getClass})")
+    }
+    def jEq(a: JValue, b: JValue): Boolean = (a, b) match {
+      case (jexpr.JInt(x), jexpr.JFloat(y)) => x.toDouble == y
+      case (jexpr.JFloat(x), jexpr.JInt(y)) => x == y.toDouble
+      case (jexpr.JArr(xs), jexpr.JArr(ys)) =>
+        xs.length == ys.length && xs.lazyZip(ys).forall(jEq)
+      case _ => a == b
+    }
+    val cases = for {
+      n <- Seq(-3, -1, 0, 1, 2, 7)
+      e <- Seq(
+        s"""$$.region.sort_by(r_regionkey).map(r_name.pad_left($n))""",
+        s"""$$.region.sort_by(r_regionkey).map(r_name.pad_left($n, "ab"))""",
+        s"""$$.region.sort_by(r_regionkey).map(r_name.pad_right($n, "xy"))""",
+        s"""$$.region.sort_by(r_regionkey).map(r_name.repeat($n))""") ++
+        Seq("lag", "lead", "rolling_sum", "rolling_min", "take", "skip",
+          "first", "last", "nth", "window", "chunk")
+          .map(op => s"$$.customer.sort_by(c_custkey).map(c_custkey).$op($n)")
+    } yield e
+    cases.foreach { e =>
+      val interp = Try(docEval(e))
+      graft.plans.Lower.tryCompile(e, t => graft.core.Tables(spark, sfDir, t)) match {
+        case None => () // bail → interpreter fallback owns the semantics
+        case Some(df) =>
+          (interp, Try(df.collect())) match {
+            case (Failure(_), Failure(_)) => () // both error — consistent
+            case (Failure(ex), Success(_)) =>
+              fail(s"$e: interpreter errors (${ex.getMessage}) but lowering returns rows")
+            case (Success(_), Failure(ex)) =>
+              fail(s"$e: lowering errors where the interpreter succeeds: ${ex.getMessage}")
+            case (Success(v), Success(rows)) =>
+              val got = rows.map(r => toJ(r.get(0))).toVector
+              v match {
+                case jexpr.JArr(xs) =>
+                  assert(got.length == xs.length && got.lazyZip(xs).forall(jEq), e)
+                case jexpr.JNull => // scalar null ≡ empty relation (nth OOB)
+                  assert(got.isEmpty || got == Vector(jexpr.JNull), e)
+                case scalar =>
+                  assert(got.length == 1 && jEq(got(0), scalar), e)
+              }
+          }
+      }
+    }
   }
 
   test("random aggregate pipelines: compiled == interpreted") {
