@@ -79,6 +79,20 @@ object Dedup {
         .drop("__bpos")
     }
 
+  /** Banded bucket keys for a k-lane signature: bucket(b) = xxhash64 of
+    * band index + the band's signature slice. One array column of
+    * `bands` longs — the SAME formula for batch near-dup joins and the
+    * streaming bucket-claim state, so a signature buckets identically
+    * on both paths. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        (0 until r).map(i => element_at(sig, b * r + i + 1)): _*))
+    }: _*)
+  }
+
   /** LSH candidate pairs + exact Jaccard, filtered at `minJaccard`.
     * bands × rowsPerBand must equal k. Returns (id_a, id_b, jaccard)
     * with id_a < id_b. `maxBucket` bounds bucket-local candidate
@@ -89,7 +103,6 @@ object Dedup {
       k: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // memory-serialized cache would pin corpus-sized shingle arrays in
     // executor memory at 100 TB; DISK_ONLY keeps the reuse (banding +
     // the two verify joins read it) without competing with shuffle/agg
@@ -103,10 +116,8 @@ object Dedup {
     // ~n·bands·24 B regardless of document size.
     val banded = capBuckets(signed.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b), concat_ws(",",
-          (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
-      }: _*)).as(Seq("band", "bucket"))), "id", maxBucket)
+      posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket"))),
+      "id", maxBucket)
 
     // bucket-local pairs (shuffle on (band, bucket) only)
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))

@@ -160,6 +160,108 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  // ——— streaming near-duplicate detection (LLM-ingest pillar) ————————
+  //
+  // The batch MinHash+LSH dedup (graft.ops.Dedup) finds near-dup PAIRS
+  // inside a static corpus; an ingest pipeline instead asks, per
+  // arriving document, "is this a near-dup of anything recently seen?"
+  // Shape: stateless signature+banding (identical formula to the batch
+  // path via Dedup.bandHashes), then keep-first bucket claims in
+  // per-(band, bucket) state. A doc that lands in an already-claimed
+  // bucket collided on that band; all of a doc's band flags are emitted
+  // in the SAME micro-batch it arrives in, so doc-level survival
+  // (`collapseBandFlags`) composes per batch in foreachBatch without a
+  // second stateful operator.
+  //
+  // 100 TB scale notes: state is ONE long per live bucket (no member
+  // lists — a degenerate bucket costs the same as any other, the
+  // streaming analogue of the batch capBuckets bound), sharded by the
+  // (band, bucket) hash shuffle; the event-time timeout drops buckets
+  // `stateTtl` past the last claim, so state size tracks the distinct
+  // buckets of one TTL window, not the stream's history.
+
+  final case class BandRow(
+    doc_id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long)
+  final case class BandFlag(
+    doc_id: Long, ts: java.sql.Timestamp, band: Int, collided: Boolean)
+
+  /** Stateless stage: text → hashed shingles → k-lane MinHash signature
+    * → one row per (doc, band) with the band's bucket key. Works on a
+    * streaming or batch frame (pure projection + generator). */
+  def bandedDocs(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        array_distinct(graft.functions.Text.gramHashes(
+          graft.functions.Text.tokenHashes(col(textCol)), 3)).as("sh"))
+      .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+      .select(
+        col("doc_id"), col("ts"),
+        posexplode(graft.ops.Dedup.bandHashes(col("sig"), k, bands))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Stateful stage: keep-first bucket claims. The first doc to reach a
+    * (band, bucket) claims it (collided=false); later docs in the same
+    * bucket within `stateTtl` are flagged (collided=true). Within one
+    * micro-batch, arrival order is event time then doc_id —
+    * deterministic across retries. Append-mode output, watermark-driven
+    * state expiry. */
+  def lshBucketFlags(
+      spark: SparkSession,
+      banded: DataFrame,
+      watermark: String = "1 hour",
+      stateTtlMs: Long = 24L * 3600 * 1000): org.apache.spark.sql.Dataset[BandFlag] = {
+    import spark.implicits._
+    banded
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toVector.sortBy(r => (r.ts.getTime, r.doc_id))
+            var first = state.getOption
+            val out = rs.map { r =>
+              val dup = first.exists(_ != r.doc_id)
+              if (first.isEmpty) first = Some(r.doc_id)
+              BandFlag(r.doc_id, r.ts, r.band, dup)
+            }
+            state.update(first.get)
+            state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + stateTtlMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** Doc-level survival over one micro-batch of band flags (use inside
+    * foreachBatch): a doc is a near-dup candidate when at least
+    * `minCollided` of its bands collided — 1 is the LSH-standard OR
+    * over bands; `bands` demands every band collide (high-similarity
+    * only). Returns (doc_id, n_collided, is_dup). */
+  def collapseBandFlags(flags: DataFrame, minCollided: Int = 1): DataFrame =
+    flags.groupBy("doc_id")
+      .agg(sum(when(col("collided"), 1L).otherwise(0L)).as("n_collided"))
+      .withColumn("is_dup", col("n_collided") >= minCollided)
+
+  /** End-to-end streaming near-dup flags for a document stream — the
+    * composition `bandedDocs → lshBucketFlags`. */
+  def nearDupFlags(
+      spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", k: Int = 16, bands: Int = 4,
+      watermark: String = "1 hour",
+      stateTtlMs: Long = 24L * 3600 * 1000): org.apache.spark.sql.Dataset[BandFlag] =
+    lshBucketFlags(
+      spark, bandedDocs(docs, idCol, textCol, tsCol, k, bands),
+      watermark, stateTtlMs)
+
   /** The relational compiler on a STREAMING frame: the same jetro text
     * that runs against parquet tables (graft.plans.Lower) compiles
     * against an unbounded stream. Stateless lowerings — `{pred}` /

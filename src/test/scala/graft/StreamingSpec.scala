@@ -126,6 +126,57 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("streaming LSH near-dup flags carry bucket state across micro-batches") {
+    import java.nio.file.attribute.FileTime
+    val bands = 4
+    val docsA = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+    // batch B: the same texts under fresh ids, ten minutes later — every
+    // band bucket was already claimed in batch A, so every B flag must
+    // come back collided IF the bucket state survived the batch boundary
+    val docsB = docsA
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("ts", lit("2026-01-01 00:10:00").cast("timestamp"))
+    val dir = Paths.get("target", "stream-docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Paths.get("target", s"stream-docs-tmp-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(
+        dir.resolve(s"$name.parquet"), FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    stage(docsA, "a", now - 60000)
+    stage(docsB, "b", now)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1") // two sequential micro-batches
+      .parquet(dir.toString)
+    val flags = runToTable(
+      StreamOps.nearDupFlags(spark, stream, bands = bands).toDF, "t_neardup")
+    val nDocs = docsA.count()
+    assert(flags.count() === 2 * nDocs * bands)
+    // every band of every B doc collides — only possible with state
+    // carried from batch A (fresh state would let B docs claim buckets)
+    val bFlags = flags.filter(col("doc_id") >= 1000000L)
+    assert(bFlags.count() === nDocs * bands)
+    assert(bFlags.filter(!col("collided")).count() === 0)
+    // batch A itself contains only the corpus's few near-dup pairs —
+    // most A flags claim fresh buckets
+    val aColl = flags.filter(col("doc_id") < 1000000L && col("collided")).count()
+    assert(aColl < nDocs * bands / 5, s"A collisions: $aColl")
+    // doc-level collapse on batch B's flags: all B docs are dups at the
+    // strictest threshold (every band collided)
+    val collapsed = StreamOps.collapseBandFlags(bFlags, minCollided = bands)
+    assert(collapsed.filter(col("is_dup")).count() === nDocs)
+  }
+
   test("document-mode expressions run on streams (jetro_eval over props)") {
     // the interpreter UDF is a plain deterministic expression, so the
     // full jetro language composes with Structured Streaming untouched
