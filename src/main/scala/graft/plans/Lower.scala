@@ -843,6 +843,31 @@ object Lower {
       Vector((Ident("__ord_0"), false)))
   }
 
+  /** Keyed collect preserving the active sequence order (reference
+    * D:1242 keeps document order in group arrays): collect then
+    * array_sort with a comparator over the order keys — collect_list
+    * order is otherwise nondeterministic across shuffle partitions. */
+  private def orderedCollect(
+      st: St, df: DataFrame, key: Column, keyName: String): DataFrame = {
+    val collected = df.groupBy(key.as(keyName))
+      .agg(collect_list(struct(df.columns.map(col).toSeq: _*)).as("rows"))
+    if (st.order.isEmpty) collected
+    else {
+      val ordKeys = st.order.map {
+        case (Ident(n), d) if df.columns.contains(n) => (n, d)
+        case _ => bail(s"$keyName arrays: active order not materialised as columns")
+      }
+      val cmp = (l: Column, r: Column) =>
+        ordKeys.foldRight(lit(0)) { case ((n, desc), acc) =>
+          val (lf, rf) = (l.getField(n), r.getField(n))
+          when(if (desc) lf > rf else lf < rf, lit(-1))
+            .when(if (desc) lf < rf else lf > rf, lit(1))
+            .otherwise(acc)
+        }
+      collected.withColumn("rows", array_sort(col("rows"), cmp))
+    }
+  }
+
   private def methodDf(st: St, name: String, args: Vector[Arg], resolve: String => DataFrame): DataFrame = {
   val df = st.df
   name match {
@@ -1121,28 +1146,24 @@ object Lower {
       val k = colExpr(argE(args, 0))
       df.groupBy(k.as("key")).agg(count(lit(1)).as("n"))
     case "group_by" =>
-      // group arrays preserve the active sequence order (reference
-      // D:1242 keeps document order): collect then array_sort with a
-      // comparator over the order keys — collect_list order is
-      // otherwise nondeterministic across shuffle partitions
-      val k = colExpr(argE(args, 0))
-      val collected = df.groupBy(k.as("key"))
-        .agg(collect_list(struct(df.columns.map(col).toSeq: _*)).as("rows"))
-      if (st.order.isEmpty) collected
-      else {
-        val ordKeys = st.order.map {
-          case (Ident(n), d) if df.columns.contains(n) => (n, d)
-          case _ => bail("group_by: active order not materialised as columns")
-        }
-        val cmp = (l: Column, r: Column) =>
-          ordKeys.foldRight(lit(0)) { case ((n, desc), acc) =>
-            val (lf, rf) = (l.getField(n), r.getField(n))
-            when(if (desc) lf > rf else lf < rf, lit(-1))
-              .when(if (desc) lf < rf else lf > rf, lit(1))
-              .otherwise(acc)
-          }
-        collected.withColumn("rows", array_sort(col("rows"), cmp))
-      }
+      orderedCollect(st, df, colExpr(argE(args, 0)), "key")
+    case "partition" =>
+      // {"true": […], "false": […]} split (M:162-163; reference
+      // regression.rs:351-357) — the group_by collect shape keyed by
+      // the predicate's two-valued truthiness. Both sides are always
+      // present in the reference output, so a 2-row side frame
+      // left-joins the collected groups and fills the missing side
+      // with an empty array.
+      val side = when(
+        coalesce(predIn(df, argE(args, 0)), lit(false)), "true")
+        .otherwise("false")
+      val collected = orderedCollect(st, df, side, "side")
+      val rowsDt = collected.schema("rows").dataType
+      import df.sparkSession.implicits._
+      val sides = Seq("true", "false").toDF("side")
+      broadcast(sides).join(collected, Seq("side"), "left_outer")
+        .withColumn("rows",
+          coalesce(col("rows"), array().cast(rowsDt)))
     case "index_by" =>
       // LAST wins (reference defs.rs:1328) — order-dependent like
       // unique_by, so it needs the active order; reversed window per key

@@ -410,6 +410,21 @@ object LoweredQueries extends QueryGroup {
       .orderBy("key")
   }
 
+  /** `partition(pred)` through the compiler: {"true": […], "false": […]}
+    * group arrays in the ACTIVE order (reference regression.rs:351-357),
+    * rendered as joined id strings for the scalar-only oracle compare. */
+  private val partitionL = q(
+    "q_lower_partition",
+    """SELECT CASE WHEN c_acctbal > 0 THEN 'true' ELSE 'false' END AS side,
+      |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids
+      |FROM customer GROUP BY side ORDER BY side""".stripMargin) { (s, d) =>
+    lower(s, d, "$.customer.sort_by(c_custkey).partition(c_acctbal > 0)")
+      .select(col("side"),
+        array_join(transform(col("rows"),
+          r => r.getField("c_custkey").cast("string")), ",").as("ids"))
+      .orderBy("side")
+  }
+
   /** `$..key` deep descent through the compiler — the jetro text builds
     * a two-level struct, `..key` expands both matches per row from the
     * plan schema (StructOps.descendantPaths) and flattens pre-order. */
@@ -522,6 +537,6 @@ object LoweredQueries extends QueryGroup {
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
-    groupCollectL, deepL,
+    groupCollectL, partitionL, deepL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL)
 }

@@ -598,6 +598,37 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.length == 5)
   }
 
+  test("partition lowers to order-preserving group arrays, both sides present") {
+    def runPartition(e: String): Map[String, Vector[Long]] =
+      graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+        .collect()
+        .map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getAs[Number]("n_nationkey").longValue).toVector
+        }.toMap
+    def docPartition(e: String): Map[String, Vector[Long]] =
+      docAnswer(e) match {
+        case jexpr.JObj(fs) => fs.map {
+          case (k, jexpr.JArr(xs)) => k -> xs.map(o =>
+            JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong)
+          case (k, v) => fail(s"$k: $v")
+        }.toMap
+        case other => fail(s"expected object, got ${other.kind}")
+      }
+    val e = "$.nation.sort_by(-n_nationkey).partition(n_regionkey < 2)"
+    val got = runPartition(e)
+    assert(got == docPartition(e))
+    assert(got.keySet == Set("true", "false") &&
+      got("true").nonEmpty && got("false").nonEmpty)
+    // arrays follow the active (descending) order
+    assert(got("true") == got("true").sorted.reverse)
+    // an all-pass predicate still yields both keys, "false" empty
+    val e2 = "$.nation.sort_by(n_nationkey).partition(n_nationkey >= 0)"
+    val got2 = runPartition(e2)
+    assert(got2 == docPartition(e2))
+    assert(got2("false").isEmpty && got2("true").length == 25)
+  }
+
   test("pad_left/pad_right keep interpreter semantics (short width, fill char)") {
     // interpreter pad (Strings.scala:212-219) is a no-op when len >= w
     // (Spark lpad/rpad TRUNCATE there) and pads with the FIRST fill char
