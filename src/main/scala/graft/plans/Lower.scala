@@ -846,7 +846,16 @@ object Lower {
   /** Keyed collect preserving the active sequence order (reference
     * D:1242 keeps document order in group arrays): collect then
     * array_sort with a comparator over the order keys — collect_list
-    * order is otherwise nondeterministic across shuffle partitions. */
+    * order is otherwise nondeterministic across shuffle partitions.
+    *
+    * Scale contract: materialising a group's rows as ONE array is what
+    * the semantics demand (the reference's Sink::Collect per group), so
+    * each group is a memory barrier sized by its row count — fine for
+    * the many-small-groups shape, hazardous for few-huge-groups
+    * (`partition` is the extreme: 2 groups). That hazard is inherent to
+    * the operator, not this lowering; pipelines that only need
+    * per-group aggregates should use group_shape / shaped group
+    * aggregates, which stay in partial-aggregable form. */
   private def orderedCollect(
       st: St, df: DataFrame, key: Column, keyName: String): DataFrame = {
     val collected = df.groupBy(key.as(keyName))
