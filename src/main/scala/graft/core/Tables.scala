@@ -34,17 +34,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * surface a microsecond TimestampType column — the same truncation
-    * DuckDB applies when it reads the file, so oracle comparisons on
-    * `ts` agree.
+  /** `events.ts` has shipped in two parquet vintages: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects outright — read as raw
+    * nanos under the legacy conf and truncate) and plain timestamp[us]
+    * (read as TIMESTAMP_NTZ). Both are surfaced as the same microsecond
+    * TimestampType column — with the session zone pinned to UTC that is
+    * exactly the value DuckDB sees, so oracle comparisons on `ts` agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    raw(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = raw(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -679,10 +679,14 @@ object Lower {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lane", lane)
     val perPid = parted.groupBy("__pid").agg(aggFn(col("__lane")).as("__t"))
-    // exclusive prefix per pid — a window over ≤ #shuffle-partitions rows
+    // exclusive prefix per pid — a window over ≤ #shuffle-partitions rows.
+    // The constant partition key makes the single-partition intent
+    // explicit (the frame IS the ≤32-row aggregate table); without it
+    // WindowExec logs a moving-all-data warning on every run.
     val offs = perPid.select(col("__pid"),
       aggFn(col("__t")).over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        Window.partitionBy(lit(0))
+          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
         .as("__pre"))
     val wIn = Window.partitionBy("__pid").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -33,19 +33,25 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOps {
 
-  /** Events schema as produced by the driver (TESTDATA.md), with `ts`
-    * surfaced as a real TimestampType. The driver's parquet stores
-    * TIMESTAMP(NANOS), which Spark reads as long nanos under the legacy
-    * conf (see [[graft.core.Tables.events]]).
+  /** Events stream with `ts` surfaced as a real TimestampType. The
+    * source schema is probed from the files already in `dir` (streaming
+    * sources require an explicit schema), because the driver's parquet
+    * has shipped `ts` both as TIMESTAMP(NANOS) — long nanos under the
+    * legacy conf — and as plain timestamp[us]; both normalise to the
+    * same microsecond column (see [[graft.core.Tables.events]]).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(schema)
+    val fileSchema = spark.read.parquet(dir).schema
+    val df = spark.readStream
+      .schema(fileSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Stateless slice — streaming `filter(pred).map({shape})`. Runs with
