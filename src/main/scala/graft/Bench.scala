@@ -34,8 +34,8 @@ object Bench {
     Tables.lineitem(s, d)
       .join(broadcast(top), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_extendedprice") > 50)
-      .agg(sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-        .cast("double").as("total"))
+      .agg(Num.frevenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("total"))
   }
 
   /** The headline set: name → query builder. Catalog entries are reused

@@ -38,7 +38,7 @@ object AggQueries extends QueryGroup {
     (s, d) =>
       Tables.events(s, d)
         .groupBy((col("value") > 100).as("pass_side"))
-        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("total"))
+        .agg(count(lit(1)).as("n"), Num.fsum(col("value")).as("total"))
         .orderBy("pass_side")
   }
 
@@ -148,7 +148,7 @@ object AggQueries extends QueryGroup {
       |FROM orders GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
-      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), Num.fsum(col("o_totalprice")).as("total"))
       .orderBy("yr")
   }
 

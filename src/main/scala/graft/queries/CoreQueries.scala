@@ -48,8 +48,8 @@ object CoreQueries extends QueryGroup {
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          Num.revenue(col("l_extendedprice"), col("l_discount"))
-            .cast("double").as("revenue"))
+          Num.frevenue(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
         .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -70,11 +70,11 @@ object CoreQueries extends QueryGroup {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Num.dsum(col("l_quantity")).as("sum_qty"),
-        Num.dsum(col("l_extendedprice")).as("sum_base"),
-        sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("sum_disc"),
-        Num.davg(col("l_quantity")).as("avg_qty"),
+        Num.fsum(col("l_quantity")).as("sum_qty"),
+        Num.fsum(col("l_extendedprice")).as("sum_base"),
+        Num.frevenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc"),
+        Num.favg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -142,8 +142,8 @@ object CoreQueries extends QueryGroup {
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"),
+        Num.frevenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -226,7 +226,7 @@ object CoreQueries extends QueryGroup {
         .agg(
           min("c_acctbal").as("min_bal"),
           max("c_acctbal").as("max_bal"),
-          Num.davg(col("c_acctbal")).as("avg_bal"))
+          Num.favg(col("c_acctbal")).as("avg_bal"))
         .orderBy("c_nationkey")
   }
 

@@ -28,7 +28,7 @@ object NativeUpsideQueries extends QueryGroup {
     (s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), Num.fsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -177,7 +177,7 @@ object NativeUpsideQueries extends QueryGroup {
             || lag("ts", 1).over(w).isNull, 1).otherwise(0))
         .withColumn("sid", sum("new_s").over(wRun))
         .groupBy("user_id", "sid")
-        .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("total"))
+        .agg(count(lit(1)).as("n_events"), Num.fsum(col("value")).as("total"))
         .orderBy("user_id", "sid")
   }
 

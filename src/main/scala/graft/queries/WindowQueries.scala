@@ -34,9 +34,9 @@ object WindowQueries extends QueryGroup {
     val w3 = w.rowsBetween(-2, 0)
     Tables.events(s, d).select(
       col("event_id"), col("user_id"),
-      sum(Num.dec2(col("value"))).over(w3).cast("double").as("roll_sum"),
+      (sum(Num.fx(col("value"))).over(w3) / 100.0).as("roll_sum"),
       round(
-        sum(Num.dec2(col("value"))).over(w3).cast("double") /
+        (sum(Num.fx(col("value"))).over(w3) / 100.0) /
           count(lit(1)).over(w3), 4).as("roll_avg"),
       min("value").over(w3).as("roll_min"),
       max("value").over(w3).as("roll_max"))
@@ -113,12 +113,12 @@ object WindowQueries extends QueryGroup {
       |    COUNT(*) AS n
       |  FROM events GROUP BY event_type) USING (event_type)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val dv = Num.dec2(col("value"))
+    val fv = Num.fx(col("value"))
     val stats = Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        (sum(dv).cast("double") / count(lit(1))).as("m"),
-        sum(dv * dv).cast("double").as("ss"),
+        ((sum(fv) / 100.0) / count(lit(1))).as("m"),
+        (sum(fv * fv) / 10000.0).as("ss"),
         count(lit(1)).as("n"))
     Tables.events(s, d)
       .join(broadcast(stats), Seq("event_type"))
@@ -210,7 +210,7 @@ object WindowQueries extends QueryGroup {
     val wc = w.rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(s, d).select(
       col("event_id"), col("user_id"),
-      sum(Num.dec2(col("value"))).over(wc).cast("double").as("running"))
+      (sum(Num.fx(col("value"))).over(wc) / 100.0).as("running"))
       .orderBy("user_id", "event_id")
   }
 
