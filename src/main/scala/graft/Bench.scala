@@ -52,7 +52,9 @@ object Bench {
       "q_fstring" -> cat("q_fstring"),        // f-string formatting
       "q_join_broadcast" -> cat("q_join_broadcast"),
       "q_rolling" -> cat("q_rolling"),        // window analytics
-      "q_doc_pipeline" -> cat("q_doc_pipeline"), // document-mode interpreter
+      "q_doc_pipeline" -> cat("q_doc_pipeline"), // interpreter + JSON round-trip
+      "b_doc_row" -> cat("q_doc_row"),           // interpreter, struct-fed (no JSON)
+      "b_doc_native" -> cat("q_doc_native"),     // compiled columnar (no interpreter)
       "q_minhash_pairs" -> cat("q_minhash_pairs"), // dedup pillar
       "q_cosine_topk" -> cat("q_cosine_topk"),     // similarity pillar
       "b_lowered" -> cat("q_lower_pipeline"),      // jetro→Catalyst compiler

@@ -97,6 +97,36 @@ object Jetro {
     jetroEvalManyUdf(array(exprs.map(lit): _*), col)
   }
 
+  /** Struct-fed interpreter: evaluate N expressions per row against a
+    * STRUCT column, feeding the interpreter through [[RowBridge]]
+    * instead of a `to_json` + JSON-parse round trip. Same semantics and
+    * display-string results as [[jetroEvalMany]] (differential-tested),
+    * minus the per-row serialize/parse — the middle rung of the
+    * execution ladder between the JSON-text interpreter and the fully
+    * compiled columnar path ([[evalNative]]). */
+  def jetroEvalMany(
+      exprs: Seq[String], doc: Column,
+      docType: org.apache.spark.sql.types.StructType): Column = {
+    val conv = RowBridge.convert(docType)
+    val exprVec = exprs.toIndexedSeq
+    val fn = new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, Array[String]] {
+      override def call(row: org.apache.spark.sql.Row): Array[String] = {
+        if (row == null) return null
+        val docV =
+          try conv(row)
+          catch { case _: RuntimeException => return null }
+        exprVec.map { e =>
+          try JValue.display(cached(e).evalValue(docV))
+          catch { case _: EvalException | _: ParseException => null }
+        }.toArray
+      }
+    }
+    org.apache.spark.sql.functions
+      .udf(fn, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      .apply(doc)
+  }
+
   /** Native per-document eval: compile `expr` to a columnar expression
     * over the STRUCT column `doc` (no UDF, no JSON round-trip — array
     * stages become codegen'd higher-order functions). Returns None when

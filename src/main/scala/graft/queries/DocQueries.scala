@@ -84,6 +84,41 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
+  /** The SAME headline pipeline through the struct-fed interpreter
+    * (Jetro.jetroEvalMany struct overload / RowBridge): the tree-walk
+    * interpreter still evaluates every row, but its input tree is built
+    * directly from the Tungsten-decoded struct — no to_json, no JSON
+    * parse. Middle rung of the execution ladder: q_doc_pipeline keeps
+    * the full text round-trip honest, q_doc_native is the compiled
+    * ceiling, this row isolates what serialization costs. Same oracle
+    * as both. */
+  private val docRow = q(
+    "q_doc_row",
+    """SELECT l_orderkey AS okey,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(COALESCE(SUM(l_quantity) FILTER (WHERE l_quantity > 25), 0)
+      |       AS DOUBLE) AS qty_big
+      |FROM lineitem GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    val docs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))).as("items"))
+    val docType = org.apache.spark.sql.types.StructType(
+      docs.schema.filter(_.name == "items"))
+    docs.select(
+      col("okey"),
+      Jetro.jetroEvalMany(Seq(
+        "$.items.filter(qty > 25).count()",
+        "$.items.filter(qty > 25).map(qty).sum()"),
+        struct(col("items")), docType).as("r"))
+      .select(
+        col("okey"),
+        element_at(col("r"), 1).cast("long").as("n_big"),
+        element_at(col("r"), 2).cast("double").as("qty_big"))
+      .orderBy("okey")
+  }
+
   /** Recursive descent `$..k` (opcode.rs:206-209) over a two-level doc:
     * `{"root":{"k":okey},"items":[{"k":qty},…]}` — deep-sum must equal
     * okey + Σqty. */
@@ -147,5 +182,5 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
-  def defs = Seq(docPipeline, docNative, docDeep, docPatch, docTop2)
+  def defs = Seq(docPipeline, docNative, docRow, docDeep, docPatch, docTop2)
 }
