@@ -9,7 +9,8 @@ object Catalog {
   def groups: Seq[QueryGroup] = Seq(
     CoreQueries, WindowQueries, SequenceQueries, AggQueries,
     ArraySetQueries, ScalarQueries, ShapeQueries, DocQueries,
-    TextQueries, SimilarityQueries, NativeUpsideQueries, LoweredQueries)
+    TextQueries, SimilarityQueries, NativeUpsideQueries, LoweredQueries,
+    PipelineQueries)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{AsOf, Sampling}
+
+/** Training-data pipeline operators beyond the reference's surface:
+  * point-in-time (as-of) joins and deterministic sampling / dataset
+  * splits. Each is oracle-checked: DuckDB's native ASOF JOIN verifies
+  * [[graft.ops.AsOf]]'s union+running-last formulation (two genuinely
+  * different algorithms must agree row-for-row), and the md5-keyed
+  * sampling lanes replay identically in any engine.
+  */
+object PipelineQueries extends QueryGroup {
+
+  /** For every click, the user's most recent purchase value at or
+    * before that moment. Build side is deduped per (user_id, ts) so
+    * the as-of winner is unique (see AsOf scaladoc). */
+  private val asofJoin = q(
+    "q_asof_join",
+    """SELECT p.event_id, p.user_id, b.last_purchase
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click') p
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, MAX(value) AS last_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) b
+      |ON p.user_id = b.user_id AND p.ts >= b.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val probe = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val build = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("value").as("last_purchase"))
+    AsOf.joinAsOf(probe, build, Seq("user_id"), "ts", Seq("last_purchase"))
+      .select("event_id", "user_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
+  /** Deterministic ~16% document sample (hash-bucket Bernoulli): a
+    * pure pushed-down filter, reproducible in any engine. */
+  private val sampleHash = q(
+    "q_sample_hash",
+    """SELECT doc_id, lang FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.sampleByHash(
+        Tables.documents(s, d), col("doc_id"), pct256 = 0x29)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic 80/10/10 train/val/test assignment per document —
+    * stable under re-runs and data growth (membership depends only on
+    * the doc's own key). */
+  private val trainTestSplit = q(
+    "q_train_test_split",
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Sampling.split(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact 20-docs-per-language stratified sample, ranked by content
+    * hash inside each stratum (deterministic reservoir twin). */
+  private val sampleStratified = q(
+    "q_sample_stratified",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.stratified(
+        Tables.documents(s, d), Seq("lang"), col("doc_id"), k = 20)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified)
+}
