@@ -139,6 +139,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fully engine-portable MinHash+LSH near-dup pairs: char-8-gram
+    * shingles, md5 lane hashes, md5 band buckets, bucket-local pairs,
+    * exact Jaccard verify — every stage expressible in ANSI SQL, so a
+    * second engine (the DuckDB oracle) can replay the ENTIRE pipeline
+    * and hash-match the result. Same algebra and join shape as
+    * [[minhashNearDups]]; the production path differs only in hash
+    * function (codegen'd xxhash64, ~6x cheaper than md5 strings) and
+    * the bucket cap. Use this variant for cross-engine reproducibility,
+    * the xxhash one for throughput. */
+  def minhashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, bands: Int = 2, minJaccard: Double = 0.2): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val laneCols = (0 until k).map { l =>
+      array_min(transform(col("ss"), s => md5(concat(s, lit("#" + l)))))
+        .as(s"__l$l")
+    }
+    val signed = df
+      .select(col(idCol).as("id"),
+        array_distinct(Text.charShingles(textCol, 8)).as("ss"))
+      .select(col("id") +: col("ss") +: laneCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(":",
+        lit(b.toString) +: (0 until r).map(i => col(s"__l${b * r + i}")): _*))
+    }
+    val banded = signed.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val shs = signed.select(col("id"), col("ss"))
+    cand
+      .join(shs.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), Seq("id_a"))
+      .join(shs.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("ss_a"), col("ss_b")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact Jaccard of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     (size(array_intersect(a, b)).cast("double") /

@@ -161,6 +161,43 @@ object TextQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
   }
 
+  /** The ENTIRE MinHash+LSH pipeline, engine-portably (md5 lanes, md5
+    * band buckets): shingle → signature → band → bucket-join → exact
+    * Jaccard verify, replayed stage-for-stage by the DuckDB oracle and
+    * hash-compared — the strongest cross-engine check the dedup family
+    * has. Production speed lives in q_minhash_pairs (xxhash64). */
+  private val minhashPairsMd5 = q(
+    "q_minhash_pairs_md5",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> substring(text, i, 8))) AS ss
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, ss,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#0')), 'min') AS l0,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#1')), 'min') AS l1,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#2')), 'min') AS l2,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#3')), 'min') AS l3
+      |  FROM sh),
+      |band AS (
+      |  SELECT doc_id, ss,
+      |    md5('0:' || l0 || ':' || l1) AS b0,
+      |    md5('1:' || l2 || ':' || l3) AS b1
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    ROUND(CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      |          / GREATEST(LENGTH(list_distinct(a.ss || b.ss)), 1), 4) AS jaccard
+      |  FROM band a JOIN band b
+      |    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+      |SELECT id_a, id_b, jaccard FROM pairs
+      |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.minhashNearDupsPortable(
+      Tables.documents(s, d), "doc_id", "text", minJaccard = 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash values + banded near-dup pairs — rows-only: the 64-bit
     * simhash rides xxhash64 token hashes DuckDB can't reproduce;
     * Hamming-radius correctness is asserted in DedupSpec. */
@@ -188,5 +225,6 @@ object TextQueries extends QueryGroup {
 
   def defs = Seq(
     tokenCount, quality, langId, dedupExactProps, dedupExactDocs,
-    ngramJaccard, minhashSig, minhashPairs, simhashPairs, fingerprint)
+    ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
+    fingerprint)
 }
