@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{AsOf, Sampling}
+import graft.ops.{AsOf, RangeJoin, Sampling}
 
 /** Training-data pipeline operators beyond the reference's surface:
   * point-in-time (as-of) joins and deterministic sampling / dataset
@@ -81,5 +81,24 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
-  def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified)
+  /** All event pairs within 60s of each other (co-occurrence mining).
+    * Spark runs the banded range join (hash shuffle on band ids, no
+    * nested loop); the oracle is DuckDB's native inequality join — two
+    * different join algorithms agreeing pair-for-pair. */
+  private val rangeProx = q(
+    "q_range_prox",
+    """SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap
+      |FROM events a JOIN events b
+      |  ON a.event_id < b.event_id
+      | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    RangeJoin.proximityPairs(ev, "event_id", "pt", radius = 60000000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
+    rangeProx)
 }
