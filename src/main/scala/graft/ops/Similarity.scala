@@ -67,6 +67,28 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `bits` planes in `dim`
     * dimensions, seeded — identical across runs and executors. */
+  /** Per-group mean-pooled embedding (class centroids, user profiles,
+    * chunk-to-doc pooling) in LONG format (key, dim, centroid).
+    *
+    * Scale shape: posexplode fans each vector into (key, dim, value)
+    * rows, then ONE combiner-friendly hash aggregation on (key, dim) —
+    * partial sums are map-side, parallelism is rows×dims, and no
+    * executor ever holds more than a running (sum, count) per (key,
+    * dim). The alternative (zip_with array-sum into one reducer per
+    * key) pins whole vectors in each group's aggregation state and
+    * dies on skewed keys.
+    *
+    * Determinism: each float is quantized to round(v*1e4) as LONG
+    * before summing — integer sums are order-independent, so the same
+    * query replayed on any engine/partitioning hash-matches (the
+    * [[graft.queries.Num]] fixed-point argument applied to
+    * embeddings). One double division at the end. */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg((sum(round(col("__v").cast("double") * 10000).cast("long")) /
+        (count(lit(1)) * 10000.0)).as("centroid"))
+
   private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))

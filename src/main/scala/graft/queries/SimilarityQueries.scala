@@ -103,6 +103,23 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("media_id")
   }
 
+  /** Mean-pooled centroid per label class — quantized-integer lanes
+    * make the float aggregation order-independent, so the DuckDB
+    * oracle hash-matches every (label, dim) cell. */
+  private val centroid = q(
+    "q_embedding_centroid",
+    """SELECT label, dim,
+      |  CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS BIGINT)
+      |    / (COUNT(*) * 10000.0) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) - 1 AS dim
+      |      FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+    Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label", "dim")
+  }
+
   def defs = Seq(
-    cosineTopK, nearDup, lshTopK, ivfTopK, multimodalBytes, frames)
+    cosineTopK, nearDup, lshTopK, ivfTopK, multimodalBytes, frames,
+    centroid)
 }
