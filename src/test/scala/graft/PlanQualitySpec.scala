@@ -162,6 +162,46 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("banded range join plans as a hash join, not BroadcastNestedLoop") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val prox = graft.ops.RangeJoin.proximityPairs(ev, "event_id", "pt", 60000000L)
+    val s = planString(prox)
+    assert(!s.contains("BroadcastNestedLoop"), s)
+    assert(s.contains("HashJoin") || s.contains("SortMergeJoin"), s)
+    // the naive non-equi encoding this replaces really does go BNL
+    val a = ev.select(col("event_id").as("id_a"), col("pt").as("pt_a"))
+    val b = ev.select(col("event_id").as("id_b"), col("pt").as("pt_b"))
+    val naive = a.join(b,
+      col("id_a") < col("id_b") &&
+        abs(col("pt_b") - col("pt_a")) <= 60000000L)
+    assert(planString(naive).contains("BroadcastNestedLoop"))
+  }
+
+  test("as-of join is one window pass, no join of the two sides") {
+    val ev = Tables.events(spark, sf)
+    val probe = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val build = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+    val asof = graft.ops.AsOf.joinAsOf(
+      probe, build, Seq("user_id"), "ts", Seq("last_purchase"))
+    val s = planString(asof)
+    // union + running-last: a Window over the key, and NO join node
+    // between probe and build (the blow-up the operator exists to avoid)
+    assert(s.contains("Window"), s)
+    assert(!s.contains("Join"), s)
+    assert(s.contains("Union"), s)
+  }
+
+  test("hash sampling pushes its filter into the scan-side projection") {
+    val sampled = graft.ops.Sampling.sampleByHash(
+      Tables.documents(spark, sf), col("doc_id"), 0x29)
+    // a pure per-row filter: no shuffle anywhere in the plan
+    val s = planString(sampled)
+    assert(!s.contains("Exchange"), s)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
