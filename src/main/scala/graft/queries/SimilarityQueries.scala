@@ -109,7 +109,7 @@ object SimilarityQueries extends QueryGroup {
   private val centroid = q(
     "q_embedding_centroid",
     """SELECT label, dim,
-      |  CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS BIGINT)
+      |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT)
       |    / (COUNT(*) * 10000.0) AS centroid
       |FROM (SELECT label, unnest(embedding) AS v,
       |        generate_subscripts(embedding, 1) - 1 AS dim

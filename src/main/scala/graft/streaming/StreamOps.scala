@@ -166,6 +166,36 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-STREAM attribution join: pair each `right` event with the
+    * `left` events of the same key that happened up to `withinSeconds`
+    * before it (click→purchase attribution). This is Structured
+    * Streaming's watermarked interval join: both sides buffer keyed
+    * state, and the event-time range condition plus the watermarks let
+    * Spark expire a buffered row as soon as no future match can arrive
+    * — state is bounded by (watermark + withinSeconds) of stream
+    * volume per key, regardless of total stream length. The key
+    * equality drives an ordinary hash shuffle on both sides; the range
+    * predicate is evaluated state-locally (never a cross join).
+    *
+    * Column names: left must carry (key, ts, …); its non-key columns
+    * are exposed with `leftPrefix`. Emits append-mode rows once both
+    * watermarks pass. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      withinSeconds: Long,
+      watermark: String = "1 hour",
+      leftPrefix: String = "l_"): DataFrame = {
+    val l = left.columns.foldLeft(left) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, s"$leftPrefix$c")
+    }.withWatermark(s"${leftPrefix}ts", watermark)
+    val r = right.withWatermark("ts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        l(s"${leftPrefix}ts") <= r("ts") &&
+        l(s"${leftPrefix}ts") >= r("ts") - expr(s"INTERVAL $withinSeconds SECONDS"))
+      .drop(r(key))
+  }
+
   // ——— streaming near-duplicate detection (LLM-ingest pillar) ————————
   //
   // The batch MinHash+LSH dedup (graft.ops.Dedup) finds near-dup PAIRS

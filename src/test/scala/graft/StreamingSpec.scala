@@ -206,4 +206,30 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     want.collect().foreach(r => assert(gotMap(r.getLong(0)) === r.getString(1)))
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val clicks = streamEvents.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = streamEvents.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val joined = StreamOps.intervalJoin(
+      clicks, purchases, "user_id", withinSeconds = 3600)
+    assert(joined.isStreaming)
+    val got = runToTable(
+      joined.select(
+        col("l_event_id").as("click_id"),
+        col("event_id").as("purchase_id")), "t_ssjoin")
+
+    val bc = batchEvents.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val bp = batchEvents.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val want = bc.join(bp, Seq("user_id"))
+      .where(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS"))
+      .select("click_id", "purchase_id")
+    assert(got.count() > 0)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
