@@ -99,6 +99,21 @@ object Probe {
         Num.davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("cnt"))
     }
+    // doc-query floor: hash-shuffle groupBy + range-shuffle orderBy vs
+    // one range shuffle satisfying both requirements
+    def docsHash() = li.groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(col("l_quantity").as("qty"))).as("items"))
+      .select(col("okey"), size(col("items")).as("n"))
+      .orderBy("okey")
+    def docsRange() = li.repartitionByRange(32, col("l_orderkey"))
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(col("l_quantity").as("qty"))).as("items"))
+      .select(col("okey"), size(col("items")).as("n"))
+      .orderBy("okey")
+    time("docs_hash_then_range") { docsHash() }
+    time("docs_range_once") { docsRange() }
+    println("[probe] range plan:")
+    docsRange().explain()
     spark.stop()
   }
 }
