@@ -16,6 +16,16 @@ object WindowQueries extends QueryGroup {
     "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
   private def w = Window.partitionBy("user_id").orderBy("event_id")
 
+  /** events range-partitioned on user_id. One exchange serves the whole
+    * family: RangePartitioning(user_id) satisfies the window's
+    * ClusteredDistribution(user_id), any post-window groupBy on a
+    * user_id-prefixed key, AND the final ORDER BY (user_id, ...) via
+    * the prefix rule — so these queries run on a single shuffle where
+    * hash-for-window + range-for-sort used to be planned. Hot users are
+    * the window's own skew either way. */
+  private def evByUser(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).repartitionByRange(col("user_id"))
+
   /** `rolling_sum/avg/min/max(3)` — M:246-253. Exact decimal window sums
     * (see [[Num]]): deterministic regardless of how the engine folds the
     * frame. */
@@ -32,7 +42,7 @@ object WindowQueries extends QueryGroup {
       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val w3 = w.rowsBetween(-2, 0)
-    Tables.events(s, d).select(
+    evByUser(s, d).select(
       col("event_id"), col("user_id"),
       (sum(Num.fx(col("value"))).over(w3) / 100.0).as("roll_sum"),
       round(
@@ -52,7 +62,7 @@ object WindowQueries extends QueryGroup {
       |  value - LAG(value, 1) OVER w AS diff
       |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
     (s, d) =>
-      Tables.events(s, d).select(
+      evByUser(s, d).select(
         col("event_id"), col("user_id"),
         lag("value", 1).over(w).as("prev_v"),
         lead("value", 1).over(w).as("next_v"),
@@ -69,7 +79,7 @@ object WindowQueries extends QueryGroup {
       |  (value - LAG(value, 1) OVER w) / NULLIF(LAG(value, 1) OVER w, 0) AS pct
       |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
     (s, d) =>
-      Tables.events(s, d).select(
+      evByUser(s, d).select(
         col("event_id"), col("user_id"),
         ((col("value") - lag("value", 1).over(w)) /
           nullif(lag("value", 1).over(w), lit(0))).as("pct"))
@@ -86,7 +96,7 @@ object WindowQueries extends QueryGroup {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, d).select(
+    evByUser(s, d).select(
       col("event_id"), col("user_id"),
       max("value").over(wc).as("cmax"),
       min("value").over(wc).as("cmin"))
@@ -138,7 +148,7 @@ object WindowQueries extends QueryGroup {
       |  ROW_NUMBER() OVER w - 1 AS idx
       |FROM events $winSql ORDER BY user_id, event_id""".stripMargin) {
     (s, d) =>
-      Tables.events(s, d).select(
+      evByUser(s, d).select(
         col("event_id"), col("user_id"),
         (row_number().over(w) - 1).cast("long").as("idx"))
         .orderBy("user_id", "event_id")
@@ -151,7 +161,7 @@ object WindowQueries extends QueryGroup {
       |FROM events $winSql
       |QUALIFY LAG(event_id, 1) OVER w IS NOT NULL
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    Tables.events(s, d).select(
+    evByUser(s, d).select(
       col("user_id"),
       lag("event_id", 1).over(w).as("prev_id"),
       col("event_id"))
@@ -171,7 +181,7 @@ object WindowQueries extends QueryGroup {
       |      FROM events)
       |GROUP BY user_id, chunk_id ORDER BY user_id, chunk_id""".stripMargin) {
     (s, d) =>
-      Tables.events(s, d)
+      evByUser(s, d)
         .withColumn("chunk_id",
           floor((row_number().over(w) - 1) / 4).cast("long"))
         .groupBy("user_id", "chunk_id")
@@ -191,7 +201,7 @@ object WindowQueries extends QueryGroup {
       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val w3 = w.rowsBetween(-2, 0)
-    Tables.events(s, d).select(
+    evByUser(s, d).select(
       col("event_id"), col("user_id"),
       array_join(collect_list("event_id").over(w3), ",").as("frame"))
       .orderBy("user_id", "event_id")
@@ -208,7 +218,7 @@ object WindowQueries extends QueryGroup {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, d).select(
+    evByUser(s, d).select(
       col("event_id"), col("user_id"),
       (sum(Num.fx(col("value"))).over(wc) / 100.0).as("running"))
       .orderBy("user_id", "event_id")
