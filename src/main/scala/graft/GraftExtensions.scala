@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("try_or_null"),
       new ExpressionInfo(classOf[TryOrNull].getName, "try_or_null"),
       (exprs: Seq[Expression]) => TryOrNull(exprs(0))))
+    // Planner-level banded range join (see graft.plans.BandedRangeJoin):
+    // off until spark.graft.rangeJoin.bandWidth is set, so injection is
+    // free for sessions that never use it.
+    ext.injectOptimizerRule(graft.plans.BandedRangeJoin)
   }
 }

@@ -49,4 +49,58 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("optimizer rule rewrites naive range joins into banded hash joins") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive  = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rangejoin-spec")
+      .withExtensions(new GraftExtensions().apply(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val points = spark.range(0, 400)
+        .select(col("id").as("pid"), (col("id") * 7 % 500 - 50).as("pt"))
+      val ivals = spark.range(0, 40)
+        .select(col("id").as("bid"),
+          (col("id") * 13 - 60).as("lo"),
+          (col("id") * 13 - 60 + (col("id") % 5) * 9).as("hi"))
+      def naive() = points.join(ivals,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "bid")
+      def results() =
+        naive().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // rule off: BNL (the shape the rewrite exists to kill)
+      spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+      val off = naive().queryExecution.executedPlan.toString
+      assert(off.contains("BroadcastNestedLoop"), off)
+      val expect = results()
+      assert(expect.nonEmpty)
+
+      // rule on: banded equi-join, identical rows
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "16")
+      val on = naive().queryExecution.executedPlan.toString
+      assert(!on.contains("BroadcastNestedLoop"), on)
+      assert(on.contains("HashJoin") || on.contains("SortMergeJoin"), on)
+      assert(results() == expect)
+
+      // join with a real equi key is left alone (already hash-joinable)
+      val withKey = points.withColumn("k", col("pid") % 7)
+        .join(ivals.withColumn("k", col("bid") % 7), "k")
+        .where(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      assert(!withKey.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
