@@ -182,6 +182,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Engine-portable SimHash: 60-bit token hashes from the md5 hex
+    * prefix (15 nibbles — fits a signed long, parseable by any SQL
+    * engine), strict-majority bit votes, 4×15-bit band buckets,
+    * Hamming verify. Same algebra as [[simhashNearDups]]; only the
+    * token hash differs (portable md5 vs codegen'd xxhash64), so the
+    * DuckDB oracle can replay the pipeline end-to-end. */
+  def simhash60Portable(thCol: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(59)), j =>
+        when(size(filter(thCol,
+            h => call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L))
+            * 2 > size(thCol),
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** Portable SimHash near-dup pairs (see [[simhash60Portable]]):
+    * (id_a, id_b, hamming) with hamming <= radius, id_a < id_b. */
+  def simhashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 8): DataFrame = {
+    val th = transform(Text.tokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val h = df.select(col(idCol).as("id"), simhash60Portable(th).as("sh"))
+    val banded = h.select(
+      col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("h_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("h_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact Jaccard of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     (size(array_intersect(a, b)).cast("double") /

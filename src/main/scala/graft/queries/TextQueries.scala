@@ -207,6 +207,42 @@ object TextQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
   }
 
+  /** The ENTIRE SimHash pipeline, engine-portably (60-bit md5-prefix
+    * token hashes): tokenize → bit-vote → band → bucket-join → Hamming
+    * verify, replayed stage-for-stage by the DuckDB oracle. With this
+    * and q_minhash_pairs_md5, every DETERMINISTIC dedup pipeline is
+    * cross-engine hash-verified; only inherently approximate (ANN),
+    * sketch-based (HLL) and stub-decode (multimodal) queries remain
+    * rows-only. */
+  private val simhashPairsMd5 = q(
+    "q_simhash_pairs_md5",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) * 2 > COUNT(*)
+      |         THEN (1::UBIGINT << j) ELSE 0::UBIGINT END AS bit
+      |  FROM th, generate_series(0, 59) s(j)
+      |  GROUP BY doc_id, j),
+      |sh AS (SELECT doc_id, CAST(SUM(bit) AS UBIGINT) AS sh FROM bits GROUP BY doc_id),
+      |band AS (
+      |  SELECT doc_id, sh, j AS band, CAST((sh >> (j*15)) & 32767 AS BIGINT) AS bucket
+      |  FROM sh, generate_series(0, 3) s(j))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  MIN(CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT)) AS hamming
+      |FROM band a JOIN band b
+      |  ON a.doc_id < b.doc_id AND a.band = b.band AND a.bucket = b.bucket
+      |GROUP BY 1, 2
+      |HAVING hamming <= 8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.simhashNearDupsPortable(
+      Tables.documents(s, d), "doc_id", "text", radius = 8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Content fingerprint (char-8-gram min-hash), portable md5 lane so
     * the DuckDB oracle recomputes it exactly; the xxhash64 production
     * lane (Text.fingerprint) is spec-tested in TextSpec. */
@@ -226,5 +262,5 @@ object TextQueries extends QueryGroup {
   def defs = Seq(
     tokenCount, quality, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
-    fingerprint)
+    simhashPairsMd5, fingerprint)
 }
