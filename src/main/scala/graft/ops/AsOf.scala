@@ -47,6 +47,13 @@ object AsOf {
       payload: Seq[String],
       strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val missingP = (keys :+ timeCol).filterNot(probe.columns.contains)
+    val missingB = (keys ++ (timeCol +: payload)).filterNot(build.columns.contains)
+    require(missingP.isEmpty, s"probe side lacks column(s): ${missingP.mkString(",")}")
+    require(missingB.isEmpty, s"build side lacks column(s): ${missingB.mkString(",")}")
+    val collide = payload.filter(probe.columns.contains)
+    require(collide.isEmpty,
+      s"payload name(s) collide with probe columns: ${collide.mkString(",")}")
     val side = "__asof_side"
     val pay = "__asof_payload"
 
