@@ -196,4 +196,53 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  /** Sequence-reshape sweep: window/chunk/pairwise (array outputs) and
+    * the keep/cut family (unique, take_while/drop_while) under random
+    * predicates, sort directions and block sizes — the reshape ops ride
+    * the carry machinery whose boundaries are exactly where a wrong
+    * block size or carry dup would show. */
+  test("random reshape pipelines: compiled == interpreted") {
+    def toJ(v: Any): JValue = v match {
+      case null                       => jexpr.JNull
+      case l: Long                    => jexpr.JInt(l)
+      case i: Int                     => jexpr.JInt(i.toLong)
+      case d: Double                  => jexpr.JFloat(d)
+      case s: String                  => jexpr.JStr(s)
+      case s: scala.collection.Seq[_] => jexpr.JArr(s.map(toJ).toVector)
+      case other => fail(s"unmapped Spark value $other (${other.getClass})")
+    }
+    val rng = new scala.util.Random(5150)
+    (0 until 60).foreach { _ =>
+      val pred = preds(rng.nextInt(preds.length))
+      val dir = if (rng.nextBoolean()) "-" else ""
+      def k = 2 + rng.nextInt(5)
+      val lane = Seq("c_custkey", "c_nationkey")(rng.nextInt(2))
+      val op = rng.nextInt(6) match {
+        case 0 => s"window($k)"
+        case 1 => s"chunk($k)"
+        case 2 => "pairwise()"
+        case 3 => "unique()"
+        case 4 => s"take_while(c_custkey < ${20 + rng.nextInt(100)})"
+        case _ => s"drop_while(c_custkey < ${20 + rng.nextInt(100)})"
+      }
+      // take_while/drop_while predicate references the row, so they run
+      // before the lane map; array ops run on the mapped lane
+      val e =
+        if (op.startsWith("take_while") || op.startsWith("drop_while"))
+          s"$$.customer$pred.sort_by(${dir}c_custkey).$op.map($lane)"
+        else
+          s"$$.customer$pred.sort_by(${dir}c_custkey).map($lane).$op"
+      if (rng.nextInt(3) == 0)
+        spark.conf.set("graft.lower.blockRows", (3 + rng.nextInt(9)).toString)
+      else spark.conf.unset("graft.lower.blockRows")
+      val got = sparkRows(e).map(r => toJ(r.get(0))).toVector
+      val exp = docEval(e) match {
+        case jexpr.JArr(xs) => xs
+        case other          => fail(s"$e: expected array, got ${other.kind}")
+      }
+      assert(JValue.eq(jexpr.JArr(got), jexpr.JArr(exp)), e)
+    }
+    spark.conf.unset("graft.lower.blockRows")
+  }
 }
