@@ -1522,7 +1522,8 @@ object Lower {
     "filter", "find", "find_all", "where", "map", "flat_map", "compact",
     "count", "len", "length", "sum", "avg", "mean", "min", "max",
     "first", "last", "nth", "take", "skip", "drop", "unique", "distinct",
-    "reverse", "any", "exists", "all", "includes", "contains", "join")
+    "reverse", "any", "exists", "all", "includes", "contains", "join",
+    "sort", "sort_by")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -1676,6 +1677,23 @@ object Lower {
         else (slice(nz(c), lit(n + 1), greatest(size(nz(c)) - n, lit(0))), someArr)
       case "unique" | "distinct" => (array_distinct(nz(c)), someArr) // keep-first
       case "reverse" => (reverse(c), someArr)
+      case "sort" | "sort_by" =>
+        // jetro's sorted (Builtins.sorted): stable, key order via
+        // JValue.cmp — numbers/strings compare, incomparable pairs
+        // (incl. null keys) TIE and keep their relative order. The
+        // comparator mirrors that: null comparisons fall through both
+        // whens to 0, and both array_sort (TimSort) and the
+        // interpreter's sortWith are stable. Typed lanes are
+        // single-kind, so cross-kind promotion never arises; direction
+        // rides the key expression (sort(-price)).
+        val b = body(0)
+        val kd = b.dt.getOrElse(bail("sort key type unknown"))
+        if (!numericDt(kd) && kd != StringType && kd != BooleanType)
+          bail(s"sort key must be atomic, got ${kd.simpleString}")
+        (array_sort(nz(c), (x, y) => {
+          val (kx, ky) = (b(x), b(y))
+          when(kx < ky, lit(-1)).when(kx > ky, lit(1)).otherwise(lit(0))
+        }), someArr)
       case "any" | "exists" =>
         (coalesce(exists(c, x => body(0).predStrict(x)), lit(false)),
           Some(BooleanType))
@@ -2006,7 +2024,8 @@ object Lower {
     case "any" | "exists" | "all" | "includes" | "contains" => Some(BooleanType)
     case "join"                                => Some(StringType)
     case "filter" | "find" | "find_all" | "where" | "compact" | "take" |
-         "skip" | "drop" | "unique" | "distinct" | "reverse" => Some(at)
+         "skip" | "drop" | "unique" | "distinct" | "reverse" |
+         "sort" | "sort_by" => Some(at)
     case _ => None
   }
 

@@ -142,7 +142,16 @@ class DocColumnSpec extends SparkSpec {
     "$.nums[:2]",
     "$.nums[-2:]",
     "$.tags.count()",
-    "$.tags.join(\"|\")")
+    "$.tags.join(\"|\")",
+    // array-lane sort: stable, null keys tie in place (JValue.cmp)
+    "$.items.sort_by(qty).map(price)",
+    "$.items.sort_by(-price).take(2).map({t: tag, p: price})",
+    "$.items.sort_by(tag).map(tag)",
+    "$.items.map(qty).sort()",
+    "$.items.map(qty).sort(-@)",
+    "$.nums.sort()",
+    "$.items.sort_by(-qty).first()",
+    "$.items.flat_map(tag).sort().unique()")
 
   exprs.foreach { e =>
     test(s"native == interpreter: $e") { differential(e) }
@@ -151,7 +160,7 @@ class DocColumnSpec extends SparkSpec {
   test("unsupported constructs refuse to lower (fallback contract)") {
     val doc = struct(docType.fieldNames.map(col): _*)
     for (e <- Seq(
-      "$.items.sort_by(qty)",           // ordering inside a row lane
+      "$.items.sort_by(qty ?? unknown)", // untypeable sort key
       "$.items.map(qty).median()",      // no such builtin mapping
       "$.missing_field.count()",        // unknown root field
       "$.items.map(qty ?? unknown)",    // untypeable body
