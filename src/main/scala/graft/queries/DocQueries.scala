@@ -128,6 +128,37 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
+  /** The q_doc_top2 pipeline (in-row sort_by → take → f-string map)
+    * through the NATIVE columnar path: the new array_sort lowering
+    * keeps the reference's cold-bench shape fully codegen'd per row —
+    * no interpreter UDF. Must lower (getOrElse errors), and the DuckDB
+    * oracle hash-checks the result at the driver's scale. */
+  private val docNativeTopK = q(
+    "q_doc_native_topk",
+    """SELECT okey, string_agg('q' || qty, ',' ORDER BY rn) AS tags
+      |FROM (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_quantity DESC, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 2 GROUP BY okey ORDER BY okey""".stripMargin) { (s, d) =>
+    val docs = liByOrder(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(collect_list(struct(
+        col("l_quantity").cast("long").as("qty"),
+        col("l_linenumber").as("ln"))).as("items"))
+    val docType = org.apache.spark.sql.types.StructType(
+      docs.schema.filter(_.name == "items"))
+    def native(e: String) = Jetro.evalNative(e, struct(col("items")), docType)
+      .getOrElse(sys.error(s"q_doc_native_topk must lower: $e"))
+    docs.select(
+      col("okey"),
+      native("""$.items.sort_by(-qty * 1000 + ln).take(2).map(f"q{qty}").join(",")""")
+        .as("tags"))
+      .orderBy("okey")
+  }
+
   /** Recursive descent `$..k` (opcode.rs:206-209) over a two-level doc:
     * `{"root":{"k":okey},"items":[{"k":qty},…]}` — deep-sum must equal
     * okey + Σqty. */
@@ -191,5 +222,6 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
-  def defs = Seq(docPipeline, docNative, docRow, docDeep, docPatch, docTop2)
+  def defs = Seq(docPipeline, docNative, docRow, docNativeTopK, docDeep,
+    docPatch, docTop2)
 }
