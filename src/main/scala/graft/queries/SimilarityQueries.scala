@@ -94,13 +94,24 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("media_id")
   }
 
-  /** Frame sampling over binary payloads — rows-only (struct arrays of
-    * binary have no clean DuckDB comparison). */
-  private val frames = q("q_multimodal_frames", null, tags = Set("noOracle")) {
-    (s, d) =>
-      Multimodal.frameSample(Multimodal.synthesize(Tables.documents(s, d)))
-        .select("media_id", "kind", "n_frames")
-        .orderBy("media_id")
+  /** Frame sampling over binary payloads. The frame BYTES are opaque to
+    * DuckDB, but the sampled frame count and media kind are pure
+    * functions of the synthesized payload length, so the oracle
+    * recomputes them from strlen(text): n_frames =
+    * floor(greatest(bytes div 64 - 1, 0) / 4) + 1 (every 4th 64-byte
+    * frame, at least one). */
+  private val frames = q(
+    "q_multimodal_frames",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(FLOOR(GREATEST((strlen(text) // 64) - 1, 0) / 4) + 1 AS BIGINT)
+      |    AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    Multimodal.frameSample(Multimodal.synthesize(Tables.documents(s, d)))
+      .select("media_id", "kind", "n_frames")
+      .orderBy("media_id")
   }
 
   /** Mean-pooled centroid per label class — quantized-integer lanes
