@@ -99,6 +99,26 @@ object PipelineQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Top-2 orders by price per customer via the bounded-buffer typed
+    * Aggregator (ops.TopK): partial aggregation carries at most k
+    * candidates per group into the shuffle — the oracle computes the
+    * same answer with the window idiom, so two different algorithms
+    * must agree on every (group, rank) row. */
+  private val topkGroup = q(
+    "q_topk_group",
+    """SELECT o_custkey, rank, o_totalprice, o_orderkey FROM (
+      |  SELECT o_custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+      |    o_totalprice, o_orderkey
+      |  FROM orders)
+      |WHERE rank <= 2 ORDER BY o_custkey, rank""".stripMargin) { (s, d) =>
+    graft.ops.TopK.perGroup(
+        Tables.orders(s, d), Seq("o_custkey"),
+        "o_totalprice", "o_orderkey", k = 2)
+      .orderBy("o_custkey", "rank")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
-    rangeProx)
+    rangeProx, topkGroup)
 }

@@ -202,6 +202,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("grouped top-k aggregates partially, with no window or full sort") {
+    val q = graft.ops.TopK.perGroup(
+      Tables.orders(spark, sf), Seq("o_custkey"), "o_totalprice", "o_orderkey", 2)
+    val s = planString(q)
+    assert(!s.contains("Window"), s)
+    // partial (map-side) aggregation bounds what reaches the shuffle
+    assert(s.contains("ObjectHashAggregate") || s.contains("SortAggregate"), s)
+    assert(s.contains("partial_topkagg") || s.toLowerCase.contains("partial"), s)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
