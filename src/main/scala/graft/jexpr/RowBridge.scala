@@ -33,6 +33,10 @@ object RowBridge {
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .withZone(java.time.ZoneOffset.UTC)
 
+  private val ntzTs =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
   /** Converter for one Spark DataType; null input → JNull at every
     * level (callers decide whether a null is kept or omitted). */
   def converter(dt: DataType): Any => JValue = dt match {
@@ -50,12 +54,18 @@ object RowBridge {
     case BinaryType =>
       v => JStr(java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
     case DateType => v => JStr(v.toString) // java.sql.Date / LocalDate are both ISO
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
       v =>
         JStr(v match {
-          case ts: java.sql.Timestamp       => utcTs.format(ts.toInstant)
-          case i: java.time.Instant         => utcTs.format(i)
-          case ldt: java.time.LocalDateTime => utcTs.format(ldt.toInstant(java.time.ZoneOffset.UTC))
+          case ts: java.sql.Timestamp => utcTs.format(ts.toInstant)
+          case i: java.time.Instant   => utcTs.format(i)
+          case other                  => other.toString
+        })
+    case TimestampNTZType =>
+      // the JSON writer renders NTZ without a zone suffix
+      v =>
+        JStr(v match {
+          case ldt: java.time.LocalDateTime => ntzTs.format(ldt)
           case other                        => other.toString
         })
     case ArrayType(et, _) =>

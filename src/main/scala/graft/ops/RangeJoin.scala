@@ -36,7 +36,8 @@ object RangeJoin {
     val w =
       if (width > 0) width
       else build.select(
-          percentile_approx(col(hiCol) - col(loCol), lit(0.95), lit(1000)))
+          percentile_approx((col(hiCol) - col(loCol)).cast("long"),
+            lit(0.95), lit(1000)))
         .collect().headOption
         .collect { case r if !r.isNullAt(0) => math.max(1L, r.getLong(0)) }
         .getOrElse(1L)

@@ -1678,22 +1678,32 @@ object Lower {
       case "unique" | "distinct" => (array_distinct(nz(c)), someArr) // keep-first
       case "reverse" => (reverse(c), someArr)
       case "sort" | "sort_by" =>
-        // jetro's sorted (Builtins.sorted): stable, key order via
-        // JValue.cmp — numbers/strings compare, incomparable pairs
-        // (incl. null keys) TIE and keep their relative order. The
-        // comparator mirrors that: null comparisons fall through both
-        // whens to 0, and both array_sort (TimSort) and the
-        // interpreter's sortWith are stable. Typed lanes are
-        // single-kind, so cross-kind promotion never arises; direction
-        // rides the key expression (sort(-price)).
-        val b = body(0)
+        // jetro's sorted (Builtins.sorted:114-129): stable ASCENDING
+        // sort by the key via JValue.cmp — incomparable pairs (incl.
+        // null keys) TIE and keep their relative order — and a `-key`
+        // prefix means sort ascending THEN reverse (desc flag, not key
+        // negation): ties come out REVERSED under `-`, and string keys
+        // work. The lowering mirrors that exactly: strip the `-`, sort
+        // asc with a cmp-style comparator (null comparisons fall
+        // through both whens to 0; array_sort's TimSort and the
+        // interpreter's sortWith are both stable), then reverse().
+        // Two-param comparator lambdas have no columnar mapping.
+        val (keyExpr, desc) =
+          (if (args.isEmpty) Current else args(0).e) match {
+            case Lambda(ps, _) if ps.length == 2 =>
+              bail("comparator-lambda sort has no columnar lowering")
+            case Unary("-", inner) => (inner, true)
+            case other             => (other, false)
+          }
+        val b = new EBody(at, keyExpr)
         val kd = b.dt.getOrElse(bail("sort key type unknown"))
         if (!numericDt(kd) && kd != StringType && kd != BooleanType)
           bail(s"sort key must be atomic, got ${kd.simpleString}")
-        (array_sort(nz(c), (x, y) => {
+        val asc = array_sort(nz(c), (x, y) => {
           val (kx, ky) = (b(x), b(y))
           when(kx < ky, lit(-1)).when(kx > ky, lit(1)).otherwise(lit(0))
-        }), someArr)
+        })
+        (if (desc) reverse(asc) else asc, someArr)
       case "any" | "exists" =>
         (coalesce(exists(c, x => body(0).predStrict(x)), lit(false)),
           Some(BooleanType))

@@ -151,7 +151,12 @@ class DocColumnSpec extends SparkSpec {
     "$.items.map(qty).sort(-@)",
     "$.nums.sort()",
     "$.items.sort_by(-qty).first()",
-    "$.items.flat_map(tag).sort().unique()")
+    "$.items.flat_map(tag).sort().unique()",
+    // ties: `-key` is sort-asc-then-REVERSE in the interpreter, so tied
+    // elements come out reversed under `-` and in place without it
+    "$.items.sort_by(qty % 2).map(qty)",
+    "$.items.sort_by(-(qty % 2)).map(qty)",
+    "$.items.sort_by(-tag).map(tag)")
 
   exprs.foreach { e =>
     test(s"native == interpreter: $e") { differential(e) }
@@ -161,6 +166,7 @@ class DocColumnSpec extends SparkSpec {
     val doc = struct(docType.fieldNames.map(col): _*)
     for (e <- Seq(
       "$.items.sort_by(qty ?? unknown)", // untypeable sort key
+      "$.items.sort_by(lambda a, b: a.qty < b.qty)", // comparator lambda
       "$.items.map(qty).median()",      // no such builtin mapping
       "$.missing_field.count()",        // unknown root field
       "$.items.map(qty ?? unknown)",    // untypeable body

@@ -29,6 +29,7 @@ class RowBridgeSpec extends SparkSpec {
     StructField("whole", DecimalType(10, 0), nullable = true),
     StructField("day", DateType, nullable = true),
     StructField("at", TimestampType, nullable = true),
+    StructField("at_ntz", TimestampNTZType, nullable = true),
     StructField("blob", BinaryType, nullable = true),
     StructField("items", ArrayType(itemType, containsNull = true), nullable = true),
     StructField("nums", ArrayType(LongType, containsNull = true), nullable = true),
@@ -48,6 +49,8 @@ class RowBridgeSpec extends SparkSpec {
       new java.math.BigDecimal(i * 17),
       java.sql.Date.valueOf(s"2026-0${i % 9 + 1}-1${i % 9}"),
       new java.sql.Timestamp(1700000000000L + i * 987654321L),
+      java.time.LocalDateTime.ofEpochSecond(
+        1700000000L + i * 98765L, i * 1000000, java.time.ZoneOffset.UTC),
       if (i == 4) null else Array[Byte](1, 2, (i % 100).toByte),
       items,
       if (i == 7) Seq(null, 4L, 5L) else Seq(i.toLong, i + 1L),
