@@ -29,8 +29,9 @@ object TopK {
   private def better(a: Pair, b: Pair): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  /** Merge two desc-ordered candidate lists, keep the best k. */
-  private def mergeK(k: Int, a: List[Pair], b: List[Pair]): List[Pair] = {
+  /** Merge two desc-ordered candidate lists, keep the best k. Shared
+    * with the streaming running-top-k state update (StreamOps). */
+  private[graft] def mergeK(k: Int, a: List[Pair], b: List[Pair]): List[Pair] = {
     val out = List.newBuilder[Pair]
     var (x, y, n) = (a, b, 0)
     while (n < k && (x.nonEmpty || y.nonEmpty)) {

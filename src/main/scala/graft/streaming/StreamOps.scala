@@ -158,6 +158,39 @@ object StreamOps {
         })
   }
 
+  final case class TopKState(
+    user_id: Long, top: List[(Double, Long)])
+
+  /** Streaming twin of [[graft.ops.TopK]]: the per-key top-k
+    * (value, event_id) maintained incrementally in
+    * `flatMapGroupsWithState`. State is the <=k candidate list itself
+    * (same bounded-buffer merge as the batch Aggregator — literally
+    * TopK.mergeK), so a key's state size is k pairs regardless of how
+    * many events it has ever seen, and batch/stream agree exactly.
+    * Emits each key's updated top-k once per micro-batch it appears
+    * in. */
+  def runningTopK(
+      spark: SparkSession, events: DataFrame,
+      k: Int): org.apache.spark.sql.Dataset[TopKState] = {
+    import spark.implicits._
+    events
+      .select(
+        col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[TopKState]) => {
+          val prev = state.getOption.map(_.top).getOrElse(Nil)
+          val next = evs.foldLeft(prev)((acc, e) =>
+            graft.ops.TopK.mergeK(k, acc, List((e.value, e.event_id))))
+          val s = TopKState(uid, next)
+          state.update(s)
+          Iterator(s)
+        })
+  }
+
   /** Stream enrichment: the streaming `equi_join` against a STATIC
     * dimension (the index-join idiom, §2.3, on a stream). Stream-static
     * joins are stateless in Structured Streaming — each micro-batch

@@ -207,6 +207,23 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     want.collect().foreach(r => assert(gotMap(r.getLong(0)) === r.getString(1)))
   }
 
+  test("streaming running top-k matches the batch TopK aggregator") {
+    val got = runToTable(
+      StreamOps.runningTopK(spark, streamEvents, k = 3).toDF(), "t_topk")
+      .select(col("user_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("user_id"), (col("r") + 1).cast("long").as("rank"),
+        col("p._1").as("value"), col("p._2").as("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val want = graft.ops.TopK.perGroup(
+        batchEvents, Seq("user_id"), "value", "event_id", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val clicks = streamEvents.where(col("event_type") === "click")
       .select("user_id", "ts", "event_id")
