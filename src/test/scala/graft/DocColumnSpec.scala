@@ -177,6 +177,51 @@ class DocColumnSpec extends SparkSpec {
       assert(Jetro.evalNative(e, doc, docType).isEmpty, e)
   }
 
+  test("fuzzed per-doc chains: native == interpreter on every lowered case") {
+    val rng = new scala.util.Random(20260814)
+    var lowered, skipped = 0
+    (0 until 80).foreach { _ =>
+      def k = 1 + rng.nextInt(4)
+      val filt = rng.nextInt(4) match {
+        case 0 => s".filter(qty > $k)"
+        case 1 => s".filter(price > $k.0)"
+        case 2 => s"{qty > $k}"
+        case _ => ""
+      }
+      val (lane, numeric) = rng.nextInt(5) match {
+        case 0 => ("qty", true)
+        case 1 => ("price", true)
+        case 2 => ("qty * price", true)
+        case 3 => (s"qty + $k", true)
+        case _ => ("tag", false)
+      }
+      val preSort =
+        if (rng.nextBoolean())
+          s".sort_by(${if (rng.nextBoolean()) "-" else ""}${Seq("qty", "price", "tag")(rng.nextInt(3))})"
+        else ""
+      val post = (0 until rng.nextInt(3)).map(_ => rng.nextInt(6) match {
+        case 0 => s".take($k)"
+        case 1 => s".skip($k)"
+        case 2 => ".reverse()"
+        case 3 => ".sort()"
+        case 4 => ".sort(-@)"
+        case _ => ".unique()"
+      }).mkString
+      val term = (if (numeric) Seq(".sum()", ".avg()", ".min()", ".max()",
+          ".count()", ".len()", ".first()", ".last()", s".nth(${rng.nextInt(7) - 2})", "")
+        else Seq(".count()", ".len()", ".first()", ".last()",
+          s".nth(${rng.nextInt(7) - 2})", ".join(\",\")", ""))(rng.nextInt(if (numeric) 10 else 7))
+      val e = s"$$.items$filt$preSort.map($lane)$post$term"
+      val doc = struct(docType.fieldNames.map(col): _*)
+      if (Jetro.evalNative(e, doc, docType).isDefined) {
+        lowered += 1; differential(e)
+      } else skipped += 1
+    }
+    // the generator must mostly produce lowerable chains, or the fuzz
+    // isn't exercising the compiler
+    assert(lowered > skipped, s"lowered=$lowered skipped=$skipped")
+  }
+
   test("native doc pipeline plan contains no UDF and stays codegen'd") {
     val doc = struct(docType.fieldNames.map(col): _*)
     val df = docs.select(
