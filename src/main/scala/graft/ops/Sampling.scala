@@ -44,6 +44,20 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Deterministic weighted (importance) sampling: keep a row iff its
+    * md5-derived uniform in [0,1) is below `weight` (a per-row keep
+    * probability, e.g. a quality score). The uniform is the first 8
+    * hex digits of md5(key) scaled by 2^-32 — reproducible in any
+    * engine, and a row's fate depends only on its own key and weight,
+    * so re-runs and engine swaps keep the same sample. Pure per-row
+    * filter, no shuffle. */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.where(hashUniform(key) < weight)
+
   /** Exact-k-per-stratum deterministic sample: rank rows inside each
     * stratum by md5(key) (a uniform, reproducible order) and keep the
     * first k. The distributed twin of per-group reservoir sampling. */

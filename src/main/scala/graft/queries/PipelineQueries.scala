@@ -99,6 +99,23 @@ object PipelineQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic importance sampling: keep probability rises with
+    * document length (a stand-in for any per-row quality weight). The
+    * md5-derived uniform makes the sample reproducible in any engine —
+    * the oracle replays the exact membership test. */
+  private val sampleWeighted = q(
+    "q_sample_weighted",
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |       / 4294967296.0) < LEAST(n_chars / 1000.0, 1.0)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.sampleByWeight(
+        Tables.documents(s, d), col("doc_id"),
+        least(col("n_chars") / 1000.0, lit(1.0)))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Top-2 orders by price per customer via the bounded-buffer typed
     * Aggregator (ops.TopK): partial aggregation carries at most k
     * candidates per group into the shuffle — the oracle computes the
@@ -120,5 +137,5 @@ object PipelineQueries extends QueryGroup {
   }
 
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
-    rangeProx, topkGroup)
+    sampleWeighted, rangeProx, topkGroup)
 }
