@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Train/eval decontamination: find corpus documents that share long
+  * word n-grams with a probe (benchmark/eval) set — the standard
+  * contamination test applied before training on scraped corpora.
+  *
+  * Shape: both sides explode to (id, gram-hash) pairs and meet in ONE
+  * equi-join on the hash — the corpus side never shuffles documents,
+  * only 16-byte (id, hash) rows. `maxGramDf` drops grams whose corpus
+  * document frequency exceeds the cap (boilerplate n-grams behave like
+  * LSH's degenerate buckets: a gram in half the corpus would pair with
+  * every probe that contains it and explode the join); real
+  * contamination is carried by RARE long n-grams, so the cap costs no
+  * recall in practice and bounds the join fan-out at cap x probes.
+  * At 100 TB the probe side (an eval suite) is small: AQE broadcasts
+  * its gram set and the whole check is a map-side semi-join over the
+  * corpus scan.
+  */
+object Decontam {
+
+  /** Distinct word-`n`-gram md5 hashes of a text column (portable —
+    * the DuckDB oracle recomputes them exactly). */
+  def gramHashes(text: Column, n: Int): Column =
+    array_distinct(transform(
+      Text.wordNgrams(Text.tokens(text), n), g => md5(g)))
+
+  /** (corpus_id, probe_id, n_shared) for every corpus/probe pair
+    * sharing at least one word-`n`-gram, self-pairs excluded. */
+  def overlaps(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, maxGramDf: Int = 0): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("corpus_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val c =
+      if (maxGramDf <= 0) c0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        // document frequency per gram over the corpus; one window on
+        // the same key the join shuffles on anyway
+        c0.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+          .where(col("__df") <= maxGramDf)
+          .drop("__df")
+      }
+    val p = probes.select(col(idCol).as("probe_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    c.join(p, Seq("g"))
+      .where(col("corpus_id") =!= col("probe_id"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+}

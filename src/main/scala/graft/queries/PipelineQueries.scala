@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{AsOf, RangeJoin, Sampling}
+import graft.ops.{AsOf, Decontam, RangeJoin, Sampling}
 
 /** Training-data pipeline operators beyond the reference's surface:
   * point-in-time (as-of) joins and deterministic sampling / dataset
@@ -136,6 +136,31 @@ object PipelineQueries extends QueryGroup {
       .orderBy("o_custkey", "rank")
   }
 
+  /** Decontamination: corpus docs sharing a word-5-gram with the
+    * "eval" slice (doc_id >= 450) — the pre-training contamination
+    * check. The oracle recomputes the md5 gram sets and the overlap
+    * join exactly. */
+  private val decontam = q(
+    "q_decontam",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN LENGTH(ss) < 5 THEN []
+      |    ELSE list_transform(generate_series(1, LENGTH(ss) - 4),
+      |      i -> md5(ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] || ' ' ||
+      |               ss[i+3] || ' ' || ss[i+4])) END)) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ss
+      |        FROM documents))
+      |SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g c JOIN g p ON c.g = p.g
+      | AND p.doc_id >= 450 AND c.doc_id <> p.doc_id
+      |GROUP BY 1, 2 ORDER BY corpus_id, probe_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontam.overlaps(
+        docs, docs.where(col("doc_id") >= 450), "doc_id", "text", n = 5)
+      .orderBy("corpus_id", "probe_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
-    sampleWeighted, rangeProx, topkGroup)
+    sampleWeighted, rangeProx, topkGroup, decontam)
 }
