@@ -37,6 +37,38 @@ object Text {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Longest run of equal adjacent elements after sorting — i.e. the
+    * max multiplicity of any element. Per-row HOF fold (no shuffle);
+    * empty arrays give 0. */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals, per row:
+    *  - duplicate-token fraction: 1 - distinct/total tokens;
+    *  - top-bigram fraction: the most frequent word bigram's share of
+    *    all bigrams.
+    * High values flag boilerplate/spam documents. Pure projections —
+    * the whole quality pass stays a narrow map over the scan. */
+  def dupTokenFrac(toks: Column): Column =
+    round(lit(1.0) -
+      size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)), 4)
+
+  def topBigramFrac(toks: Column): Column = {
+    val bg = wordNgrams(toks, 2)
+    round(maxMultiplicity(bg).cast("double") /
+      greatest(size(bg), lit(1)), 4)
+  }
+
   /** Per-token xxhash64 of the whitespace tokens. The long-array form is
     * the fast currency for shingling/minhash/simhash: each token string
     * is hashed exactly once, and everything downstream is fixed-width

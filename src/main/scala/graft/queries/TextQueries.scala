@@ -29,6 +29,42 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: duplicate-token fraction and the
+    * top bigram's share — boilerplate/spam flags computed as pure
+    * per-row projections; the oracle recomputes both via explode +
+    * group-by. */
+  private val repMetrics = q(
+    "q_rep_metrics",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ss
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, ss,
+      |    CASE WHEN LENGTH(ss) < 2 THEN []
+      |    ELSE list_transform(generate_series(1, LENGTH(ss) - 1),
+      |         i -> ss[i] || ' ' || ss[i+1]) END AS bg
+      |  FROM t),
+      |bgc AS (
+      |  SELECT doc_id AS bid, MAX(c) AS max_bg, CAST(SUM(c) AS BIGINT) AS n_bg
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c
+      |        FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+      |        GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  ROUND(1.0 - CAST(LENGTH(list_distinct(t.ss)) AS DOUBLE)
+      |        / GREATEST(LENGTH(t.ss), 1), 4) AS dup_tok_frac,
+      |  ROUND(CAST(COALESCE(bgc.max_bg, 0) AS DOUBLE)
+      |        / GREATEST(COALESCE(bgc.n_bg, 0), 1), 4) AS top_bigram_frac
+      |FROM t LEFT JOIN bgc ON t.doc_id = bgc.bid
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.dupTokenFrac(toks).as("dup_tok_frac"),
+      Text.topBigramFrac(toks).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring — length saturation + mean token length band +
     * stopword ratio (SURVEY north-star text analysis). */
   private val quality = q(
@@ -260,7 +296,7 @@ object TextQueries extends QueryGroup {
   }
 
   def defs = Seq(
-    tokenCount, quality, langId, dedupExactProps, dedupExactDocs,
+    tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint)
 }
