@@ -172,7 +172,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       name -> sec
-    } ++ docColdAll()
+    } ++ {
+      // settle the heap before the single-shot cold timings: the Spark
+      // set leaves GC debt that otherwise lands as 0.3-1.0s pauses
+      // inside individual cold queries (observed on co-tenant runs)
+      System.gc(); Thread.sleep(200)
+      docColdAll()
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
