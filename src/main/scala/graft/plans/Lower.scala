@@ -293,16 +293,20 @@ object Lower {
     * no longer resolve are skipped (best-effort, same as doc-mode's
     * undefined table order). */
   private def materialize(st: St): DataFrame = {
-    val resolvable = st.order.nonEmpty && st.order.forall {
-      case (Ident(n), _) => st.df.columns.contains(n)
-      case _             => false
-    }
-    val ordered =
-      if (!resolvable) st.df
-      else st.df.orderBy(st.order.map { case (e, d) =>
-        val c = col(e.asInstanceOf[Ident].name)
-        if (d) c.desc else c.asc
+    // resolve each key against the FINAL schema — computed keys (now
+    // that sort_by is lazy) sort here too, as long as the columns they
+    // reference survived the chain. Analysis is forced inside the Try:
+    // unresolvable keys surface lazily at orderBy-analysis, not at
+    // Column construction.
+    val ordered = scala.util.Try {
+      if (st.order.isEmpty) sys.error("unordered")
+      val cl = new ColLower(Some(st.df.schema))
+      val o = st.df.orderBy(st.order.map { case (e, d) =>
+        val c = cl.colExpr(e); if (d) c.desc else c.asc
       }: _*)
+      o.queryExecution.analyzed
+      o
+    }.getOrElse(st.df)
     stripHidden(ordered)
   }
 
@@ -905,7 +909,16 @@ object Lower {
         case a                       => bail(s"omit: unsupported arg $a")
       }: _*)
     case "sort" | "sort_by" =>
-      df.orderBy(args.map(a => sortCol(a.e)): _*)
+      // LAZY: record the order (outer match sets st.order), don't sort.
+      // Everything downstream re-derives physical order from st.order
+      // (orderedDf / the distributed window machinery), and an eager
+      // global orderBy here planned a full range-shuffle+sort that the
+      // machinery's own repartitionByRange immediately threw away.
+      // materialize() applies the final sort at chain end. Keys still
+      // compile eagerly so an unloweable key bails here (interpreter
+      // fallback), not silently at materialise time.
+      args.foreach(a => sortCol(a.e))
+      df
     case "reverse" => bail("reverse on unordered table (sort explicitly)")
     // negative n clamps to 0 (interpreter take/drop are Scala-clamped)
     case "take"  => orderedDf(st).limit(math.max(intLit(args, 0), 0L).toInt)

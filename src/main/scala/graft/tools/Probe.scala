@@ -112,8 +112,24 @@ object Probe {
       .orderBy("okey")
     time("docs_hash_then_range") { docsHash() }
     time("docs_range_once") { docsRange() }
-    println("[probe] range plan:")
-    docsRange().explain()
+    // lowered-window stage costs
+    val ev = Tables.events(spark, d)
+    time("ev_scan") { ev.select("event_id", "value") }
+    time("ev_range") { ev.select("event_id", "value").repartitionByRange(col("event_id")) }
+    time("lw_full") {
+      graft.plans.Lower.compile(
+        "$.events.sort_by(event_id).map(value).rolling_sum(8)",
+        t => Tables(spark, d, t))
+    }
+    val lw = graft.plans.Lower.compile(
+      "$.events.sort_by(event_id).map(value).rolling_sum(8)",
+      t => Tables(spark, d, t))
+    val planStr = lw.queryExecution.executedPlan.toString
+    println("[probe] lw exchanges=" +
+      "Exchange".r.findAllIn(planStr).length +
+      " sorts=" + "Sort ".r.findAllIn(planStr).length +
+      " scans=" + "Scan parquet".r.findAllIn(planStr).length)
+    lw.explain()
     spark.stop()
   }
 }
