@@ -50,6 +50,36 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.length == 3)
   }
 
+  test("chains ending AT sort_by keep the final order (lazy sort)") {
+    // sort_by no longer materialises eagerly; materialize() must apply
+    // the final order — for plain-ident AND computed keys
+    for (expr <- Seq(
+      "$.region.sort_by(-r_regionkey).map(r_regionkey)",
+      "$.region.sort_by(-(r_regionkey * 7)).map(r_regionkey)",
+      "$.customer.sort_by(-c_acctbal).map(c_custkey)")) {
+      val got = graft.plans.Lower
+        .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map(_.getAs[Number](0).longValue).toVector
+      val exp = docAnswer(expr) match {
+        case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+        case other          => fail(s"expected array, got ${other.kind}")
+      }
+      assert(got == exp, expr)
+    }
+    // ending AT the sort (no map): rows come back in the computed-key
+    // order; key is injective over the corpus so the order is total
+    val e = "$.customer.sort_by(-(c_custkey * 3 % 1009))"
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(_.getAs[Long]("c_custkey")).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        JValue.asNum(jexpr.Interp.fieldOf(o, "c_custkey")).get.toLong)
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp, e)
+  }
+
   test("filter + count matches") {
     val expr = "$.lineitem.filter(l_quantity > 45 and l_discount < 0.02).count()"
     val compiled = graft.plans.Lower
