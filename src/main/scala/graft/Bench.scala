@@ -64,7 +64,11 @@ object Bench {
       "b_lowered_window" -> ((s: SparkSession, d: String) =>
         graft.plans.Lower.compile(
           "$.events.sort_by(event_id).map(value).rolling_sum(8)",
-          t => Tables(s, d, t))))
+          t => Tables(s, d, t))),
+      // the round-5 operator families at bench scale
+      "b_asof" -> cat("q_asof_join"),        // union+running-last as-of
+      "b_topk_group" -> cat("q_topk_group"), // bounded-buffer aggregator
+      "b_range_prox" -> cat("q_range_prox")) // banded range join
   }
 
   private def runOnce(df: DataFrame): Unit =
