@@ -178,7 +178,7 @@ class DocColumnSpec extends SparkSpec {
   }
 
   test("fuzzed per-doc chains: native == interpreter on every lowered case") {
-    val rng = new scala.util.Random(20260814)
+    val rng = new scala.util.Random(fuzzSeed(20260814))
     var lowered, skipped = 0
     (0 until 80).foreach { _ =>
       def k = 1 + rng.nextInt(4)

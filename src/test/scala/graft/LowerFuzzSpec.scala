@@ -22,6 +22,7 @@ import graft.jexpr.{JValue, Jetro}
 class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
+  private def fuzzSeed(default: Long): Long = FuzzSeed(default)
   private var spark: SparkSession = _
   private var doc: JValue = _
 
@@ -60,7 +61,7 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "{c_acctbal > 999999}") // empty-result stressor
 
   test("random lane pipelines: compiled == interpreted") {
-    val rng = new scala.util.Random(20260813)
+    val rng = new scala.util.Random(fuzzSeed(20260813))
     val cases = (0 until 90).map { _ =>
       def k = 1 + rng.nextInt(6)
       val pred = preds(rng.nextInt(preds.length))
@@ -166,7 +167,7 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("random aggregate pipelines: compiled == interpreted") {
-    val rng = new scala.util.Random(42)
+    val rng = new scala.util.Random(fuzzSeed(42))
     (0 until 40).foreach { _ =>
       val pred = preds(rng.nextInt(preds.length))
       val dir = if (rng.nextBoolean()) "-" else ""
@@ -212,7 +213,7 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: scala.collection.Seq[_] => jexpr.JArr(s.map(toJ).toVector)
       case other => fail(s"unmapped Spark value $other (${other.getClass})")
     }
-    val rng = new scala.util.Random(5150)
+    val rng = new scala.util.Random(fuzzSeed(5150))
     (0 until 60).foreach { _ =>
       val pred = preds(rng.nextInt(preds.length))
       val dir = if (rng.nextBoolean()) "-" else ""
