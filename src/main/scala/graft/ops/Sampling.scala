@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset-split operators
@@ -17,9 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: [[bucket]] / [[sampleByHash]] / [[split]] are pure
   * per-row projections/filters — no shuffle, fully codegen'd, and the
-  * filter prunes before any downstream shuffle. [[stratified]] is one
-  * window shuffle on the stratum key (the exact-k-per-group analogue
-  * of a reservoir sample) — rank by hash inside each stratum, keep k.
+  * filter prunes before any downstream shuffle. [[stratified]] is a
+  * bounded-buffer partial aggregate on the stratum key (the
+  * exact-k-per-group analogue of a reservoir sample) — ≤ k hash values
+  * per stratum per partition cross the shuffle, never whole strata.
   */
 object Sampling {
 
@@ -27,20 +29,30 @@ object Sampling {
     * String form keeps the predicate portable to any SQL engine. */
   def bucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
 
+  /** `bucket(key) < bound` as a portable 2-hex-char compare; bound 256
+    * means "every bucket" — f"%02x" would render it as the 3-char
+    * "100", and a lexicographic compare of 2-char buckets against that
+    * keeps only "00".."0f" and "10" (~17/256), so it must short-circuit
+    * to `true` instead of ever reaching the string compare. */
+  private def bucketBelow(b: Column, bound: Int): Column =
+    if (bound >= 256) lit(true) else b < lit(f"$bound%02x")
+
   /** Deterministic ~`pct`/256 Bernoulli sample (granularity 1/256).
     * `pct256` is the number of buckets kept, 0..256. */
   def sampleByHash(df: DataFrame, key: Column, pct256: Int): DataFrame = {
     require(pct256 >= 0 && pct256 <= 256, "pct256 out of range")
-    df.where(bucket(key) < lit(f"$pct256%02x"))
+    if (pct256 >= 256) df else df.where(bucketBelow(bucket(key), pct256))
   }
 
   /** Deterministic train/val/test assignment by hash bucket:
     * `[0, trainHi)` → train, `[trainHi, valHi)` → val, rest → test
     * (bucket bounds in 0..256). Defaults ≈ 80/10/10. */
   def split(key: Column, trainHi: Int = 204, valHi: Int = 230): Column = {
+    require(trainHi >= 0 && trainHi <= valHi && valHi <= 256,
+      "split bounds must satisfy 0 <= trainHi <= valHi <= 256")
     val b = bucket(key)
-    when(b < lit(f"$trainHi%02x"), "train")
-      .when(b < lit(f"$valHi%02x"), "val")
+    when(bucketBelow(b, trainHi), "train")
+      .when(bucketBelow(b, valHi), "val")
       .otherwise("test")
   }
 
@@ -58,14 +70,62 @@ object Sampling {
   def sampleByWeight(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.where(hashUniform(key) < weight)
 
+  /** Merge two asc-sorted distinct lists, keep the k smallest distinct
+    * values — the string twin of [[TopK.mergeK]]. */
+  private[graft] def mergeSmallK(k: Int, a: List[String], b: List[String]): List[String] = {
+    val out = List.newBuilder[String]
+    var (x, y, n) = (a, b, 0)
+    var last: String = null
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      val v =
+        if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) { val h = x.head; x = x.tail; h }
+        else { val h = y.head; y = y.tail; h }
+      if (v != last) { out += v; last = v; n += 1 }
+    }
+    out.result()
+  }
+
+  /** Bounded-buffer aggregate: the k smallest distinct string values.
+    * Partial aggregation caps each map-side buffer at k, so at most k
+    * values per (stratum, partition) ever cross the shuffle. */
+  final class KSmallestAgg(k: Int) extends Aggregator[String, List[String], Seq[String]] {
+    override def zero: List[String] = Nil
+    override def reduce(buf: List[String], in: String): List[String] =
+      mergeSmallK(k, buf, List(in))
+    override def merge(a: List[String], b: List[String]): List[String] =
+      mergeSmallK(k, a, b)
+    override def finish(r: List[String]): Seq[String] = r
+    override def bufferEncoder: Encoder[List[String]] =
+      ExpressionEncoder[List[String]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
   /** Exact-k-per-stratum deterministic sample: rank rows inside each
     * stratum by md5(key) (a uniform, reproducible order) and keep the
-    * first k. The distributed twin of per-group reservoir sampling. */
+    * first k.
+    *
+    * Scale shape: NOT the `row_number().over(partitionBy(stratum))`
+    * window idiom — that shuffles every row to its stratum and sorts
+    * the whole stratum (terabytes per stratum at 100 TB when strata are
+    * coarse, e.g. language). Instead a bounded-buffer aggregate (the
+    * [[TopK.TopKAgg]] shape on the hash lane) computes the k smallest
+    * hashes per stratum with map-side combine — ≤ k values per stratum
+    * per partition cross the shuffle — and the tiny survivor set
+    * (#strata × k rows) is broadcast-joined back to pick the rows. Two
+    * scans of the input, no per-stratum sort, skew-immune.
+    *
+    * Assumes `key` is unique per row within a stratum (the usual doc-id
+    * case); duplicate keys would all survive the join-back together. */
   def stratified(df: DataFrame, stratum: Seq[String], key: Column, k: Int): DataFrame = {
-    val w = Window.partitionBy(stratum.map(col): _*)
-      .orderBy(md5(key.cast("string")))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
-      .drop("__rk")
+    require(k > 0, "k must be positive")
+    val h = md5(key.cast("string"))
+    val agg = udaf(new KSmallestAgg(k))
+    val keep = df.groupBy(stratum.map(col): _*)
+      .agg(agg(h).as("__hs"))
+      .select(stratum.map(col) :+ explode(col("__hs")).as("__h"): _*)
+    df.withColumn("__h", h)
+      .join(broadcast(keep), stratum :+ "__h")
+      .select(df.columns.map(col): _*)
   }
 }

@@ -65,8 +65,6 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
-  /** Deterministic random hyperplanes: `bits` planes in `dim`
-    * dimensions, seeded — identical across runs and executors. */
   /** Per-group mean-pooled embedding (class centroids, user profiles,
     * chunk-to-doc pooling) in LONG format (key, dim, centroid).
     *
@@ -89,6 +87,8 @@ object Similarity {
       .agg((sum(round(col("__v").cast("double") * 10000).cast("long")) /
         (count(lit(1)) * 10000.0)).as("centroid"))
 
+  /** Deterministic random hyperplanes: `bits` planes in `dim`
+    * dimensions, seeded — identical across runs and executors. */
   private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))

@@ -126,10 +126,18 @@ case class BandedRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           exprId = bandAttrP.exprId),
         pSide)
       // TimeZoneAwareExpression: without an explicit zone the node stays
-      // unresolved and the optimizer rejects the rewrite outright
+      // unresolved and the optimizer rejects the rewrite outright.
+      // The stop is clamped to at least the start: a build row with
+      // lo > hi (empty interval) would otherwise make Sequence throw
+      // "Illegal sequence boundaries" at runtime, where the
+      // un-rewritten nested-loop join just produced no match. The one
+      // spurious band the clamp emits is removed by `cond`, which the
+      // banded join re-checks in full.
+      val bandLo = IntegralDivide(asLong(lo), wl)
+      val bandHi = IntegralDivide(asLong(hi), wl)
       val seq = Sequence(
-        IntegralDivide(asLong(lo), wl),
-        IntegralDivide(asLong(hi), wl),
+        bandLo,
+        Greatest(Seq(bandLo, bandHi)),
         Some(Literal(1L, LongType)),
         Some(spark.sessionState.conf.sessionLocalTimeZone))
       val iBanded = Generate(

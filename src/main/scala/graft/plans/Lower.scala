@@ -289,25 +289,17 @@ object Lower {
 
   /** Materialise the active sequence order in the final result (the
     * doc-mode array order contract) — redundant sorts are eliminated by
-    * Catalyst when the plan is already ordered. Computed sort keys that
-    * no longer resolve are skipped (best-effort, same as doc-mode's
-    * undefined table order). */
+    * Catalyst when the plan is already ordered. Keys resolve against
+    * the FINAL schema (sort_by is lazy); a key this backend cannot
+    * compile (LowerException from colExpr) or that no longer resolves
+    * (AnalysisException, forced here rather than surfacing downstream)
+    * PROPAGATES so tryCompile falls back to the interpreter — doc mode
+    * sorted at the sort_by site, so silently returning unsorted rows
+    * would diverge. */
   private def materialize(st: St): DataFrame = {
-    // resolve each key against the FINAL schema — computed keys (now
-    // that sort_by is lazy) sort here too, as long as the columns they
-    // reference survived the chain. Analysis is forced inside the Try:
-    // unresolvable keys surface lazily at orderBy-analysis, not at
-    // Column construction.
-    val ordered = scala.util.Try {
-      if (st.order.isEmpty) sys.error("unordered")
-      val cl = new ColLower(Some(st.df.schema))
-      val o = st.df.orderBy(st.order.map { case (e, d) =>
-        val c = cl.colExpr(e); if (d) c.desc else c.asc
-      }: _*)
-      o.queryExecution.analyzed
-      o
-    }.getOrElse(st.df)
-    stripHidden(ordered)
+    val o = orderedDf(st)
+    o.queryExecution.analyzed
+    stripHidden(o)
   }
 
   /** `group_by(k).transform_values(lambda v: v.<agg>(field))` — the

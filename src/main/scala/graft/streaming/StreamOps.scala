@@ -42,7 +42,15 @@ object StreamOps {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    // The batch probe picks up whichever ts vintage the files carry
+    // (long nanos vs native timestamp) — but it throws when the source
+    // dir is empty at stream start, a legitimate streaming bootstrap,
+    // so fall back to the driver's documented long-nanos schema
+    // (TESTDATA.md) and let later files conform to it.
+    val fileSchema = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"))
     val df = spark.readStream
       .schema(fileSchema)
       .parquet(dir)

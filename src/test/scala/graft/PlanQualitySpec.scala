@@ -212,6 +212,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("partial_topkagg") || s.toLowerCase.contains("partial"), s)
   }
 
+  test("stratified sampling aggregates partially, with no window or per-stratum sort") {
+    val q = graft.ops.Sampling.stratified(
+      Tables.documents(spark, sf), Seq("lang"), col("doc_id"), k = 20)
+    val s = planString(q)
+    // the k-smallest-hashes aggregate bounds what crosses the shuffle
+    // (≤ k values per stratum per partition); the survivor set joins
+    // back broadcast — never a row_number window sorting whole strata
+    assert(!s.contains("Window"), s)
+    assert(s.contains("ObjectHashAggregate") || s.contains("SortAggregate"), s)
+    assert(s.toLowerCase.contains("partial"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
