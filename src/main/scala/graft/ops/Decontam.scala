@@ -39,12 +39,20 @@ object Decontam {
     val c =
       if (maxGramDf <= 0) c0
       else {
-        import org.apache.spark.sql.expressions.Window
-        // document frequency per gram over the corpus; one window on
-        // the same key the join shuffles on anyway
-        c0.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-          .where(col("__df") <= maxGramDf)
-          .drop("__df")
+        // Partial-aggregable document frequency per gram: map-side
+        // combine counts each gram inside every partition, so a hot
+        // gram's postings never cluster into one task (the
+        // count-over-Window idiom would funnel exactly the boilerplate
+        // grams the cap exists to bound through a single partition).
+        // Grams OVER the cap are by construction few distinct values
+        // — each one carries > maxGramDf rows — so the hot set is tiny
+        // and broadcasts into a map-side anti-join over the corpus
+        // grams.
+        val hot = c0.groupBy("g")
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxGramDf)
+          .select("g")
+        c0.join(broadcast(hot), Seq("g"), "left_anti")
       }
     val p = probes.select(col(idCol).as("probe_id"),
       explode(gramHashes(col(textCol), n)).as("g"))

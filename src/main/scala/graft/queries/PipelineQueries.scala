@@ -161,6 +161,37 @@ object PipelineQueries extends QueryGroup {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Decontamination with the boilerplate-gram cap engaged: 3-grams
+    * whose corpus document frequency exceeds 5 are excluded before the
+    * overlap join (at both oracle scales this genuinely bites —
+    * dropping ~4% of pairs and shrinking n_shared on others — unlike
+    * the rare 5-grams of q_decontam, where no hot gram reaches a probe
+    * pair). Exercises the partial-aggregable DF counting + broadcast
+    * anti-join path; the oracle replays the cap as a HAVING over the
+    * same gram sets. */
+  private val decontamCapped = q(
+    "q_decontam_capped",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN LENGTH(ss) < 3 THEN []
+      |    ELSE list_transform(generate_series(1, LENGTH(ss) - 2),
+      |      i -> md5(ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])) END)) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ss
+      |        FROM documents)),
+      |hot AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 5)
+      |SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g c JOIN g p ON c.g = p.g
+      | AND p.doc_id >= 450 AND c.doc_id <> p.doc_id
+      |WHERE c.g NOT IN (SELECT g FROM hot)
+      |GROUP BY 1, 2 ORDER BY corpus_id, probe_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontam.overlaps(
+        docs, docs.where(col("doc_id") >= 450), "doc_id", "text",
+        n = 3, maxGramDf = 5)
+      .orderBy("corpus_id", "probe_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
-    sampleWeighted, rangeProx, topkGroup, decontam)
+    sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped)
 }

@@ -225,6 +225,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("decontam gram-DF cap aggregates partially, with no window on the gram key") {
+    val docs = Tables.documents(spark, sf)
+    val q = graft.ops.Decontam.overlaps(
+      docs, docs.where(col("doc_id") >= 450), "doc_id", "text",
+      n = 5, maxGramDf = 2)
+    val s = planString(q)
+    // hot grams are counted via map-side partial aggregation and
+    // removed by a broadcast anti-join — never a count-over-window
+    // clustering a hot gram's whole postings list into one task
+    assert(!s.contains("Window"), s)
+    assert(s.toLowerCase.contains("partial"), s)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
