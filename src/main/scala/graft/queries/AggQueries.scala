@@ -83,17 +83,30 @@ object AggQueries extends QueryGroup {
         .orderBy("user_id")
   }
 
-  /** `approx_count_distinct()` — M:158-159: native HLL++. Estimates are
-    * engine-specific, so no SQL oracle (driver records rows-only). */
+  /** `approx_count_distinct()` — M:158-159: native HLL++. The raw
+    * estimate is engine-specific, so it cannot be hashed against
+    * DuckDB — instead the query emits the exact count plus a boolean
+    * asserting the estimate sits inside the 3-sigma band of the
+    * requested rsd (|approx − exact| ≤ max(3·0.05·exact, 1)); the
+    * oracle expects TRUE, so a drifting estimator fails the driver's
+    * hash gate rather than hiding behind rows-only. Exactness at small
+    * cardinalities is additionally pinned in ApproxDistinctSpec. */
   private val approxDistinct = q(
     "q_approx_distinct",
-    null,
-    tags = Set("noOracle")) { (s, d) =>
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS approx_in_band
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct("l_partkey", 0.05).as("approx_parts"),
+        approx_count_distinct("l_partkey", 0.05).as("__approx"),
         countDistinct("l_partkey").as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          greatest(col("exact_parts") * 0.15, lit(1.0))).as("approx_in_band"))
       .orderBy("l_returnflag")
   }
 
