@@ -28,6 +28,21 @@ final class LowerException(msg: String) extends RuntimeException(msg)
 
 object Lower {
 
+  /** Constant-zero partition key for windows whose input is PROVABLY
+    * tiny (a handful of rows) and single-partition is the intent. It
+    * must reference a column AND resist constant folding:
+    * `EliminateWindowPartitions` (Spark 4.1) removes FOLDABLE
+    * partition keys like `lit(0)`, silently turning the window back
+    * into an unpartitioned one — still correct, but its "No Partition
+    * Defined" warning would then spam every run and mask a real
+    * single-task regression. `x * 0` does NOT work either:
+    * ReorderAssociativeOperator folds the multiply chain to 0 and
+    * FoldablePropagation feeds it back to the eliminator. pmod(x, 1)
+    * is 0 for every x with no simplification rule; the coalesce keeps
+    * null rows in the same (only) partition. */
+  private[graft] def onePartition(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
+
   private def bail(msg: String): Nothing = throw new LowerException(msg)
 
   /** Parsed-AST cache: `compile` is called per query evaluation, but a
@@ -675,13 +690,15 @@ object Lower {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lane", lane)
     val perPid = parted.groupBy("__pid").agg(aggFn(col("__lane")).as("__t"))
-    // exclusive prefix per pid — a window over ≤ #shuffle-partitions rows.
-    // The constant partition key makes the single-partition intent
-    // explicit (the frame IS the ≤32-row aggregate table); without it
-    // WindowExec logs a moving-all-data warning on every run.
+    // exclusive prefix per pid — a window over ≤ #shuffle-partitions
+    // rows, single-partition BY DESIGN (the frame IS the ≤32-row
+    // aggregate table). The partition key must be a NON-FOLDABLE
+    // constant: Spark 4.1's EliminateWindowPartitions strips foldable
+    // keys like lit(0), reverting to an unpartitioned window whose
+    // moving-all-data warning would mask a real single-task regression.
     val offs = perPid.select(col("__pid"),
       aggFn(col("__t")).over(
-        Window.partitionBy(lit(0))
+        Window.partitionBy(onePartition(col("__pid")))
           .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
         .as("__pre"))
     val wIn = Window.partitionBy("__pid").orderBy(ordCols: _*)

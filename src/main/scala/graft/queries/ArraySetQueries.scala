@@ -128,12 +128,14 @@ object ArraySetQueries extends QueryGroup {
       |ORDER BY rn""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     // top-k FIRST (TakeOrderedAndProject, bounded heap), then number the
-    // 10 survivors — never a global row_number window over the full table
-    // constant partition key: the window input is the 10-row top-k
-    // survivors, so single-partition is the point — spell it out so
-    // WindowExec doesn't warn about an empty partition spec
-    val wo = Window.partitionBy(lit(0)).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val wc = Window.partitionBy(lit(0)).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    // 10 survivors — never a global row_number window over the full
+    // table. The window input is the 10-row top-k survivors, so
+    // single-partition is the point; the key must be NON-foldable
+    // (Lower.onePartition) or EliminateWindowPartitions strips it
+    val wo = Window.partitionBy(graft.plans.Lower.onePartition(col("o_orderkey")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wc = Window.partitionBy(graft.plans.Lower.onePartition(col("c_custkey")))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
     val o = Tables.orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -158,8 +160,10 @@ object ArraySetQueries extends QueryGroup {
       |FROM o FULL JOIN c USING (rn)
       |ORDER BY rn""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val wo = Window.partitionBy(lit(0)).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val wc = Window.partitionBy(lit(0)).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wo = Window.partitionBy(graft.plans.Lower.onePartition(col("o_orderkey")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wc = Window.partitionBy(graft.plans.Lower.onePartition(col("c_custkey")))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
     val o = Tables.orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -239,6 +239,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
   }
 
+  test("tiny-input windows keep a non-foldable partition key through optimization") {
+    // these windows run over provably tiny inputs (10-row top-k
+    // survivors; the ≤#shuffle-partitions prefix table) and are
+    // single-partition BY DESIGN — but the intent must survive
+    // EliminateWindowPartitions, which strips foldable keys like
+    // lit(0) and reverts to an unpartitioned window whose warning spam
+    // would mask a real single-task regression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q_zip_tables", "q_zip_longest",
+        "q_lower_rolling", "q_lower_enumerate")) {
+      val df = graft.queries.Catalog.queries(name)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has unpartitioned windows:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("chained struct patches fuse to a single update_fields rewrite") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "nation").select(
