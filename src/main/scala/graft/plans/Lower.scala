@@ -531,6 +531,8 @@ object Lower {
       St(sliced, st.order)
     case Step.Method(name, args) => method(st, name, args, resolve)
     case Step.Descendant(Some(name)) => descendStep(st, name)
+    case Step.DeepMethod(n @ ("shape" | "like"), args) =>
+      deepShapeStep(st, n, args)
     case other => bail(s"unsupported step $other")
   }
 
@@ -564,10 +566,16 @@ object Lower {
     val paths = graft.ops.StructOps.descendantPaths(visSchema, name)
     if (paths.isEmpty) bail(s"deep descent: no '$name' in the plan schema")
     val arr = filter(array(paths.map(col): _*), x => x.isNotNull)
+    explodePreOrder(st, arr)
+  }
+
+  /** Flatten a per-row pre-order match array into the chain's row
+    * stream as `value`, carrying the active order through the explode
+    * plus the in-row position as the final sequence key. */
+  private def explodePreOrder(st: St, arr: Column): St = {
+    val df = st.df
     if (st.order.isEmpty) St(df.select(explode(arr).as("value")))
     else {
-      // carry the active order through the flatten, plus the in-row
-      // pre-order position as the final sequence key
       val cl = new ColLower(Some(df.schema))
       val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
         cl.colExpr(e).as(s"__ord_$i")
@@ -579,6 +587,104 @@ object Lower {
       } :+ ((Ident("__ord_p"): Expr, false))
       St(sel, rebased)
     }
+  }
+
+  /** `..shape({k,…})` / `..like({k: lit,…})` — schema-directed deep
+    * object search (reference O:array.rs:599-806, exec/structural.rs:
+    * 22-40): every candidate object is a static struct path (the row
+    * itself included, as the interpreter's self-included pre-order
+    * walk sees it), checked with per-row native predicates — key
+    * presence (non-null, matching the bridge's null-omission) for
+    * shape, null-safe literal equality for like. Candidates hiding
+    * inside array/map ELEMENTS have no static path → bail to doc mode,
+    * as does a non-literal argument. Heterogeneous match types surface
+    * as an analysis failure, which tryCompile turns into the doc-mode
+    * fallback. */
+  private def deepShapeStep(st: St, name: String, args: Vector[Arg]): St = {
+    import org.apache.spark.sql.types._
+    val isLike = name == "like" || name == "deep_like"
+    val df = st.df
+    val vis = df.columns.filterNot(_.startsWith("__ord_")).toIndexedSeq
+    val visSchema = StructType(df.schema.fields.filter(f => vis.contains(f.name)))
+    val fields = args.headOption.map(_.e) match {
+      case Some(ObjLit(fs)) if args.length == 1 => fs
+      case _ => bail(s"$name: literal object argument required")
+    }
+    val likeRaw: Vector[(String, JValue)] =
+      if (!isLike) Vector.empty
+      else fields.map {
+        case ObjField.KV(Lit(JStr(k)), Lit(v), None) => k -> v
+        case f => bail(s"$name: literal values required, got $f")
+      }
+    val keys: Vector[String] =
+      if (isLike) likeRaw.map(_._1)
+      else fields.map {
+        case ObjField.Short(k)               => k
+        case ObjField.KV(Lit(JStr(k)), _, _) => k
+        case f                               => bail(s"$name: unsupported key $f")
+      }
+    if (keys.isEmpty) bail(s"$name: empty shape")
+    def litOf(v: JValue): Column = v match {
+      case JStr(s2)  => lit(s2)
+      case JInt(i)   => lit(i)
+      case JFloat(x) => lit(x)
+      case JBool(b)  => lit(b)
+      case other     => bail(s"$name: unsupported literal ${other.kind}")
+    }
+    // doc-mode equality is typed (JValue.eq: "5" != 5); a Spark compare
+    // would coerce, so a type-incompatible key statically rules the
+    // candidate out instead of comparing
+    def typeOk(dt: DataType, v: JValue): Boolean = (dt, v) match {
+      case (StringType, JStr(_))                      => true
+      case (_: NumericType, JInt(_) | JFloat(_))      => true
+      case (BooleanType, JBool(_))                    => true
+      case _                                          => false
+    }
+    def hasKeys(s2: StructType): Boolean =
+      if (isLike) likeRaw.forall { case (k, v) =>
+        s2.fields.exists(f => f.name == k && typeOk(f.dataType, v)) }
+      else keys.forall(k => s2.fieldNames.contains(k))
+    def containsCandidate(t: DataType): Boolean = t match {
+      case s2: StructType =>
+        hasKeys(s2) || s2.fields.exists(f => containsCandidate(f.dataType))
+      case ArrayType(e, _)   => containsCandidate(e)
+      case MapType(_, v2, _) => containsCandidate(v2)
+      case _                 => false
+    }
+    def hiddenCandidate(t: DataType): Boolean = t match {
+      case s2: StructType    => s2.fields.exists(f => hiddenCandidate(f.dataType))
+      case ArrayType(e, _)   => containsCandidate(e)
+      case MapType(_, v2, _) => containsCandidate(v2)
+      case _                 => false
+    }
+    if (visSchema.fields.exists(f => hiddenCandidate(f.dataType)))
+      bail(s"$name: candidate objects inside array/map elements")
+    // pre-order, self included: the row object first, then DFS in
+    // declared field order — the interpreter's allNodes walk
+    def candidates(path: Seq[String], tpe: StructType): Seq[Seq[String]] = {
+      val here = if (hasKeys(tpe)) Seq(path) else Nil
+      here ++ tpe.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s2: StructType => candidates(path :+ f.name, s2)
+          case _              => Nil
+        }
+      }
+    }
+    val cands = candidates(Nil, visSchema)
+    if (cands.isEmpty) bail(s"$name: no candidate object in the plan schema")
+    val cols = cands.map { path =>
+      val self = if (path.isEmpty) struct(vis.map(col): _*) else col(path.mkString("."))
+      def keyCol(k: String) =
+        if (path.isEmpty) col(k) else col((path :+ k).mkString("."))
+      val matched = keys.map { k =>
+        if (isLike) keyCol(k) <=> litOf(likeRaw.toMap.apply(k))
+        else keyCol(k).isNotNull // null field = absent from the walked doc
+      }.reduce(_ && _)
+      val selfPresent = if (path.isEmpty) lit(true) else self.isNotNull
+      when(selfPresent && matched, self)
+    }
+    val arr = filter(array(cols: _*), x => x.isNotNull)
+    explodePreOrder(st, arr)
   }
 
   /** Ops that consume or preserve the active sequence order; everything
@@ -608,6 +714,8 @@ object Lower {
       return seqReshape(st, name, args)
     if (name == "zip" || name == "zip_longest")
       return zipStep(st, name, args, resolve)
+    if (name == "deep_shape" || name == "deep_like")
+      return deepShapeStep(st, name, args)
     if (name == "find_index" || name == "indices_where")
       return idxStep(st, name, args)
     if (name == "reverse") {

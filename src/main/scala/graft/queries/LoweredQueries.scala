@@ -443,6 +443,43 @@ object LoweredQueries extends QueryGroup {
         |..key""".stripMargin)
   }
 
+  /** `..shape({k,…})` through the compiler — schema-directed deep
+    * object search: both nested structs carry {key, tag}, the row
+    * object does not; every match is a static struct path checked with
+    * native per-row predicates (Lower.deepShapeStep), flattened
+    * pre-order like the interpreter's walk. */
+  private val deepShapeL = q(
+    "q_lower_deep_shape",
+    """SELECT key, tag FROM (
+      |  SELECT n_nationkey AS o, 0 AS p,
+      |    CAST(n_regionkey AS BIGINT) AS key, 'g' AS tag FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey AS o, 1 AS p,
+      |    CAST(n_nationkey + 100 AS BIGINT) AS key, 'm' AS tag FROM nation)
+      |ORDER BY o, p""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.nation.sort_by(n_nationkey)
+        |.map({id: n_nationkey, geo: {key: n_regionkey, tag: "g"},
+        |      meta: {key: n_nationkey + 100, tag: "m"}})
+        |..shape({key, tag})""".stripMargin)
+      .select(col("value.key").as("key"), col("value.tag").as("tag"))
+  }
+
+  /** `..like({k: lit})` through the compiler — the shape walk plus a
+    * null-safe literal equality per key: only the `meta` branch
+    * survives `tag == "m"`. */
+  private val deepLikeL = q(
+    "q_lower_deep_like",
+    """SELECT CAST(n_nationkey + 100 AS BIGINT) AS key, 'm' AS tag
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.nation.sort_by(n_nationkey)
+        |.map({id: n_nationkey, geo: {key: n_regionkey, tag: "g"},
+        |      meta: {key: n_nationkey + 100, tag: "m"}})
+        |..like({tag: "m"})""".stripMargin)
+      .select(col("value.key").as("key"), col("value.tag").as("tag"))
+  }
+
   /** `zip(other)` through the compiler — positional row_number join of
     * two independently-ordered (bounded) lanes. */
   private val zipL = q(
@@ -537,6 +574,6 @@ object LoweredQueries extends QueryGroup {
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
-    groupCollectL, partitionL, deepL,
+    groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL)
 }

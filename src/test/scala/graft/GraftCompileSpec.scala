@@ -486,6 +486,37 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Graft.lowers(spark, sfDir, "$.nation..no_such_field"))
   }
 
+  test("deep_shape / deep_like lower via schema paths and match") {
+    val base =
+      """$.nation.sort_by(-n_nationkey)
+        |.map({id: n_nationkey, geo: {key: n_regionkey, tag: "g"}, meta: {key: n_nationkey + 100, tag: "m"}})""".stripMargin
+    def run(e: String): Vector[(Long, String)] =
+      graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map { r =>
+          val s = r.getStruct(0)
+          (s.getAs[Number]("key").longValue, s.getAs[String]("tag"))
+        }.toVector
+    def doc(e: String): Vector[(Long, String)] = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "key")).get.toLong,
+          jexpr.Interp.fieldOf(o, "tag") match {
+            case jexpr.JStr(s) => s
+            case other         => fail(s"unexpected ${other.kind}")
+          })
+      }
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    val eShape = base + "\n..shape({key, tag})"
+    // row objects lack {key, tag}; geo and meta both match, pre-order
+    assert(run(eShape) == doc(eShape) && run(eShape).length == 50)
+    val eLike = base + "\n..like({tag: \"m\"})"
+    // same candidates, but only meta survives the literal equality
+    assert(run(eLike) == doc(eLike) && run(eLike).length == 25)
+    assert(run(eLike).forall(_._2 == "m"))
+    // no candidate in the schema → doc-mode fallback (empty result)
+    assert(!Graft.lowers(spark, sfDir, "$.nation..shape({nope1, nope2})"))
+  }
+
   test("zip / zip_longest lower as positional row_number joins") {
     // two-table doc for the interpreter side
     def docAnswer2(expr: String, tables: String*): JValue = {
