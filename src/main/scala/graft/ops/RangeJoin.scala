@@ -28,7 +28,12 @@ object RangeJoin {
     * All three columns must be LONG-comparable (cast timestamps to
     * epoch micros upstream). Column names must not collide across the
     * two inputs. `width` defaults to 0 → auto: the 95th-pctile
-    * interval length, clamped to >= 1. */
+    * interval length, clamped to >= 1. Auto-width fetches ONE scalar to
+    * the driver but plans a full extra pass over `build` to compute the
+    * percentile — at 100 TB pass an explicit `width` (from domain
+    * knowledge or a prior profile) so the join is a single-pass plan;
+    * the catalog's q_range_prox models this calling convention with an
+    * explicit radius. */
   def intervalJoin(
       probe: DataFrame, ptCol: String,
       build: DataFrame, loCol: String, hiCol: String,

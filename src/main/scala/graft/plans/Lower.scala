@@ -487,7 +487,78 @@ object Lower {
 
   private def sortKeyAst(e: Expr): (Expr, Boolean) = e match {
     case Unary("-", inner) => (inner, true)
-    case other             => (other, false)
+    case Lambda(ps, b) if ps.length == 2 =>
+      comparatorKey(ps, b).map { case (k, d) => (rowKey(k), d) }
+        .getOrElse(bail("comparator-lambda sort key has no columnar lowering"))
+    case Lambda(Vector(p), b) =>
+      (rowKey(keyLambdaBody(p, b)
+        .getOrElse(bail("key-lambda sort has no columnar lowering"))), false)
+    case other => (other, false)
+  }
+
+  /** True when `pf` matches any node [[rewrite]]'s traversal reaches.
+    * Binder nodes (lambda/let/comprehension/pipe/patch) are visited as
+    * nodes even though their scoped bodies are not descended into, so
+    * their PRESENCE is always detectable. */
+  private def exprHas(e: Expr)(pf: PartialFunction[Expr, Unit]): Boolean = {
+    var found = false
+    rewrite(e) { case x if pf.isDefinedAt(x) => found = true; x }
+    found
+  }
+
+  /** A one-param key-lambda body rebased onto `@`: `λ x: x.f * 2` →
+    * `@.f * 2`. Only when the body binds nothing itself, references no
+    * `@`/`$` (which the interpreter resolves against the ENCLOSING
+    * scope, not the element), and its only bare identifier is the
+    * parameter — so the substitution is capture-free and scope-identical
+    * between backends. Anything else → None (interpreter fallback). */
+  private def keyLambdaBody(p: String, body: Expr): Option[Expr] = {
+    val unsafe = exprHas(body) {
+      case _: Lambda | _: Let | _: Comp | _: Pipe | _: Patch => ()
+      case Root | Current                                    => ()
+      case Ident(n) if n != p                                => ()
+    }
+    if (unsafe) None else Some(rewrite(body) { case Ident(`p`) => Current })
+  }
+
+  /** `λ a,b: K(a) < K(b)` (or `>`, or the operand-swapped mirror) to
+    * key form: (K in terms of `@`, descending). The reference feeds the
+    * comparator as a strict less-than to a stable sort
+    * (examples.rs:411, Builtins.sorted), so `<` is the plain stable
+    * ascending key sort and `>` the stable DESCENDING one — ties keep
+    * their relative order in BOTH directions, unlike `-key`
+    * (ascending-then-reverse). Mirror check: the two operands must be
+    * the same expression with the params swapped, each side referencing
+    * only its own param ([[keyLambdaBody]]'s safety rules). */
+  private def comparatorKey(ps: Vector[String], body: Expr): Option[(Expr, Boolean)] = {
+    val (pa, pb) = (ps(0), ps(1))
+    if (pa == pb) return None
+    def keySide(l: Expr, r: Expr, desc: Boolean): Option[(Expr, Boolean)] =
+      keyLambdaBody(pa, l).filter { _ =>
+        exprHas(l) { case Ident(`pa`) => () } &&
+        rewrite(l) { case Ident(`pa`) => Ident(pb) } == r
+      }.map((_, desc))
+    body match {
+      case Binary("<", l, r) =>
+        keySide(l, r, desc = false).orElse(keySide(r, l, desc = true))
+      case Binary(">", l, r) =>
+        keySide(l, r, desc = true).orElse(keySide(r, l, desc = false))
+      case _ => None
+    }
+  }
+
+  /** A `@`-rooted key (from [[comparatorKey]]/[[keyLambdaBody]])
+    * rebased onto row columns for the table lane: `@.f.rest` →
+    * `f.rest`. A key using the element as a whole has no row-scope
+    * meaning — bail to the interpreter. */
+  private def rowKey(e: Expr): Expr = {
+    val based = rewrite(e) {
+      case Chain(Current, Step.Field(f) +: rest) =>
+        if (rest.isEmpty) Ident(f) else Chain(Ident(f), rest)
+    }
+    if (exprHas(based) { case Current => () })
+      bail("whole-row sort key has no columnar lowering")
+    based
   }
 
   /** The frame explicitly sorted by the active order (no-op when
@@ -1459,9 +1530,9 @@ object Lower {
     case e                        => bail(s"expected integer literal, got $e")
   }
 
-  private def sortCol(e: Expr): Column = e match {
-    case Unary("-", inner) => colExpr(inner).desc
-    case other             => colExpr(other).asc
+  private def sortCol(e: Expr): Column = sortKeyAst(e) match {
+    case (k, true)  => colExpr(k).desc
+    case (k, false) => colExpr(k).asc
   }
 
   // ── scalar expression lowering ────────────────────────────────────────
@@ -1817,23 +1888,28 @@ object Lower {
         // asc with a cmp-style comparator (null comparisons fall
         // through both whens to 0; array_sort's TimSort and the
         // interpreter's sortWith are both stable), then reverse().
-        // Two-param comparator lambdas have no columnar mapping.
-        val (keyExpr, desc) =
+        // Mirrored two-param comparator lambdas rewrite to key form
+        // (comparatorKey); `>` is the STABLE descending sort — swap the
+        // comparator operands, do NOT reverse, so ties keep their
+        // relative order exactly like sortWith does.
+        // modes: 0 asc · 1 desc-by-reverse (`-key`) · 2 stable desc
+        val (keyExpr, mode) =
           (if (args.isEmpty) Current else args(0).e) match {
-            case Lambda(ps, _) if ps.length == 2 =>
-              bail("comparator-lambda sort has no columnar lowering")
-            case Unary("-", inner) => (inner, true)
-            case other             => (other, false)
+            case Lambda(ps, b) if ps.length == 2 =>
+              comparatorKey(ps, b).map { case (k, d) => (k, if (d) 2 else 0) }
+                .getOrElse(bail("comparator-lambda sort has no columnar lowering"))
+            case Unary("-", inner) => (inner, 1)
+            case other             => (other, 0)
           }
         val b = new EBody(at, keyExpr)
         val kd = b.dt.getOrElse(bail("sort key type unknown"))
         if (!numericDt(kd) && kd != StringType && kd != BooleanType)
           bail(s"sort key must be atomic, got ${kd.simpleString}")
-        val asc = array_sort(nz(c), (x, y) => {
-          val (kx, ky) = (b(x), b(y))
+        val sorted = array_sort(nz(c), (x, y) => {
+          val (kx, ky) = if (mode == 2) (b(y), b(x)) else (b(x), b(y))
           when(kx < ky, lit(-1)).when(kx > ky, lit(1)).otherwise(lit(0))
         })
-        (if (desc) reverse(asc) else asc, someArr)
+        (if (mode == 1) reverse(sorted) else sorted, someArr)
       case "any" | "exists" =>
         (coalesce(exists(c, x => body(0).predStrict(x)), lit(false)),
           Some(BooleanType))

@@ -570,10 +570,24 @@ object LoweredQueries extends QueryGroup {
       .orderBy("t")
   }
 
+  /** Comparator-lambda sort (reference examples.rs:411) through the
+    * compiler: `λ a,b: K(a) > K(b)` rewrites to the descending key
+    * form (Lower.comparatorKey). Key injective over c_custkey (< 7919)
+    * so the top-10 cut is deterministic for the oracle. */
+  private val sortCmp = q(
+    "q_lower_sort_cmp",
+    """SELECT c_custkey AS k, c_custkey * 7 % 7919 AS ord FROM customer
+      |ORDER BY ord DESC LIMIT 10""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.customer.sort(lambda a, b: a.c_custkey * 7 % 7919 > b.c_custkey * 7 % 7919)
+        |.take(10).map({k: c_custkey, ord: c_custkey * 7 % 7919})""".stripMargin)
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
-    zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL)
+    zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
+    sortCmp)
 }

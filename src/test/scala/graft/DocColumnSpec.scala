@@ -156,7 +156,17 @@ class DocColumnSpec extends SparkSpec {
     // elements come out reversed under `-` and in place without it
     "$.items.sort_by(qty % 2).map(qty)",
     "$.items.sort_by(-(qty % 2)).map(qty)",
-    "$.items.sort_by(-tag).map(tag)")
+    "$.items.sort_by(-tag).map(tag)",
+    // comparator lambdas (reference examples.rs:411): strict less-than
+    // fed to a STABLE sort — `>` keeps tie order (unlike `-key`, which
+    // reverses it); the flipped-operand mirror is the same sort
+    "$.items.sort(lambda a, b: a.qty < b.qty).map(qty)",
+    "$.items.sort(lambda a, b: a.qty % 2 < b.qty % 2).map(qty)",
+    "$.items.sort(lambda a, b: a.qty % 2 > b.qty % 2).map(qty)",
+    "$.items.sort_by(lambda a, b: b.price < a.price).map(price)",
+    "$.items.sort_by(lambda a, b: a.tag > b.tag).map(tag)",
+    // one-param key lambda
+    "$.items.sort_by(lambda x: x.price).map(price)")
 
   exprs.foreach { e =>
     test(s"native == interpreter: $e") { differential(e) }
@@ -166,7 +176,9 @@ class DocColumnSpec extends SparkSpec {
     val doc = struct(docType.fieldNames.map(col): _*)
     for (e <- Seq(
       "$.items.sort_by(qty ?? unknown)", // untypeable sort key
-      "$.items.sort_by(lambda a, b: a.qty < b.qty)", // comparator lambda
+      // comparator lambdas that are NOT a mirrored key comparison
+      "$.items.sort_by(lambda a, b: a.qty < b.price)",
+      "$.items.sort_by(lambda a, b: a.qty - b.qty < 0)",
       "$.items.map(qty).median()",      // no such builtin mapping
       "$.missing_field.count()",        // unknown root field
       "$.items.map(qty ?? unknown)",    // untypeable body

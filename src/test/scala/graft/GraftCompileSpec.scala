@@ -80,6 +80,32 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, e)
   }
 
+  test("comparator-lambda sort lowers via the mirrored-key rewrite") {
+    // `λ a,b: K(a) < K(b)` compiles to the key form (and `>` / the
+    // operand-swapped mirror to descending); injective keys so the
+    // table's tie order (undefined) never decides the output
+    for (expr <- Seq(
+      "$.region.sort(lambda a, b: a.r_regionkey > b.r_regionkey).map(r_regionkey)",
+      "$.region.sort(lambda a, b: b.r_regionkey < a.r_regionkey).map(r_regionkey)",
+      "$.customer.sort(lambda a, b: a.c_custkey * 3 % 1009 < b.c_custkey * 3 % 1009).map(c_custkey)",
+      "$.customer.sort_by(lambda x: x.c_custkey * 3 % 1009).map(c_custkey)")) {
+      assert(Graft.lowers(spark, sfDir, expr), expr)
+      val got = graft.plans.Lower
+        .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+        .collect().map(_.getAs[Number](0).longValue).toVector
+      val exp = docAnswer(expr) match {
+        case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+        case other          => fail(s"expected array, got ${other.kind}")
+      }
+      assert(got == exp, expr)
+    }
+    // non-mirrored comparator bodies have no key form → doc fallback
+    assert(!Graft.lowers(spark, sfDir,
+      "$.region.sort(lambda a, b: a.r_regionkey < b.r_name)"))
+    assert(!Graft.lowers(spark, sfDir,
+      "$.region.sort(lambda a, b: a.r_regionkey - b.r_regionkey < 0)"))
+  }
+
   test("filter + count matches") {
     val expr = "$.lineitem.filter(l_quantity > 45 and l_discount < 0.02).count()"
     val compiled = graft.plans.Lower
