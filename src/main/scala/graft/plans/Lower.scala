@@ -861,7 +861,7 @@ object Lower {
   //     have exactly B ≥ k+1 rows (except the last), so one hop of
   //     carries is always sufficient. Carries are dropped afterwards.
 
-  private def runningOverOrder(
+  private[graft] def runningOverOrder(
       df: DataFrame, ordCols: Seq[Column], lane: Column,
       aggFn: Column => Column, combine: (Column, Column) => Column,
       out: String): DataFrame = {

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{AsOf, Decontam, RangeJoin, Sampling}
+import graft.functions.Text
+import graft.ops.{AsOf, Chunk, Decontam, Pack, RangeJoin, Sampling}
 
 /** Training-data pipeline operators beyond the reference's surface:
   * point-in-time (as-of) joins and deterministic sampling / dataset
@@ -192,6 +193,60 @@ object PipelineQueries extends QueryGroup {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Concat-then-chunk sequence packing at a 128-token budget: the
+    * running stream offset runs on the distributed prefix machinery
+    * (no OrderBarrier); the oracle replays the same packing with a
+    * window cumsum + generate_series, so every (document, sequence)
+    * slice must agree exactly — boundaries, spans, and tail. */
+  private val packSeqs = q(
+    "q_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM t WHERE tok > 0),
+      |s AS (
+      |  SELECT doc_id, tok, cum, cum - tok AS strt,
+      |    unnest(generate_series((cum - tok) // 128, (cum - 1) // 128)) AS seq_id
+      |  FROM c)
+      |SELECT doc_id, seq_id, strt AS doc_start,
+      |  GREATEST(seq_id * 128, strt) - strt AS slice_start,
+      |  LEAST((seq_id + 1) * 128, cum) - GREATEST(seq_id * 128, strt) AS slice_len,
+      |  GREATEST(seq_id * 128, strt) - seq_id * 128 AS seq_off
+      |FROM s ORDER BY doc_id, seq_id""".stripMargin) { (s, d) =>
+    Pack.contiguous(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", "doc_id", budget = 128)
+      .orderBy("doc_id", "seq_id")
+  }
+
+  /** Sliding 120-char chunks with 20-char overlap (retrieval/embedding
+    * prep): pure narrow codegen fan-out, no shuffle; the oracle
+    * replays the window arithmetic and substrings exactly. */
+  private val chunkSliding = q(
+    "q_chunk_sliding",
+    """WITH t AS (
+      |  SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS len
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    GREATEST(1, (len - 20 + 99) // 100) AS n FROM t),
+      |e AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, n - 1)) AS chunk_id FROM n)
+      |SELECT doc_id, chunk_id, chunk_id * 100 AS chunk_start,
+      |  substring(text, CAST(chunk_id * 100 + 1 AS INT), 120) AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Chunk.sliding(Tables.documents(s, d), "doc_id", "text",
+        size = 120, overlap = 20)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
-    sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped)
+    sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
+    packSeqs, chunkSliding)
 }

@@ -202,6 +202,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s.contains("Exchange"), s)
   }
 
+  test("sequence packing runs on the distributed prefix machinery") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val extra = p match {
+        case q: QueryStageExec        => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => Nil
+      }
+      p +: (p.children ++ extra).flatMap(nodes)
+    }
+    val df = graft.ops.Pack.contiguous(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", "doc_id", budget = 64L)
+    df.collect() // finalize the adaptive plan
+    val wins = nodes(executed(df)).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // the only unpartitioned window allowed is the tiny prefix-combine
+    // over the per-partition totals aggregate (≤ #shuffle-partitions
+    // rows); the full-table running sum must partition by __pid
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(nodes(w).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"unpartitioned window over a non-aggregated frame:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("sliding chunking is a narrow shuffle-free fan-out") {
+    val df = graft.ops.Chunk.sliding(
+      Tables.documents(spark, sf), "doc_id", "text", size = 120, overlap = 20)
+    val s = planString(df)
+    assert(!s.contains("Exchange"), s)
+    assert(!s.contains("Window"), s)
+    // parent-document filters still reach the parquet scan through the
+    // explode
+    val filtered = planString(graft.ops.Chunk.sliding(
+      Tables.documents(spark, sf).where(col("lang") === "en"),
+      "doc_id", "text", size = 120, overlap = 20))
+    assert(filtered.contains("PushedFilters:") &&
+      filtered.contains("EqualTo(lang,en)"), filtered)
+  }
+
   test("grouped top-k aggregates partially, with no window or full sort") {
     val q = graft.ops.TopK.perGroup(
       Tables.orders(spark, sf), Seq("o_custkey"), "o_totalprice", "o_orderkey", 2)
