@@ -246,7 +246,53 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id", "chunk_id")
   }
 
+  private def sqlStops: String =
+    Text.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+
+  /** End-to-end curation pipeline — the flagship composition a corpus
+    * team would actually run: token-count floor → quality scoring →
+    * per-source top-5 by quality (bounded-buffer aggregator, not a
+    * window) → deterministic split assignment. The oracle replays every
+    * stage in SQL, with the window idiom standing in for the
+    * aggregator — two different top-k algorithms must agree on the
+    * final curated set, rank for rank. */
+  private val curate = q(
+    "q_curate",
+    s"""WITH t AS (
+      |  SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, source,
+      |    ROUND(
+      |      LEAST(CAST(LENGTH(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |      (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) - (LENGTH(toks) - 1))
+      |                 / GREATEST(CAST(LENGTH(toks) AS DOUBLE), 1.0)
+      |                 BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+      |      LEAST(CAST(LENGTH(list_filter(toks, x -> x IN (${sqlStops}))) AS DOUBLE)
+      |            / GREATEST(LENGTH(toks), 1) * 4.0, 1.0) * 0.3, 4) AS quality,
+      |    CAST(LENGTH(toks) AS BIGINT) AS n_tokens
+      |  FROM t),
+      |r AS (
+      |  SELECT source, doc_id, quality,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc WHERE n_tokens >= 30)
+      |SELECT source, rank, quality, doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      .where(col("n_tokens") >= 30)
+    graft.ops.TopK.perGroup(scored, Seq("source"), "quality", "doc_id", k = 5)
+      .withColumn("split", Sampling.split(col("doc_id")))
+      .orderBy("source", "rank")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
-    packSeqs, chunkSliding)
+    packSeqs, chunkSliding, curate)
 }
