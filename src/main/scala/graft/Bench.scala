@@ -68,7 +68,11 @@ object Bench {
       // the round-5 operator families at bench scale
       "b_asof" -> cat("q_asof_join"),        // union+running-last as-of
       "b_topk_group" -> cat("q_topk_group"), // bounded-buffer aggregator
-      "b_range_prox" -> cat("q_range_prox")) // banded range join
+      "b_range_prox" -> cat("q_range_prox"), // banded range join
+      // the round-6 operator families at bench scale
+      "b_pack" -> cat("q_pack_sequences"),   // distributed-prefix packing
+      "b_chunk" -> cat("q_chunk_sliding"),   // shuffle-free chunk fan-out
+      "b_curate" -> cat("q_curate"))         // composed curation pipeline
   }
 
   private def runOnce(df: DataFrame): Unit =

@@ -208,9 +208,21 @@ class DocColumnSpec extends SparkSpec {
         case _ => ("tag", false)
       }
       val preSort =
-        if (rng.nextBoolean())
-          s".sort_by(${if (rng.nextBoolean()) "-" else ""}${Seq("qty", "price", "tag")(rng.nextInt(3))})"
-        else ""
+        if (rng.nextBoolean()) {
+          val key = Seq("qty", "price", "tag")(rng.nextInt(3))
+          rng.nextInt(4) match {
+            case 0 => s".sort_by($key)"
+            case 1 => s".sort_by(-$key)"
+            // comparator lambdas: `<` asc, `>` stable desc, and the
+            // operand-swapped mirror of each
+            case 2 =>
+              val op = if (rng.nextBoolean()) "<" else ">"
+              s".sort(lambda a, b: a.$key $op b.$key)"
+            case _ =>
+              val op = if (rng.nextBoolean()) "<" else ">"
+              s".sort(lambda a, b: b.$key $op a.$key)"
+          }
+        } else ""
       val post = (0 until rng.nextInt(3)).map(_ => rng.nextInt(6) match {
         case 0 => s".take($k)"
         case 1 => s".skip($k)"
