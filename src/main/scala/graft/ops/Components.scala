@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the clustering step that
+  * turns near-duplicate PAIRS (MinHash/SimHash candidate output) into
+  * duplicate CLUSTERS, so a corpus keeps exactly one representative per
+  * transitively-connected group instead of dropping only direct pair
+  * partners.
+  *
+  * Algorithm: iterative min-label propagation ("hash-to-min") on
+  * DataFrames. Every node starts labeled with itself; each round every
+  * node takes the minimum of its own label and its neighbours' labels
+  * (one equi-join + one partial-aggregable groupBy min — two bounded
+  * shuffles per round); fixpoint = every node holds the smallest id
+  * reachable from it, which IS its component id. Convergence needs at
+  * most diameter(G) rounds — near-dup graphs are dense small clusters
+  * (diameter a handful), so the loop usually stops after 2-4 rounds;
+  * `maxIters` bounds pathological chains and the loop stops early the
+  * first round nothing changes (one scalar aggregate per round — the
+  * same driver-side control flow GraphX/GraphFrames use for CC).
+  * Lineage is truncated per round with localCheckpoint so the plan
+  * doesn't grow with iterations; on a real cluster with unreliable
+  * executors swap in `sparkContext.setCheckpointDir` + `checkpoint`.
+  */
+object Components {
+
+  /** `(node, component)` for every node that appears in `edges`;
+    * `component` = the smallest node id in the node's connected
+    * component. Node ids must be LONG-castable. */
+  def connected(edges: DataFrame, aCol: String, bCol: String,
+                maxIters: Int = 20): DataFrame = {
+    require(maxIters > 0, "maxIters must be positive")
+    val e = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetric edge list + self-loops (so isolated endpoints keep
+    // their own label through the aggregate-only propagation step)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(e.select(col("src"), col("src").as("dst")))
+      .union(e.select(col("dst").as("src"), col("dst").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node"), col("src").as("label"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // neighbour-min pass: label(x) <- min over {x} ∪ N(x) of label
+      // (self-loops make the node's own label part of the aggregate)
+      val next = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .where(col("label") =!= col("old"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    // an unconverged result is silently WRONG (labels stop mid-merge) —
+    // fail loudly instead; near-dup graphs converge in a handful of
+    // rounds, so hitting this means the graph is not a dedup graph
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds; " +
+        "raise maxIters (needs at most the graph diameter)")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Near-dup aware corpus filter: keep every document that is its
+    * cluster's representative (the minimum id), plus every document
+    * that never appeared in `edges`. One anti-join against the
+    * non-representative nodes. */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val drop = connected(edges, aCol, bCol, maxIters)
+      .where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

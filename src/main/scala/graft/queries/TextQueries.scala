@@ -295,8 +295,81 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over a CHAIN graph: events sharing a payload
+    * are linked only to their next-id neighbour, so the duplicate
+    * cluster is recoverable solely by multi-hop propagation — while the
+    * truth is available in closed form (min event_id per payload hash).
+    * Iterative min-label propagation vs a plain GROUP BY: two
+    * completely different algorithms must agree node-for-node. */
+  private val dedupClusters = q(
+    "q_dedup_clusters",
+    """WITH e AS (
+      |  SELECT event_id, md5(props) AS h FROM events WHERE event_id < 500),
+      |c AS (
+      |  SELECT h, MIN(event_id) AS comp FROM e
+      |  GROUP BY h HAVING COUNT(*) > 1)
+      |SELECT e.event_id AS node, c.comp AS component
+      |FROM e JOIN c USING (h) ORDER BY node""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).where(col("event_id") < 500)
+      .select(col("event_id"), md5(col("props")).as("h"))
+    val nxt = lead("event_id", 1)
+      .over(Window.partitionBy("h").orderBy("event_id"))
+    val edges = ev.withColumn("nxt", nxt).where(col("nxt").isNotNull)
+    graft.ops.Components.connected(edges, "event_id", "nxt")
+      .orderBy("node")
+  }
+
+  /** Near-dup aware corpus filter: one representative per MinHash-LSH
+    * duplicate CLUSTER (not per pair — transitive closure matters when
+    * A~B and B~C but A!~C). The oracle replays the portable pair
+    * pipeline, then walks the pair graph with a recursive CTE to the
+    * same min-id components. */
+  private val dedupKeep = q(
+    "q_dedup_keep",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> substring(text, i, 8))) AS ss
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, ss,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#0')), 'min') AS l0,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#1')), 'min') AS l1,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#2')), 'min') AS l2,
+      |    list_aggregate(list_transform(ss, s -> md5(s || '#3')), 'min') AS l3
+      |  FROM sh),
+      |band AS (
+      |  SELECT doc_id, ss,
+      |    md5('0:' || l0 || ':' || l1) AS b0,
+      |    md5('1:' || l2 || ':' || l3) AS b1
+      |  FROM sig),
+      |edges AS (
+      |  SELECT a.doc_id AS ea, b.doc_id AS eb
+      |  FROM band a JOIN band b
+      |    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+      |  WHERE CAST(LENGTH(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      |        / GREATEST(LENGTH(list_distinct(a.ss || b.ss)), 1) >= 0.2),
+      |sym AS (SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges),
+      |reach(n, r) AS (
+      |  SELECT ea AS n, ea AS r FROM sym
+      |  UNION
+      |  SELECT e.eb, reach.r FROM reach JOIN sym e ON e.ea = reach.n),
+      |comp AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n)
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT n FROM comp WHERE n <> c)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+      minJaccard = 0.2)
+    graft.ops.Components.keepRepresentatives(
+        docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
-    simhashPairsMd5, fingerprint)
+    simhashPairsMd5, fingerprint, dedupClusters, dedupKeep)
 }
