@@ -72,6 +72,16 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       === want.agg(sum("amount")).head.getDouble(0) +- 1e-6)
   }
 
+  test("sliding chunking runs unchanged on streams (stateless narrow op)") {
+    def chunk(df: DataFrame) = graft.ops.Chunk.sliding(
+      df.select("event_id", "props"), "event_id", "props",
+      size = 40, overlap = 10)
+    val got = runToTable(chunk(streamEvents), "t_chunk_stream")
+    val want = chunk(batchEvents)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("windowed count_by parity with batch window agg") {
     val got = runToTable(
       StreamOps.countByWindow(streamEvents), "t_countby")
