@@ -207,7 +207,31 @@ object AggQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  /** Mergeable HLL sketch pipeline (ops.Sketch): fine-grained
+    * per-(lang, source) sketches rolled up to per-lang by UNIONING the
+    * binaries — the incremental-stats pattern (a new shard contributes
+    * a sketch, rollups never rescan). The oracle expects every rolled-up
+    * estimate inside a generous accuracy band of the exact distinct
+    * count (lgK=12 ≈ 1.6% rsd; band 15% or ±1), so a broken merge — not
+    * just a broken sketch — fails the hash gate. */
+  private val sketchDistinct = q(
+    "q_sketch_distinct",
+    """SELECT lang,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+      |  TRUE AS sketch_in_band
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fine = graft.ops.Sketch.grouped(docs, Seq("lang", "source"), "text")
+    val perLang = graft.ops.Sketch.rollup(fine, Seq("lang"))
+    val exact = docs.groupBy("lang").agg(countDistinct("text").as("n_exact"))
+    perLang.join(exact, "lang")
+      .select(col("lang"), col("n_exact"),
+        (abs(col("estimate") - col("n_exact")) <=
+          greatest(col("n_exact") * 0.15, lit(1.0))).as("sketch_in_band"))
+      .orderBy("lang")
+  }
+
   def defs = Seq(
     anyAll, partition0, pivot0, indexBy, approxDistinct, fanout0,
-    zipShape, byYear, histogram, explode0, implode0)
+    zipShape, byYear, histogram, explode0, implode0, sketchDistinct)
 }
