@@ -292,7 +292,45 @@ object PipelineQueries extends QueryGroup {
       .orderBy("source", "rank")
   }
 
+  /** Z-order layout (ops.Layout): Morton z-values over
+    * (user_id, value) at 8 bits/dim — the multi-dimensional clustering
+    * key a 100 TB layout job range-partitions on so parquet min/max
+    * stats prune EVERY dimension. The oracle replays the scale +
+    * bit-interleave arithmetic exactly (same IEEE expression order), so
+    * the curve itself is hash-verified; locality benefits are measured
+    * in LayoutSpec. */
+  private val zorderVals = q(
+    "q_zorder",
+    {
+      val interleave = (0 until 8).flatMap(b => Seq(
+        s"(((s0 >> $b) & 1) << ${2 * b})",
+        s"(((s1 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH s AS (
+        |  SELECT MIN(CAST(user_id AS DOUBLE)) AS mn0, MAX(CAST(user_id AS DOUBLE)) AS mx0,
+        |         MIN(CAST(value AS DOUBLE)) AS mn1, MAX(CAST(value AS DOUBLE)) AS mx1
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id,
+        |    CASE WHEN mx0 - mn0 <= 0 THEN 0
+        |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+        |           (CAST(user_id AS DOUBLE) - mn0) / (mx0 - mn0) * 255) AS BIGINT)))
+        |    END AS s0,
+        |    CASE WHEN mx1 - mn1 <= 0 THEN 0
+        |         ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+        |           (CAST(value AS DOUBLE) - mn1) / (mx1 - mn1) * 255) AS BIGINT)))
+        |    END AS s1
+        |  FROM events, s)
+        |SELECT event_id, CAST($interleave AS BIGINT) AS z
+        |FROM v ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+    graft.ops.Layout.withZValue(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        Seq("user_id", "value"), bits = 8)
+      .select(col("event_id"), col("__z").as("z"))
+      .orderBy("event_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
-    packSeqs, chunkSliding, curate)
+    packSeqs, chunkSliding, curate, zorderVals)
 }
