@@ -43,6 +43,44 @@ object Similarity {
     expr(s"cosine_sim($a, $b)")
   }
 
+  /** L2 norm of a float-vector column, in double precision (in-order
+    * fold — portable across engines). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** L2-normalized copy (double lanes): normalize ONCE at ingest and
+    * cosine becomes a plain dot product — at 100 TB the norm pass is
+    * the cheap side of every subsequent comparison. Zero vectors stay
+    * zero (no NaNs downstream). */
+  def l2Normalize(vec: Column): Column = {
+    val n = l2Norm(vec)
+    when(n === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: per-vector scale = maxAbs/127,
+    * codes = round(x/scale) in [-127, 127] — a 4× smaller shuffle and
+    * storage footprint for candidate generation; exact re-rank reads
+    * the float column for the few survivors. Zero vectors get scale 0
+    * and all-zero codes. Returns struct(scale DOUBLE, q ARRAY<TINYINT>). */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    val scale = maxAbs / 127.0
+    val q = when(scale === 0.0, transform(vec, _ => lit(0).cast("byte")))
+      .otherwise(transform(vec, x =>
+        greatest(lit(-127L), least(lit(127L),
+          round(x.cast("double") / scale))).cast("byte")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Reconstruction of a [[quantizeInt8]] struct back to double lanes:
+    * `q * scale`; max error per lane ≤ scale/2. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      x => x.cast("double") * qs.getField("scale"))
+
   /** Exact top-k: for each query vector, the k most-cosine-similar
     * corpus vectors (excluding itself). Ranking uses the rounded
     * similarity with id tie-break so results are stable across

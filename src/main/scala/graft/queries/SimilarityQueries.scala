@@ -135,7 +135,47 @@ object SimilarityQueries extends QueryGroup {
       .orderBy("label", "dim")
   }
 
+  /** Embedding hygiene ops (Similarity.l2Norm / l2Normalize /
+    * quantizeInt8): exact norms (both engines fold the same lane order
+    * in doubles), a unit-norm flag for the normalized copy, and an
+    * int8 reconstruction-error bound — |x - q*scale| ≤ scale/2 holds
+    * REGARDLESS of round-tie direction, so the flag is engine-portable
+    * even where rounding modes could differ. */
+  private val embedNorm = q(
+    "q_embedding_norm",
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    SQRT(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+      |    list_aggregate(list_transform(embedding,
+      |      x -> ABS(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings)
+      |SELECT vec_id, ROUND(nrm, 4) AS norm,
+      |  TRUE AS unit_after_norm,
+      |  COALESCE(scale = 0 OR list_aggregate(list_transform(embedding,
+      |    x -> ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale)),
+      |    'max') <= scale * 0.5000001, TRUE) AS quant_in_bound
+      |FROM t ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val v = col("embedding")
+    val normed = Similarity.l2Normalize(v)
+    val qs = Similarity.quantizeInt8(v)
+    val deq = Similarity.dequantizeInt8(qs)
+    val maxErr = aggregate(
+      zip_with(v, deq, (x, r) => abs(x.cast("double") - r)),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(Similarity.l2Norm(v), 4).as("norm"),
+      // a zero vector stays zero; anything else must be unit-norm
+      (Similarity.l2Norm(v) === 0.0 ||
+        abs(Similarity.l2Norm(normed) - 1.0) < 1e-9).as("unit_after_norm"),
+      (qs.getField("scale") === 0.0 ||
+        maxErr <= qs.getField("scale") * 0.5000001).as("quant_in_bound"))
+      .orderBy("vec_id")
+  }
+
   def defs = Seq(
     cosineTopK, nearDup, lshTopK, ivfTopK, multimodalBytes, frames,
-    centroid)
+    centroid, embedNorm)
 }

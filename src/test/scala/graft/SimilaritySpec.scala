@@ -101,4 +101,41 @@ class SimilaritySpec extends SparkSpec {
     val row = df.filter(col("media_id") === 1).select("n_frames").collect()(0)
     assert(row.getLong(0) >= 1)
   }
+
+  test("normalize/quantize: unit norms, clamped codes, bounded error, zero vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(-1.5f, 0.25f, 2.75f)),
+      (3L, Array(0.0f, 0.0f)),           // zero vector
+      (4L, Array(1e-8f, -1e-8f)),        // tiny magnitudes
+      (5L, Array(100.0f, -100.0f, 1.0f)) // symmetric extremes
+    ).toDF("id", "v")
+    val out = vecs.select(col("id"),
+        Similarity.l2Norm(col("v")).as("n"),
+        Similarity.l2Norm(Similarity.l2Normalize(col("v"))).as("nn"),
+        Similarity.quantizeInt8(col("v")).as("qs"))
+      .withColumn("deq", Similarity.dequantizeInt8(col("qs")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getStruct(3), r.getSeq[Double](4))).sortBy(_._1)
+    out.foreach { case (id, n, nn, qs, deq) =>
+      val scale = qs.getDouble(0)
+      val codes = qs.getSeq[Byte](1)
+      if (n == 0.0) {
+        assert(nn == 0.0 && scale == 0.0 && codes.forall(_ == 0), s"id=$id")
+      } else {
+        assert(math.abs(nn - 1.0) < 1e-12, s"id=$id unit norm, got $nn")
+        assert(codes.forall(c => c >= -127 && c <= 127), s"id=$id clamp")
+        assert(codes.exists(c => math.abs(c.toInt) == 127), s"id=$id max code")
+      }
+    }
+    // exact reconstruction bound per lane: |x - q*scale| <= scale/2
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.foreach { case (id, _, _, qs, deq) =>
+      val scale = qs.getDouble(0)
+      rows(id).zip(deq).foreach { case (x, r) =>
+        assert(math.abs(x.toDouble - r) <= scale / 2 + 1e-12, s"id=$id lane")
+      }
+    }
+  }
 }
