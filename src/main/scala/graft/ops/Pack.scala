@@ -55,4 +55,34 @@ object Pack {
         (least((col("seq_id") + 1) * b, col("__cum")) - sliceAbs).as("slice_len"),
         (sliceAbs - col("seq_id") * b).as("seq_off"))
   }
+
+  /** Materialized sequences: the [[contiguous]] plan joined back to the
+    * per-document token arrays (`toksCol`: `array<...>`), each slice
+    * cut out of its document and the slices of a sequence assembled in
+    * stream order. One row per sequence: `seq_id`, `n_docs`,
+    * `n_tokens`, `tokens` (the packed array — every sequence but the
+    * last holds exactly `budget` elements).
+    *
+    * Scale: the slice plan costs [[contiguous]]; the join-back is one
+    * hash join on the doc id (arrays cross the shuffle once, not
+    * through the prefix machinery); the per-sequence collect is bounded
+    * by `budget` elements — group state never exceeds one sequence. */
+  def sequences(df: DataFrame, idCol: String, toksCol: String,
+                orderCol: String, budget: Long): DataFrame = {
+    // only (id, order, count) ride the prefix machinery's two shuffles;
+    // the arrays join back afterwards
+    val slim = df.withColumn("__n_tok", size(col(toksCol)).cast("long"))
+      .select(Seq(idCol, orderCol).distinct.map(col) :+ col("__n_tok"): _*)
+    val slices = contiguous(slim, idCol, "__n_tok", orderCol, budget)
+    slices.join(df.select(col(idCol), col(toksCol)), Seq(idCol))
+      .withColumn("__part", slice(col(toksCol),
+        (col("slice_start") + 1).cast("int"), col("slice_len").cast("int")))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("slice_len").as("n_tokens"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("seq_off"), col("__part")))),
+          s => s.getField("__part"))).as("tokens"))
+  }
 }

@@ -330,7 +330,46 @@ object PipelineQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Materialized packed sequences (Pack.sequences): the slice plan
+    * joined back to the token arrays, every sequence's token stream
+    * assembled in order and hash-verified as TEXT — the strongest
+    * end-to-end check packing can carry (boundaries, spans, slice
+    * extraction and assembly order all land in one string compare). */
+  private val packText = q(
+    "q_pack_text",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+      |    CAST(LENGTH(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM t WHERE tok > 0),
+      |s AS (
+      |  SELECT doc_id, toks, tok, cum, cum - tok AS strt,
+      |    unnest(generate_series((cum - tok) // 128, (cum - 1) // 128)) AS seq_id
+      |  FROM c),
+      |sl AS (
+      |  SELECT seq_id, doc_id, toks,
+      |    GREATEST(seq_id * 128, strt) - strt AS ss,
+      |    LEAST((seq_id + 1) * 128, cum) - GREATEST(seq_id * 128, strt) AS ln,
+      |    GREATEST(seq_id * 128, strt) - seq_id * 128 AS off
+      |  FROM s)
+      |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ln) AS BIGINT) AS n_tokens,
+      |  string_agg(array_to_string(list_slice(toks, ss + 1, ss + ln), ' '),
+      |    ' ' ORDER BY off) AS seq_text
+      |FROM sl GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
+    Pack.sequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", "doc_id", budget = 128)
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        concat_ws(" ", col("tokens")).as("seq_text"))
+      .orderBy("seq_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
-    packSeqs, chunkSliding, curate, zorderVals)
+    packSeqs, chunkSliding, curate, zorderVals, packText)
 }

@@ -76,6 +76,27 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("materialized sequences reassemble the exact token stream") {
+    val seqs = Pack.sequences(
+        Tables.documents(spark, sf)
+          .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks")),
+        "doc_id", "toks", "doc_id", budget)
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3)))
+    val lastSeq = seqs.map(_._1).max
+    seqs.foreach { case (seq, _, nTok, toks) =>
+      assert(toks.length == nTok, s"seq $seq length")
+      if (seq != lastSeq) assert(nTok == budget, s"seq $seq not full")
+    }
+    // global stream = all documents' tokens concatenated in doc order
+    val stream = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .flatMap(r => r.getString(1).split("\\s+"))
+    assert(seqs.flatMap(_._4).toSeq == stream.toSeq)
+  }
+
   test("degenerate budgets: 1-token sequences and one giant sequence") {
     val tiny = Pack.contiguous(
       Tables.documents(spark, sf)
