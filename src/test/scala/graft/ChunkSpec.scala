@@ -15,20 +15,35 @@ class ChunkSpec extends SparkSpec {
     .select("doc_id", "text").orderBy("doc_id")
     .collect().map(r => (r.getLong(0), r.getString(1)))
 
+  private def rechunk(sz: Int, ov: Int): Vector[(Long, Long, Long, String)] = {
+    val st = sz - ov
+    docs.flatMap { case (id, text) =>
+      val n = math.max(1L, (text.length - ov + st - 1L) / st)
+      (0L until n).map { i =>
+        val s = (i * st).toInt
+        (id, i, i * st.toLong, text.substring(s, math.min(s + sz, text.length)))
+      }
+    }.toVector
+  }
+
   test("matches a sequential driver-side re-chunk exactly") {
     val got = Chunk.sliding(Tables.documents(spark, sf), "doc_id", "text",
         size, overlap)
       .orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toVector
-    val expected = docs.flatMap { case (id, text) =>
-      val n = math.max(1L, (text.length - overlap + step - 1L) / step)
-      (0L until n).map { i =>
-        val s = (i * step).toInt
-        (id, i, i * step, text.substring(s, math.min(s + size, text.length)))
-      }
-    }.toVector
-    assert(got == expected)
+    assert(got == rechunk(size, overlap))
+  }
+
+  test("re-chunk parity across a (size, overlap) sweep") {
+    for ((sz, ov) <- Seq((1, 0), (7, 3), (64, 63), (200, 0), (500, 250))) {
+      val got = Chunk.sliding(Tables.documents(spark, sf), "doc_id", "text",
+          sz, ov)
+        .orderBy("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toVector
+      assert(got == rechunk(sz, ov), s"size=$sz overlap=$ov")
+    }
   }
 
   test("consecutive chunks overlap by exactly `overlap` characters") {

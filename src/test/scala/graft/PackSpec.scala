@@ -28,18 +28,34 @@ class PackSpec extends SparkSpec {
     .orderBy("doc_id")
     .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-  test("matches a sequential driver-side re-pack exactly") {
+  private def repack(b: Long): Vector[(Long, Long, Long, Long, Long, Long)] = {
     var off = 0L
-    val expected = toks.filter(_._2 > 0).flatMap { case (id, tok) =>
+    toks.filter(_._2 > 0).flatMap { case (id, tok) =>
       val start = off
       off += tok
-      (start / budget to (off - 1) / budget).map { seq =>
-        val sliceAbs = math.max(seq * budget, start)
+      (start / b to (off - 1) / b).map { seq =>
+        val sliceAbs = math.max(seq * b, start)
         (id, seq, start, sliceAbs - start,
-          math.min((seq + 1) * budget, off) - sliceAbs, sliceAbs - seq * budget)
+          math.min((seq + 1) * b, off) - sliceAbs, sliceAbs - seq * b)
       }
     }.toVector
-    assert(packed.toVector == expected)
+  }
+
+  test("matches a sequential driver-side re-pack exactly") {
+    assert(packed.toVector == repack(budget))
+  }
+
+  test("re-pack parity across a budget sweep") {
+    for (b <- Seq(2L, 17L, 127L, 1000L)) {
+      val got = Pack.contiguous(
+        Tables.documents(spark, sf)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", "doc_id", b)
+        .orderBy("doc_id", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toVector
+      assert(got == repack(b), s"budget=$b")
+    }
   }
 
   test("every sequence except the last is exactly full and tiles without gaps") {

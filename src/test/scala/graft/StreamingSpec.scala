@@ -82,6 +82,21 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming HLL sketches estimate like their batch twins") {
+    import graft.ops.Sketch
+    def est(sketches: DataFrame): Map[String, Long] =
+      Sketch.rollup(sketches, Seq("event_type"))
+        .select("event_type", "estimate").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = est(runToTable(
+      Sketch.grouped(streamEvents, Seq("event_type"), "user_id"),
+      "t_sketch_stream"))
+    val want = est(Sketch.grouped(batchEvents, Seq("event_type"), "user_id"))
+    // HLL registers are an order-independent max — identical data must
+    // give identical estimates however the micro-batches sliced it
+    assert(got == want && got.nonEmpty)
+  }
+
   test("windowed count_by parity with batch window agg") {
     val got = runToTable(
       StreamOps.countByWindow(streamEvents), "t_countby")
