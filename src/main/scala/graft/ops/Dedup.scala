@@ -280,4 +280,51 @@ object Dedup {
       .filter(col("hamming") <= radius)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Span-level exact-duplicate detection — the "remove repeated
+    * substrings, not whole documents" dedup shape (re-derived from the
+    * published duplicated-n-gram approach: text regions covered by word
+    * n-grams that recur corpus-wide are boilerplate/templating and get
+    * cut, while the rest of the document survives).
+    *
+    * Returns maximal duplicated spans per document in TOKEN units:
+    * `idCol`, `span_start` (inclusive), `span_end` (exclusive),
+    * `n_grams` (how many duplicated n-grams cover the span). A gram
+    * counts as duplicated when its corpus-wide occurrence count
+    * (including same-document repeats) is ≥ `minDf`.
+    *
+    * Scale: grams shuffle as 16-byte (id, pos, hash) rows, never text;
+    * the duplicated-gram set comes from a partial-aggregable
+    * `groupBy(hash).count()` + semi-join (AQE picks the side to
+    * broadcast); span merging is a gaps-and-islands window PER DOCUMENT
+    * — bounded by one document's duplicated positions, never the
+    * corpus. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minDf: Int = 2): DataFrame = {
+    require(n > 0 && minDf > 1, "need n > 0 and minDf > 1")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("__doc"),
+      posexplode(transform(
+        Text.wordNgrams(Text.tokens(col(textCol)), n), g => md5(g)))
+        .as(Seq("pos", "h")))
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf).select("h")
+    val dup = grams.join(hot, Seq("h"), "left_semi")
+    val w = Window.partitionBy("__doc").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    // same span while the next duplicated gram starts within (or
+    // adjacent to) the previous gram's extent — contiguous coverage
+    val isl = dup
+      .withColumn("__brk",
+        when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("__isl", sum("__brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("__doc"), col("__isl"))
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("__doc").as(idCol),
+        col("span_start"), col("span_end"), col("n_grams"))
+  }
 }

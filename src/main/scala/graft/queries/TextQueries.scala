@@ -368,8 +368,44 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact dedup (Dedup.duplicateSpans): maximal token
+    * regions covered by corpus-recurring word 3-grams — cut the
+    * boilerplate span, keep the document. The oracle replays gram
+    * positions, the document-frequency cut, and the gaps-and-islands
+    * merge; spans, bounds and gram counts must match row-for-row. */
+  private val dupSpans = q(
+    "q_dup_spans",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ss FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id, unnest(CASE WHEN LENGTH(ss) < 3 THEN []
+      |      ELSE list_transform(generate_series(1, LENGTH(ss) - 2),
+      |        i -> {'pos': i - 1,
+      |              'h': md5(ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])}) END) AS u
+      |    FROM tok)),
+      |hot AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 4),
+      |d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM d),
+      |i AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM i GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDf = 4)
+      .orderBy("doc_id", "span_start")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
-    simhashPairsMd5, fingerprint, dedupClusters, dedupKeep)
+    simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans)
 }

@@ -98,4 +98,30 @@ class DedupSpec extends SparkSpec {
       .groupBy("band", "bucket").count()
     assert(banded.agg(max("count")).collect()(0).getLong(0) <= 10)
   }
+
+  test("duplicate spans: planted boilerplate found, merged, bounded") {
+    import spark.implicits._
+    val boiler = "terms of service apply here" // 5 tokens, planted 3x
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, s"unique words only lambda mu nu $boiler"),
+      (4L, "entirely fresh content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3, minDf = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc containing the boilerplate reports exactly ONE merged
+    // span of its 5 tokens (3 overlapping 3-grams), nothing else
+    assert(spans.length == 3)
+    assert(spans.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    spans.foreach { case (id, s, e, g) =>
+      assert(e - s == 5 && g == 3, s"doc $id: [$s,$e) grams=$g")
+    }
+    // span positions: doc 1 boilerplate starts at token 3, doc 2 at 0,
+    // doc 3 at 6
+    assert(spans.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, 3L), (2L, 0L), (3L, 6L)))
+    // a doc with no duplicated grams reports nothing (doc 4)
+  }
 }
