@@ -23,6 +23,19 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  /** All plan nodes incl. adaptive/reused-stage children. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val extra = p match {
+      case q: QueryStageExec        => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case _                        => Nil
+    }
+    p +: (p.children ++ extra).flatMap(nodes)
+  }
+
   test("filters push down to the parquet scan") {
     val q = graft.queries.Catalog.queries("q_filter")(spark, sf)
     val s = planString(q)
@@ -131,18 +144,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("lowered total-order windows are blocked, not single-task") {
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val extra = p match {
-        case q: QueryStageExec        => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case _                        => Nil
-      }
-      p +: (p.children ++ extra).flatMap(nodes)
-    }
     for (e <- Seq(
         "$.events.sort_by(event_id).map(event_id).rolling_sum(3)",
         "$.events.sort_by(event_id).map(event_id).cum_max()",
@@ -204,18 +206,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("sequence packing runs on the distributed prefix machinery") {
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val extra = p match {
-        case q: QueryStageExec        => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case _                        => Nil
-      }
-      p +: (p.children ++ extra).flatMap(nodes)
-    }
     val df = graft.ops.Pack.contiguous(
       Tables.documents(spark, sf).select(col("doc_id"),
         graft.functions.Text.tokenCount(col("text")).as("n_tok")),
@@ -246,6 +237,19 @@ class PlanQualitySpec extends SparkSpec {
       "doc_id", "text", size = 120, overlap = 20))
     assert(filtered.contains("PushedFilters:") &&
       filtered.contains("EqualTo(lang,en)"), filtered)
+  }
+
+  test("duplicate-span windows partition per document; DF cut aggregates partially") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.ops.Dedup.duplicateSpans(
+      Tables.documents(spark, sf), "doc_id", "text", n = 3, minDf = 2)
+    // the duplicated-gram set folds map-side, never a window on the
+    // gram key
+    assert(planString(df).toLowerCase.contains("partial"))
+    df.collect()
+    val wins = nodes(executed(df)).collect { case w: WindowExec => w }
+    // gaps-and-islands runs per document — every window partitions
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
   test("grouped top-k aggregates partially, with no window or full sort") {
