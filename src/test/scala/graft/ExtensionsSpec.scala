@@ -95,6 +95,30 @@ class ExtensionsSpec extends AnyFunSuite {
         .join(ivals.withColumn("k", col("bid") % 7), "k")
         .where(col("pt") >= col("lo") && col("pt") <= col("hi"))
       assert(!withKey.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+
+      // EMPTY intervals (lo > hi): the un-rewritten BNL just produced
+      // no match; the rewrite's Sequence stop is clamped to >= start,
+      // so such rows no-match instead of throwing at runtime
+      val flipped = spark.range(0, 40)
+        .select(col("id").as("bid"),
+          (col("id") * 13 - 60 + lit(100)).as("lo"), // lo > hi for all
+          (col("id") * 13 - 60).as("hi"))
+      def naiveFlipped() = points.join(flipped,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      assert(naiveFlipped().count() == 0) // rule still on — must not throw
+      // mixed: some empty, some valid — the valid ones still match
+      val mixed = spark.range(0, 40)
+        .select(col("id").as("bid"),
+          (col("id") * 13 - 60).as("lo"),
+          (col("id") * 13 - 60 + (col("id") % 5) * 9 - 18).as("hi"))
+      def naiveMixed() = points.join(mixed,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "bid")
+      val mixedOn = naiveMixed().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+      val mixedOff = naiveMixed().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "16")
+      assert(mixedOn == mixedOff && mixedOn.nonEmpty)
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.bandWidth")
       SparkSession.clearActiveSession()
