@@ -82,7 +82,17 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ => ("c_custkey", custkeyOnly(rng.nextInt(2)))
       }
       val blk = if (rng.nextInt(3) == 0) Some(3 + rng.nextInt(9)) else None
-      (s"$$.customer$pred.sort_by(${dir}c_custkey).map($lane).$op", blk)
+      // the sort slot mixes key form, `-key`, one-param key lambdas and
+      // mirrored comparator lambdas (all four rewrite to the same
+      // order over the unique key)
+      val sort = rng.nextInt(5) match {
+        case 0 => s"sort_by(${dir}c_custkey)"
+        case 1 => "sort(lambda a, b: a.c_custkey < b.c_custkey)"
+        case 2 => "sort(lambda a, b: a.c_custkey > b.c_custkey)"
+        case 3 => "sort(lambda a, b: b.c_custkey < a.c_custkey)"
+        case _ => "sort_by(lambda x: x.c_custkey)"
+      }
+      (s"$$.customer$pred.$sort.map($lane).$op", blk)
     }
     cases.foreach { case (e, blk) =>
       blk match {
