@@ -369,7 +369,41 @@ object PipelineQueries extends QueryGroup {
       .orderBy("seq_id")
   }
 
+  /** Corpus-LM scoring (ops.LangModel — the perplexity-filter shape):
+    * unigram counts trained on the TRAIN split only, every document
+    * scored by exact mean token probability (no leakage; held-out docs
+    * carry genuine OOV mass). Rational arithmetic end-to-end — one
+    * final IEEE division — so the oracle replays the score exactly, no
+    * rounding bands needed. */
+  private val lmScore = q(
+    "q_lm_score",
+    """WITH tr AS (
+      |  SELECT text FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+      |c AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS t FROM tr)
+      |  GROUP BY t),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(COALESCE(c.c, 0)) AS BIGINT) AS hit_mass
+      |  FROM tok LEFT JOIN c ON tok.t = c.t GROUP BY doc_id)
+      |SELECT doc_id, n_tok, hit_mass,
+      |  CAST(hit_mass AS DOUBLE)
+      |    / (CAST(n_tok AS DOUBLE) * CAST(total AS DOUBLE)) AS mean_prob
+      |FROM sc, tot ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = graft.ops.LangModel.unigramCounts(
+      docs.where(Sampling.split(col("doc_id")) === "train"), "text")
+    graft.ops.LangModel.scoreMeanProb(docs, "doc_id", "text", counts)
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
-    packSeqs, chunkSliding, curate, zorderVals, packText)
+    packSeqs, chunkSliding, curate, zorderVals, packText, lmScore)
 }
