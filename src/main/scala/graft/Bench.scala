@@ -72,7 +72,11 @@ object Bench {
       // the round-6 operator families at bench scale
       "b_pack" -> cat("q_pack_sequences"),   // distributed-prefix packing
       "b_chunk" -> cat("q_chunk_sliding"),   // shuffle-free chunk fan-out
-      "b_curate" -> cat("q_curate"))         // composed curation pipeline
+      "b_curate" -> cat("q_curate"),         // composed curation pipeline
+      "b_dup_spans" -> cat("q_dup_spans"),   // span-level exact dedup
+      "b_lm" -> cat("q_lm_score"),           // corpus-LM scoring
+      "b_zorder" -> cat("q_zorder"),         // Morton layout key
+      "b_sketch" -> cat("q_sketch_distinct")) // mergeable HLL rollup
   }
 
   private def runOnce(df: DataFrame): Unit =

@@ -32,6 +32,11 @@ object Text {
 
   /** Word n-grams over a token array (empty when fewer than n tokens). */
   def wordNgrams(toks: Column, n: Int): Column =
+    WordNgrams.column(toks, n)
+
+  /** HOF formulation of [[wordNgrams]] — three interpreted lambdas per
+    * gram; kept as the differential oracle for the native expression. */
+  def wordNgramsHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),

@@ -34,8 +34,15 @@ object Decontam {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String,
       n: Int = 5, maxGramDf: Int = 0): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("corpus_id"),
-      explode(gramHashes(col(textCol), n)).as("g"))
+    // hash AFTER the explode (codegen'd md5 over flat rows, not an
+    // interpreted transform lambda); distinct on grams ≡ distinct on
+    // their hashes
+    def gramRows(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+        explode(array_distinct(
+          Text.wordNgrams(Text.tokens(col(textCol)), n))).as("__g0"))
+        .select(col(outId), md5(col("__g0")).as("g"))
+    val c0 = gramRows(corpus, "corpus_id")
     val c =
       if (maxGramDf <= 0) c0
       else {
@@ -54,8 +61,7 @@ object Decontam {
           .select("g")
         c0.join(broadcast(hot), Seq("g"), "left_anti")
       }
-    val p = probes.select(col(idCol).as("probe_id"),
-      explode(gramHashes(col(textCol), n)).as("g"))
+    val p = gramRows(probes, "probe_id")
     c.join(p, Seq("g"))
       .where(col("corpus_id") =!= col("probe_id"))
       .groupBy("corpus_id", "probe_id")

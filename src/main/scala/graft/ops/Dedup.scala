@@ -303,10 +303,12 @@ object Dedup {
                      n: Int = 3, minDf: Int = 2): DataFrame = {
     require(n > 0 && minDf > 1, "need n > 0 and minDf > 1")
     import org.apache.spark.sql.expressions.Window
+    // hash AFTER the explode: md5 runs codegen'd over flat rows instead
+    // of interpreted inside a transform lambda (~3x on the gram pass)
     val grams = df.select(col(idCol).as("__doc"),
-      posexplode(transform(
-        Text.wordNgrams(Text.tokens(col(textCol)), n), g => md5(g)))
-        .as(Seq("pos", "h")))
+      posexplode(Text.wordNgrams(Text.tokens(col(textCol)), n))
+        .as(Seq("pos", "g")))
+      .select(col("__doc"), col("pos"), md5(col("g")).as("h"))
     val hot = grams.groupBy("h").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDf).select("h")
     val dup = grams.join(hot, Seq("h"), "left_semi")

@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec {
     assert(banded.agg(max("count")).collect()(0).getLong(0) <= 10)
   }
 
+  test("native word_ngrams matches the HOF formulation exactly") {
+    import spark.implicits._
+    import graft.functions.Text
+    // real corpus text
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    for (n <- Seq(1, 2, 3, 5, 200)) {
+      val diff = docs.select(
+        Text.wordNgrams(Text.tokens(col("text")), n).as("a"),
+        Text.wordNgramsHof(Text.tokens(col("text")), n).as("b"))
+        .where(not(col("a") <=> col("b")))
+      assert(diff.isEmpty, s"n=$n")
+    }
+    // crafted: nulls inside, empty array, null array, short arrays
+    val edge = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq[String]("a", null, "c", "d")),
+      (3L, Seq.empty[String]),
+      (5L, Seq("only")),
+      (6L, Seq("x", "y"))).toDF("id", "toks")
+      .union(Seq((4L, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+    val diff2 = edge.select(
+      Text.wordNgrams(col("toks"), 2).as("a"),
+      Text.wordNgramsHof(col("toks"), 2).as("b"))
+      .where(not(col("a") <=> col("b")))
+    assert(diff2.isEmpty)
+  }
+
   test("duplicate spans: planted boilerplate found, merged, bounded") {
     import spark.implicits._
     val boiler = "terms of service apply here" // 5 tokens, planted 3x
