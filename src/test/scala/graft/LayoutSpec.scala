@@ -69,6 +69,28 @@ class LayoutSpec extends SparkSpec {
     assert(zv * 1.5 < lv, s"z=$zv lex=$lv")
   }
 
+  test("three dimensions interleave round-robin (k-dim Morton)") {
+    import spark.implicits._
+    val df = (for (a <- 0L to 3L; b <- 0L to 3L; c <- 0L to 3L)
+      yield (a, b, c)).toDF("a", "b", "c")
+    val got = Layout.withZValue(df, Seq("a", "b", "c"), bits = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    // mirror the operator's IEEE scaling exactly (2/3*3 = 1.999…, so a
+    // lattice shortcut would be wrong) then interleave dimension-major
+    def scale(v: Long): Long =
+      math.min(3L, math.max(0L, math.floor(v.toDouble / 3.0 * 3.0).toLong))
+    def morton3(a: Long, b: Long, c: Long): Long =
+      (0 until 2).foldLeft(0L) { (acc, bit) =>
+        acc | (((scale(a) >> bit) & 1L) << (3 * bit)) |
+          (((scale(b) >> bit) & 1L) << (3 * bit + 1)) |
+          (((scale(c) >> bit) & 1L) << (3 * bit + 2))
+      }
+    got.foreach { case ((a, b, c), z) =>
+      assert(z == morton3(a, b, c), s"($a,$b,$c)")
+    }
+  }
+
   test("constant dimensions degrade gracefully to the other axis") {
     import spark.implicits._
     val df = (0L until 64L).map(i => (i, 7L, i * 2.0)).toDF("id", "c", "v")
