@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, TryOrNull}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, TryOrNull, WordNgrams}
 
 /** Spark session extension: makes the engine's native expressions
   * available to every session created with
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("try_or_null"),
       new ExpressionInfo(classOf[TryOrNull].getName, "try_or_null"),
       (exprs: Seq[Expression]) => TryOrNull(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be an integer literal, got $other")
+      })))
     // Planner-level banded range join (see graft.plans.BandedRangeJoin):
     // off until spark.graft.rangeJoin.bandWidth is set, so injection is
     // free for sessions that never use it.

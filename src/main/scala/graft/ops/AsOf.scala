@@ -81,6 +81,6 @@ object AsOf {
 
     val out = probe.columns.map(col) ++
       payload.map(p => col(s"$pay.$p").as(p))
-    matched.select(out: _*)
+    matched.select(out.toIndexedSeq: _*)
   }
 }

@@ -126,6 +126,6 @@ object Sampling {
       .select(stratum.map(col) :+ explode(col("__hs")).as("__h"): _*)
     df.withColumn("__h", h)
       .join(broadcast(keep), stratum :+ "__h")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

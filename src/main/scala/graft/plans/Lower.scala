@@ -236,7 +236,7 @@ object Lower {
     val appended = writes.map(_.top).distinct
       .filterNot(df0.columns.contains)
       .map(t => replacements(t).as(t))
-    val patched = df0.select(kept ++ appended: _*)
+    val patched = df0.select((kept ++ appended).toIndexedSeq: _*)
     deletes.foldLeft(patched) { (df, names) =>
       if (names.length == 1) df.drop(names.head)
       else df.withColumn(names.head,

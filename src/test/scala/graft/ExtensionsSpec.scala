@@ -36,12 +36,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
           |  minhash_sig(array(CAST(7 AS BIGINT)), 4) AS m,
           |  simhash64(array(CAST(7 AS BIGINT))) AS s,
-          |  try_or_null(1 / 0) AS t
+          |  try_or_null(1 / 0) AS t,
+          |  word_ngrams(array('a', 'b', 'c'), 2) AS w
           |""".stripMargin).collect()(0)
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
       assert(row.getSeq[Long](1).length == 4)
       assert(row.getLong(2) == 7L) // single voter: its bits carry
       assert(row.isNullAt(3)) // ANSI div-by-zero absorbed to null
+      assert(row.getSeq[String](4) == Seq("a b", "b c"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
