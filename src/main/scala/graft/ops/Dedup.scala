@@ -298,7 +298,11 @@ object Dedup {
     * `groupBy(hash).count()` + semi-join (AQE picks the side to
     * broadcast); span merging is a gaps-and-islands window PER DOCUMENT
     * — bounded by one document's duplicated positions, never the
-    * corpus. */
+    * corpus. At corpus scale use LONG grams (the published setting is
+    * ~50 tokens): with short n most grams recur somewhere and the
+    * "duplicated" set approaches the corpus itself; long grams keep it
+    * a sliver (the testdata queries use n=3 only because the synthetic
+    * vocabulary is ~30 words). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, minDf: Int = 2): DataFrame = {
     require(n > 0 && minDf > 1, "need n > 0 and minDf > 1")
