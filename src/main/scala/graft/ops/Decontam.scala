@@ -22,12 +22,6 @@ import graft.functions.Text
   */
 object Decontam {
 
-  /** Distinct word-`n`-gram md5 hashes of a text column (portable —
-    * the DuckDB oracle recomputes them exactly). */
-  def gramHashes(text: Column, n: Int): Column =
-    array_distinct(transform(
-      Text.wordNgrams(Text.tokens(text), n), g => md5(g)))
-
   /** (corpus_id, probe_id, n_shared) for every corpus/probe pair
     * sharing at least one word-`n`-gram, self-pairs excluded. */
   def overlaps(
@@ -51,15 +45,17 @@ object Decontam {
         // gram's postings never cluster into one task (the
         // count-over-Window idiom would funnel exactly the boilerplate
         // grams the cap exists to bound through a single partition).
-        // Grams OVER the cap are by construction few distinct values
-        // — each one carries > maxGramDf rows — so the hot set is tiny
-        // and broadcasts into a map-side anti-join over the corpus
-        // grams.
+        // The hot set holds at most distinctGrams/maxGramDf values —
+        // genuinely tiny for realistic caps, but NOT bounded for
+        // maxGramDf = 1 on a near-duplicate-free corpus, so the join
+        // side is left to the planner/AQE (which broadcasts small sets
+        // at runtime) instead of a forced broadcast hint that would
+        // collect an unbounded set onto the driver.
         val hot = c0.groupBy("g")
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxGramDf)
           .select("g")
-        c0.join(broadcast(hot), Seq("g"), "left_anti")
+        c0.join(hot, Seq("g"), "left_anti")
       }
     val p = gramRows(probes, "probe_id")
     c.join(p, Seq("g"))

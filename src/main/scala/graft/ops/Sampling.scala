@@ -91,7 +91,7 @@ object Sampling {
   final class KSmallestAgg(k: Int) extends Aggregator[String, List[String], Seq[String]] {
     override def zero: List[String] = Nil
     override def reduce(buf: List[String], in: String): List[String] =
-      mergeSmallK(k, buf, List(in))
+      if (in == null) buf else mergeSmallK(k, buf, List(in))
     override def merge(a: List[String], b: List[String]): List[String] =
       mergeSmallK(k, a, b)
     override def finish(r: List[String]): Seq[String] = r
@@ -116,16 +116,24 @@ object Sampling {
     * scans of the input, no per-stratum sort, skew-immune.
     *
     * Assumes `key` is unique per row within a stratum (the usual doc-id
-    * case); duplicate keys would all survive the join-back together. */
+    * case); duplicate keys would all survive the join-back together, and
+    * rows with a NULL key share the empty-string hash (which sorts
+    * before every hex digest — the nulls-first preference the window
+    * idiom had). Null stratum values form their own stratum (null-safe
+    * join-back). The broadcast survivor set is the SAMPLE itself
+    * (#strata × k 32-byte hashes) — by contract small; a sample too big
+    * to broadcast is too big to be a sample. */
   def stratified(df: DataFrame, stratum: Seq[String], key: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = md5(key.cast("string"))
+    val h = coalesce(md5(key.cast("string")), lit(""))
     val agg = udaf(new KSmallestAgg(k))
     val keep = df.groupBy(stratum.map(col): _*)
       .agg(agg(h).as("__hs"))
       .select(stratum.map(col) :+ explode(col("__hs")).as("__h"): _*)
-    df.withColumn("__h", h)
-      .join(broadcast(keep), stratum :+ "__h")
-      .select(df.columns.toIndexedSeq.map(col): _*)
+    val left = df.withColumn("__h", h).alias("__l")
+    val right = keep.alias("__r")
+    val cond = (stratum :+ "__h")
+      .map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+    left.join(broadcast(right), cond, "left_semi").drop("__h")
   }
 }

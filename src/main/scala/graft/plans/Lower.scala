@@ -687,6 +687,11 @@ object Lower {
         case ObjField.KV(Lit(JStr(k)), Lit(v), None) => k -> v
         case f => bail(s"$name: literal values required, got $f")
       }
+    // duplicate keys: the interpreter ANDs every pair (likeFields keeps
+    // both, so {tag: "a", tag: "b"} never matches); a toMap lookup would
+    // silently keep only the last — bail to doc mode instead
+    if (likeRaw.map(_._1).distinct.length != likeRaw.length)
+      bail(s"$name: duplicate keys in the literal object")
     val keys: Vector[String] =
       if (isLike) likeRaw.map(_._1)
       else fields.map {

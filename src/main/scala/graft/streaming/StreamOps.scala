@@ -45,11 +45,14 @@ object StreamOps {
     // The batch probe picks up whichever ts vintage the files carry
     // (long nanos vs native timestamp) — but it throws when the source
     // dir is empty at stream start, a legitimate streaming bootstrap,
-    // so fall back to the driver's documented long-nanos schema
-    // (TESTDATA.md) and let later files conform to it.
+    // so fall back to the schema the SHIPPED testdata actually carries:
+    // every events.parquet vintage (sf0.001/0.01/0.1) stores ts as a
+    // native TIMESTAMP(MICROS) column, so a bootstrap-then-arrive
+    // stream conforms; a long-nanos file landing later would need the
+    // probe path (non-empty dir at start) to be read correctly.
     val fileSchema = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
       org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING"))
     val df = spark.readStream
       .schema(fileSchema)

@@ -541,6 +541,12 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(eLike).forall(_._2 == "m"))
     // no candidate in the schema → doc-mode fallback (empty result)
     assert(!Graft.lowers(spark, sfDir, "$.nation..shape({nope1, nope2})"))
+    // duplicate keys in the like literal: the interpreter ANDs both
+    // pairs (never matches); a last-wins lookup would diverge → the
+    // lowering must bail, and the doc answer must be empty
+    val eDup = base + "\n..like({tag: \"m\", tag: \"g\"})"
+    assert(!Graft.lowers(spark, sfDir, eDup))
+    assert(doc(eDup).isEmpty)
   }
 
   test("zip / zip_longest lower as positional row_number joins") {

@@ -71,6 +71,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == tiny.count())
   }
 
+  test("stratified: null strata form a stratum; null keys sort first") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("en")), (Some(2L), Some("en")), (Some(3L), Some("en")),
+      (Some(10L), None), (Some(11L), None), (Some(12L), None),
+      (None, Some("de")), (Some(20L), Some("de")), (Some(21L), Some("de")))
+      .toDF("id", "lang")
+    val out = Sampling.stratified(df, Seq("lang"), col("id"), k = 2)
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.getString(1))))
+    // the null-lang stratum contributes exactly k rows (not zero)
+    assert(out.count(_._2.isEmpty) == 2)
+    assert(out.count(_._2.contains("en")) == 2)
+    // a null key hashes to "" (sorts before every hex digest) so the
+    // null-id row is always among de's k survivors
+    assert(out.exists(r => r._1.isEmpty && r._2.contains("de")))
+    assert(out.length == 6)
+  }
+
   test("mergeSmallK keeps the k smallest distinct values, sorted") {
     val a = List("aa", "cc", "ee")
     val b = List("aa", "bb", "cc", "dd")
