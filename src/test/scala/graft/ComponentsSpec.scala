@@ -49,12 +49,19 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("unconverged propagation fails loudly instead of mid-merge labels") {
-    val chain = (0L until 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalStateException] {
       Components.connected(chain.toDF("a", "b"), "a", "b", maxIters = 2)
         .collect()
     }
     check(chain, maxIters = 20)
+  }
+
+  test("pointer doubling: a 300-link chain converges in log-many rounds") {
+    // plain one-hop min propagation would need ~300 rounds; the
+    // shortcut pass doubles reach per round, so 12 suffice
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    check(chain, maxIters = 12)
   }
 
   test("keepRepresentatives keeps cluster minima and untouched docs") {
