@@ -403,7 +403,46 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned semi join (ops.Bloom): a fixed-size filter over the
+    * qualifying customer keys probes the orders scan in codegen, so
+    * non-matching orders die before the join's shuffle; the exact semi
+    * join re-checks survivors, making the result bit-identical to the
+    * plain semi join the oracle runs (fpp only changes how much the
+    * scan prunes, never the answer). */
+  private val bloomSemi = q(
+    "q_bloom_semi",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).where(col("c_acctbal") > 5000)
+    graft.ops.Bloom.semiPruned(
+        Tables.orders(s, d), "o_custkey", cust, "c_custkey",
+        expectedItems = 1 << 16)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Bloom-short-circuited anti join — the decontamination calling
+    * shape (keep only corpus rows NOT matching a key set): rows the
+    * filter proves absent are emitted without touching the join; only
+    * Bloom "maybe" rows pay the exact anti join. */
+  private val bloomAnti = q(
+    "q_bloom_anti",
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    graft.ops.Bloom.antiPruned(
+        Tables.orders(s, d), "o_custkey", cust, "c_custkey",
+        expectedItems = 1 << 16)
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
-    packSeqs, chunkSliding, curate, zorderVals, packText, lmScore)
+    packSeqs, chunkSliding, curate, zorderVals, packText, lmScore,
+    bloomSemi, bloomAnti)
 }
