@@ -404,8 +404,31 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Exact heavy-hitter tokens (ops.Frequent): tokens carrying ≥ 1/30
+    * of all token mass, via a bounded Misra-Gries candidate pass plus
+    * an exact count of only the candidates — at corpus scale the
+    * groupBy never sees the full vocabulary. The integer-fraction cut
+    * (cnt·30 ≥ N) replays bit-identically in DuckDB. */
+  private val frequentTokens = q(
+    "q_frequent_tokens",
+    """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS value
+      |           FROM documents),
+      |     t2 AS (SELECT value FROM t WHERE value <> ''),
+      |     n AS (SELECT COUNT(*) AS total FROM t2)
+      |SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM t2, n GROUP BY value, total
+      |HAVING COUNT(*) * 30 >= total
+      |ORDER BY value""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("value"))
+      .where(col("value") =!= "")
+    graft.ops.Frequent.heavyHitters(toks, "value", denom = 30L)
+      .orderBy("value")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
-    simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans)
+    simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
+    frequentTokens)
 }
