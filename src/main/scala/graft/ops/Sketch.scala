@@ -34,4 +34,34 @@ object Sketch {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_union_agg(col(sketchCol), lit(allowDifferentLgK)).as("sketch"))
       .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** One DataSketches KLL quantile sketch per group over a bigint
+    * `valueCol` — same incremental contract as the HLL pair above:
+    * shards contribute fixed-size binaries (k=200 ≈ 1.65% normalized
+    * rank error at 99% confidence), rollups MERGE binaries, and any
+    * quantile is read off the merged sketch without rescanning rows.
+    * Partial aggregation merges map-side, so the shuffle carries one
+    * sketch per group per partition. */
+  def quantileGrouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kll_sketch_agg_bigint(col(valueCol).cast("long"), k).as("qsketch"))
+
+  /** Merge previously-built KLL sketches to a coarser grouping and
+    * read off the requested quantiles (`qs` in [0,1]) plus the exact
+    * ingested-row count `n` — `n` equals the true row count by sketch
+    * construction, so a dropped shard or a broken merge is detectable
+    * exactly, not just statistically. */
+  def quantileRollup(sketches: DataFrame, groupCols: Seq[String],
+                     qs: Seq[Double],
+                     sketchCol: String = "qsketch"): DataFrame = {
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(kll_merge_agg_bigint(col(sketchCol)).as("qsketch"))
+    val qCols = qs.map(p =>
+      kll_sketch_get_quantile_bigint(col("qsketch"), lit(p))
+        .as(s"q${(p * 100).round}"))
+    merged.select(
+      (groupCols.map(col) :+
+        kll_sketch_get_n_bigint(col("qsketch")).as("n")) ++ qCols: _*)
+  }
 }

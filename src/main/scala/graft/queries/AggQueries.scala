@@ -231,7 +231,40 @@ object AggQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  /** Mergeable KLL quantile-sketch pipeline (ops.Sketch): per-(lang,
+    * source) sketches of the per-doc token count, MERGED to per-lang,
+    * quantiles read off the merged binaries. Exactness hooks for the
+    * hash gate: the sketch's ingested-row count `n` must equal the
+    * true count (a dropped shard or broken merge fails exactly), and
+    * each quantile estimate must sit between the exact percentiles at
+    * q∓5% (KLL k=200 ≈ 1.65% rank error — generous band, but a wrong
+    * merge lands far outside it). */
+  private val sketchQuantile = q(
+    "q_sketch_quantile",
+    """WITH tc AS (SELECT lang,
+      |  len(string_split_regex(text, '\s+')) AS tc FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS p50_in_band, TRUE AS p90_in_band
+      |FROM tc GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        graft.functions.Text.tokenCount(col("text")).as("tc"))
+    val fine = graft.ops.Sketch.quantileGrouped(docs, Seq("lang", "source"), "tc")
+    val perLang = graft.ops.Sketch.quantileRollup(fine, Seq("lang"), Seq(0.5, 0.9))
+    val bounds = docs.groupBy("lang").agg(
+      expr("percentile(tc, 0.45)").as("lo50"), expr("percentile(tc, 0.55)").as("hi50"),
+      expr("percentile(tc, 0.85)").as("lo90"), expr("percentile(tc, 0.95)").as("hi90"))
+    perLang.join(bounds, "lang")
+      .select(col("lang"), col("n"),
+        (col("q50") >= floor(col("lo50")) && col("q50") <= ceil(col("hi50")))
+          .as("p50_in_band"),
+        (col("q90") >= floor(col("lo90")) && col("q90") <= ceil(col("hi90")))
+          .as("p90_in_band"))
+      .orderBy("lang")
+  }
+
   def defs = Seq(
     anyAll, partition0, pivot0, indexBy, approxDistinct, fanout0,
-    zipShape, byYear, histogram, explode0, implode0, sketchDistinct)
+    zipShape, byYear, histogram, explode0, implode0, sketchDistinct,
+    sketchQuantile)
 }

@@ -51,6 +51,41 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(merged - 500.0) <= 25.0, s"est=$merged") // true distinct 500
   }
 
+  test("KLL rollup: n is exact under any split; quantiles inside the rank band") {
+    val n = 20000
+    // skewed long values with heavy ties
+    val df = (0 until n).map(i => (i % 4, (math.pow(i % 1000, 1.5)).toLong))
+      .toDF("g", "v").repartition(8)
+    val exact = df.select("v").as[Long].collect().sorted
+    for (split <- Seq(Seq("g"), Seq.empty[String])) {
+      val rolled = Sketch.quantileRollup(
+        Sketch.quantileGrouped(df, split, "v"), Seq.empty, Seq(0.5, 0.9))
+      val row = rolled.head
+      assert(row.getAs[Long]("n") == n.toLong, s"split=$split n=${row.getAs[Long]("n")}")
+      for ((qc, p) <- Seq(("q50", 0.5), ("q90", 0.9))) {
+        val est = row.getAs[Long](qc)
+        // translate the estimate back to its rank in the exact order;
+        // KLL k=200 guarantees ~1.65% normalized rank error — allow 4%
+        val lo = exact(((p - 0.04) * (n - 1)).toInt)
+        val hi = exact(((p + 0.04) * (n - 1)).toInt)
+        assert(est >= lo && est <= hi, s"split=$split $qc est=$est band=[$lo,$hi]")
+      }
+    }
+  }
+
+  test("KLL incremental: yesterday's sketch merges with today's shard") {
+    val a = (0L until 5000L).toDF("v")
+    val b = (5000L until 10000L).toDF("v")
+    val merged = Sketch.quantileRollup(
+      Sketch.quantileGrouped(a, Seq.empty, "v")
+        .union(Sketch.quantileGrouped(b, Seq.empty, "v")),
+      Seq.empty, Seq(0.5))
+    val row = merged.head
+    assert(row.getAs[Long]("n") == 10000L)
+    assert(math.abs(row.getAs[Long]("q50") - 5000L) <= 400L,
+      s"q50=${row.getAs[Long]("q50")}")
+  }
+
   test("mixed-precision unions need the explicit opt-in") {
     val a = Sketch.grouped((0L until 100L).map(i => s"x$i").toDF("v"),
       Seq.empty, "v", lgK = 12)
