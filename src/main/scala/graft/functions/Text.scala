@@ -166,6 +166,39 @@ object Text {
       greatest(size(toks), lit(1))).cast("double")
   }
 
+  /** Canonical text normalization for dedup keys and model input:
+    * lowercase, collapse all whitespace runs to single spaces, trim.
+    * Pure codegen'd string ops; the regexes stay inside the
+    * Java-regex ∩ RE2 subset so any engine replays them identically
+    * (DuckDB: `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Aggressive normalization: [[normalize]] plus stripping every
+    * character outside `[a-z0-9 ]` — the usual key for exact-dedup of
+    * near-identical boilerplate where punctuation varies. */
+  def normalizeAscii(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** PII redaction: emails, SSN-shaped ids, US-style phone numbers and
+    * IPv4 addresses replaced by typed placeholder tags, in an order
+    * that keeps the patterns from shadowing each other (SSN 3-2-4
+    * before phone 3-3-4). One codegen'd regexp_replace chain per row —
+    * no UDF, no dictionary state — and every pattern sits in the
+    * Java-regex ∩ RE2 subset (no lookaround/backrefs) so a DuckDB or
+    * Trino audit replays the exact transformation. A redaction pass at
+    * corpus scale is this expression over one scan, nothing more. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>")
+    val phone = regexp_replace(ssn,
+      "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>")
+    regexp_replace(phone,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+  }
+
   /** Quality score in [0, 1]: length saturation, mean-token-length
     * band, stopword presence. Deterministic arithmetic on integer
     * counts — safe for cross-engine comparison after rounding. */

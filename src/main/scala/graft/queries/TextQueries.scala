@@ -426,9 +426,62 @@ object TextQueries extends QueryGroup {
       .orderBy("value")
   }
 
+  /** Canonical + aggressive text normalization (Text.normalize /
+    * normalizeAscii) — the dedup-key transforms, hash-verified against
+    * DuckDB replaying the identical regex chain. */
+  private val normalizeText = q(
+    "q_normalize",
+    """SELECT doc_id,
+      |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |    '\s+', ' ', 'g')) AS norm_ascii
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.normalize(col("text")).as("norm"),
+        Text.normalizeAscii(col("text")).as("norm_ascii"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction over synthesized contact strings (the parquet corpus
+    * carries no PII, so the query builds deterministic emails, SSNs,
+    * phones and IPs from customer keys, then redacts them) — DuckDB
+    * replays both the synthesis and the identical regex chain, so the
+    * hash gate verifies every pattern and the replacement order. */
+  private val redact = q(
+    "q_redact",
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+      |      || '@example.com> ssn ' ||
+      |      printf('%03d-%02d-%04d', c_custkey % 1000, c_custkey % 100,
+      |             (c_custkey * 13) % 10000)
+      |      || ' call ' ||
+      |      printf('%03d-%03d-%04d', c_custkey % 1000, (c_custkey * 7) % 1000,
+      |             (c_custkey * 13) % 10000)
+      |      || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+      |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+      |  AS redacted
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val k = col("c_custkey")
+    val raw = concat(
+      lit("Contact "), col("c_name"),
+      lit(" <user"), k.cast("string"), lit("@example.com> ssn "),
+      format_string("%03d-%02d-%04d", k % 1000, k % 100, (k * 13) % 10000),
+      lit(" call "),
+      format_string("%03d-%03d-%04d", k % 1000, (k * 7) % 1000, (k * 13) % 10000),
+      lit(" from 10.0."), (k % 256).cast("string"), lit(".7"))
+    Tables.customer(s, d)
+      .select(k, Text.redactPii(raw).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
-    frequentTokens)
+    frequentTokens, normalizeText, redact)
 }
