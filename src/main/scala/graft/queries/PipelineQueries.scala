@@ -441,8 +441,45 @@ object PipelineQueries extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot diff between two corpus versions (ops.SnapshotDiff): the
+    * "new" snapshot is a deterministic mutation of documents (drops,
+    * text edits, additions), and DuckDB replays both the mutation and
+    * the digest compare, hash-verifying the full added/removed/changed
+    * classification. */
+  private val snapshotDiff = q(
+    "q_snapshot_diff",
+    """WITH o AS (SELECT doc_id,
+      |    md5(CAST(length(text) AS VARCHAR) || ':' || text) AS dg
+      |  FROM documents),
+      |base AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |adds AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 23 = 0),
+      |n AS (SELECT doc_id,
+      |    md5(CAST(length(text) AS VARCHAR) || ':' || text) AS dg
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM adds))
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.dg IS NULL THEN 'added'
+      |       WHEN n.dg IS NULL THEN 'removed'
+      |       WHEN o.dg <> n.dg THEN 'changed' END AS change,
+      |  o.dg AS old_digest, n.dg AS new_digest
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |WHERE (o.dg IS NULL OR n.dg IS NULL OR o.dg <> n.dg)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val neu = docs.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    graft.ops.SnapshotDiff.diff(docs, neu, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
     packSeqs, chunkSliding, curate, zorderVals, packText, lmScore,
-    bloomSemi, bloomAnti)
+    bloomSemi, bloomAnti, snapshotDiff)
 }
