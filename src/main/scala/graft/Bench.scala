@@ -76,7 +76,10 @@ object Bench {
       "b_dup_spans" -> cat("q_dup_spans"),   // span-level exact dedup
       "b_lm" -> cat("q_lm_score"),           // corpus-LM scoring
       "b_zorder" -> cat("q_zorder"),         // Morton layout key
-      "b_sketch" -> cat("q_sketch_distinct")) // mergeable HLL rollup
+      "b_sketch" -> cat("q_sketch_distinct"), // mergeable HLL rollup
+      "b_bloom_semi" -> cat("q_bloom_semi"),  // Bloom-pruned join
+      "b_frequent" -> cat("q_frequent_tokens"), // Misra-Gries heavy hitters
+      "b_snapshot" -> cat("q_snapshot_diff")) // churn-sized version delta
   }
 
   private def runOnce(df: DataFrame): Unit =

@@ -202,6 +202,42 @@ object StreamOps {
         })
   }
 
+  final case class MGState(counters: Map[String, Long])
+  final case class MGOut(value: String, count_lb: Long)
+
+  /** Streaming twin of [[graft.ops.Frequent]]: a running Misra-Gries
+    * summary of the whole stream. Each micro-batch pre-reduces
+    * per-partition to a ≤m-counter map (mapPartitions — the map-side
+    * combine), so the single global state key only ever receives one
+    * bounded map per partition per batch, never raw rows, and its
+    * state stays ≤m counters forever. Same `mgReduce`/`mgMerge`
+    * arithmetic as the batch Aggregator, so the mergeable-summaries
+    * guarantee (any value above 1/(m+1) of the stream-so-far is
+    * present) carries over. Emits the candidate map each micro-batch
+    * the stream advances. */
+  def runningFrequent(
+      spark: SparkSession, values: DataFrame, valueCol: String,
+      m: Int): org.apache.spark.sql.Dataset[MGOut] = {
+    import spark.implicits._
+    values.select(col(valueCol).cast("string").as("v")).as[String]
+      .mapPartitions { it =>
+        val mg = it.filter(_ != null)
+          .foldLeft(Map.empty[String, Long])(
+            (acc, v) => graft.ops.Frequent.mgReduce(m, acc, v))
+        if (mg.isEmpty) Iterator.empty else Iterator(mg.toSeq)
+      }
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, parts: Iterator[Seq[(String, Long)]], state: GroupState[MGState]) => {
+          val prev = state.getOption.map(_.counters).getOrElse(Map.empty[String, Long])
+          val next = parts.foldLeft(prev)(
+            (acc, p) => graft.ops.Frequent.mgMerge(m, acc, p.toMap))
+          state.update(MGState(next))
+          next.iterator.map { case (v, c) => MGOut(v, c) }
+        })
+  }
+
   /** Stream enrichment: the streaming `equi_join` against a STATIC
     * dimension (the index-join idiom, §2.3, on a stream). Stream-static
     * joins are stateless in Structured Streaming — each micro-batch

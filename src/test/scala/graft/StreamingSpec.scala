@@ -249,6 +249,23 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming running Misra-Gries keeps the heavy-hitter guarantee") {
+    val m = 8
+    val got = runToTable(
+      StreamOps.runningFrequent(
+        spark, streamEvents.select(col("event_type")), "event_type", m).toDF(),
+      "t_mg")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactDf = batchEvents.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exactDf.values.sum
+    // every value above n/(m+1) must be present with a sound lower bound
+    for ((v, c) <- exactDf if c > n / (m + 1)) {
+      assert(got.contains(v), s"$v (count $c) missing")
+      assert(got(v) <= c && c - got(v) <= n / (m + 1), s"$v lb=${got(v)} true=$c")
+    }
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val clicks = streamEvents.where(col("event_type") === "click")
       .select("user_id", "ts", "event_id")
