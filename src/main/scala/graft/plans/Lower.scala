@@ -807,7 +807,19 @@ object Lower {
     val eff = if (orderSensitive(name)) st else St(stripHidden(st.df), st.order)
     val lowered = methodDf(eff, name, args, resolve)
     name match {
-      case "sort" | "sort_by" => St(lowered, args.map(a => sortKeyAst(a.e)))
+      case "sort" | "sort_by" =>
+        if (args.nonEmpty) St(lowered, args.map(a => sortKeyAst(a.e)))
+        else {
+          // bare sort(): the reference orders by the element VALUE
+          // itself (identity key). Relationally that is only a column
+          // order when the lane is a single visible column; whole-row
+          // object comparison (the reference's cross-kind total order)
+          // has no columnar equivalent — bail to the interpreter.
+          stripHidden(lowered).columns match {
+            case Array(only) => St(lowered, Vector((Ident(only), false)))
+            case _ => bail("bare sort() over multi-column rows (sort_by a key)")
+          }
+        }
       // filters/limits and the windowed sequence ops preserve the active
       // ordering; projections and aggregations invalidate it
       case n if orderSensitive(n) => St(lowered, st.order)

@@ -422,6 +422,36 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotU == expU && gotU.length == 5)
   }
 
+  test("sorted-dedup fusion inputs: same-key sort+unique pairs match the interpreter") {
+    // The reference fuses sort(k)+unique_by(k) / sort()+unique() into an
+    // internal SortedDedup stage (reference exec/pipeline/ir.rs:748-758)
+    // — a single-pass adjacent dedup. That is an EXECUTION strategy; the
+    // observable semantics are exactly distinct-then-sort (stable sort ⇒
+    // the kept representative is the document-order first), which is what
+    // the lowering emits and Catalyst executes with a partial-aggregable
+    // first() — no single-pass scan needed on a distributed table.
+    def run(e: String) = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val keyed = "$.nation.sort_by(n_regionkey).unique_by(n_regionkey)"
+    val gotK = run(keyed).collect()
+      .map(r => (r.getAs[Number]("n_regionkey").longValue,
+        r.getAs[Number]("n_nationkey").longValue)).toVector
+    val expK = docAnswer(keyed) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "n_regionkey")).get.toLong,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong)).toVector
+      case other => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotK == expK && gotK.length == 5)
+    val bare = "$.nation.map(n_regionkey).sort().unique()"
+    val gotB = run(bare).collect().map(_.getAs[Number](0).longValue).toVector
+    val expB = docAnswer(bare) match {
+      case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+      case other          => fail(s"unexpected ${other.kind}")
+    }
+    assert(gotB == expB && gotB == Vector(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("enumerate / pairwise / window / chunk lower and match the interpreter") {
     def run(e: String) = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))
