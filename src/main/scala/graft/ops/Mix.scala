@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing: downsample groups (language, source, domain) so the
+  * output matches target proportions — the standard re-balancing step
+  * before training-data assembly.
+  *
+  * Given target fractions t_g (summing to ≤1 over the groups present),
+  * the largest achievable total is T = min_g(n_g / t_g); each group
+  * then keeps rate_g = t_g · T / n_g of its rows, so the output hits
+  * the target mix exactly (up to per-row hash granularity) while
+  * keeping every row of the scarcest group.
+  *
+  * Scale shape: one partial-aggregable `groupBy(group).count()` (tiny
+  * result — one row per group), a broadcast join of the computed rates
+  * back onto the corpus, and the same deterministic md5-lane filter as
+  * [[Sampling.sampleByWeight]] — membership depends only on the row's
+  * own key and its group's rate, so the mix is reproducible across
+  * engines, partitionings and re-runs, and the filter is a pure
+  * per-row predicate (no shuffle of the corpus itself).
+  */
+object Mix {
+
+  /** Keep-rate per group for target fractions `targets` (group →
+    * fraction). Groups absent from `targets` are dropped (rate 0). */
+  def rates(df: DataFrame, groupCol: String,
+            targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(t => t > 0 && t <= 1),
+      "targets must be positive fractions")
+    val t = df.sparkSession.createDataFrame(targets.toSeq)
+      .toDF(groupCol, "__t")
+    val counts = df.groupBy(groupCol).count()
+    // T = min_g(n_g / t_g) over targeted groups; rate_g = t_g * T / n_g
+    val joined = counts.join(t, groupCol) // inner: untargeted groups drop
+      .withColumn("__cap", col("count").cast("double") / col("__t"))
+    val tTotal = joined.agg(min("__cap").as("__tmin"))
+    joined.join(broadcast(tTotal))
+      .select(col(groupCol),
+        least(lit(1.0),
+          col("__t") * col("__tmin") / col("count").cast("double")).as("rate"))
+  }
+
+  /** The mixed corpus: deterministic per-group hash sample at the
+    * computed rates. `key` must identify rows (doc id). */
+  def toProportions(df: DataFrame, groupCol: String, key: Column,
+                    targets: Map[String, Double]): DataFrame = {
+    val r = rates(df, groupCol, targets)
+    df.join(broadcast(r), groupCol)
+      .where(Sampling.hashUniform(key) < col("rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

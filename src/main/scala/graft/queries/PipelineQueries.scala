@@ -478,8 +478,33 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Corpus mixing to target language proportions (ops.Mix): per-group
+    * counts → keep-rates (T = min n_g/t_g, scarcest group kept whole)
+    * → deterministic md5-lane sample. DuckDB replays the rate
+    * arithmetic AND the hash lane bit-exactly, so the oracle verifies
+    * the whole mix — rates, feasibility cap, and row membership. */
+  private val mixProportions = q(
+    "q_mix",
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |t(lang, tf) AS (VALUES ('en', 0.6), ('de', 0.2), ('fr', 0.2)),
+      |j AS (SELECT c.lang, c.n, t.tf, CAST(c.n AS DOUBLE) / t.tf AS cap
+      |      FROM c JOIN t ON c.lang = t.lang),
+      |tt AS (SELECT MIN(cap) AS tmin FROM j),
+      |r AS (SELECT lang,
+      |        LEAST(1.0, tf * (SELECT tmin FROM tt) / CAST(n AS DOUBLE))
+      |          AS rate FROM j)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |       / 4294967296.0) < r.rate
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Mix.toProportions(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        col("doc_id"), Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2))
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
     packSeqs, chunkSliding, curate, zorderVals, packText, lmScore,
-    bloomSemi, bloomAnti, snapshotDiff)
+    bloomSemi, bloomAnti, snapshotDiff, mixProportions)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Mix
+
+/** Contract of corpus mixing: the scarcest targeted group is kept
+  * whole, output proportions hit the targets within hash granularity,
+  * untargeted groups drop, and membership is deterministic. */
+class MixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private val targets = Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2)
+
+  test("rates: binding group keeps rate 1.0; T = min(n_g/t_g)") {
+    val n = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val caps = targets.map { case (g, t) => g -> n(g) / t }
+    val binding = caps.minBy(_._2)._1
+    val rates = Mix.rates(docs, "lang", targets)
+      .as[(String, Double)].collect().toMap
+    assert(rates.keySet == targets.keySet)
+    assert(rates(binding) == 1.0)
+    val tMin = caps.values.min
+    for ((g, r) <- rates)
+      assert(math.abs(r - math.min(1.0, targets(g) * tMin / n(g))) < 1e-12)
+  }
+
+  test("output proportions match targets within hash granularity; untargeted groups drop") {
+    val mixed = Mix.toProportions(docs, "lang", col("doc_id"), targets)
+    val got = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == targets.keySet) // es/zh dropped
+    val total = got.values.sum.toDouble
+    for ((g, t) <- targets) {
+      val frac = got(g) / total
+      // ~64-218 rows per group at sf0.001..sf0.01 → hash noise ~ 1/sqrt(n)
+      assert(math.abs(frac - t) < 0.12, s"$g frac=$frac target=$t")
+    }
+    // schema/column order preserved
+    assert(mixed.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("membership is deterministic under repartitioning") {
+    val a = Mix.toProportions(docs, "lang", col("doc_id"), targets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Mix.toProportions(docs.repartition(7), "lang", col("doc_id"), targets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("invalid targets are rejected") {
+    intercept[IllegalArgumentException] {
+      Mix.rates(docs, "lang", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mix.rates(docs, "lang", Map("en" -> 0.0))
+    }
+  }
+}
