@@ -340,4 +340,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(batched.orderBy("n_nationkey").collect().toSeq ==
       naive.orderBy("n_nationkey").collect().toSeq)
   }
+
+  test("snapshot diff shuffles digests, never payload columns") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val neu = docs.where(col("doc_id") % 3 =!= 0)
+    val d = graft.ops.SnapshotDiff.diff(docs, neu, "doc_id", Seq("text"))
+    d.collect()
+    val plan = executed(d).toString
+    // every exchange carries (doc_id, digest) — the text column must be
+    // projected away BELOW the join's shuffles
+    for (line <- plan.linesIterator if line.contains("Exchange"))
+      assert(!line.contains("text#"), line)
+  }
+
+  test("corpus mixing: the corpus side never shuffles (broadcast rates + per-row filter)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val mixed = graft.ops.Mix.toProportions(
+      docs, "lang", col("doc_id"), Map("en" -> 0.6, "de" -> 0.4))
+    mixed.collect()
+    val plan = executed(mixed).toString
+    // the rate join against the corpus must be broadcast; the only
+    // exchanges allowed are inside the tiny rates computation (grouped
+    // counts), which never carry doc_id
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    for (line <- plan.linesIterator if line.contains("Exchange hashpartitioning"))
+      assert(!line.contains("doc_id#"), line)
+  }
+
+  test("heavy hitters: candidates broadcast back; the exact pass is partial-aggregable") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("value"))
+    val hh = graft.ops.Frequent.heavyHitters(toks, "value", denom = 30L)
+    hh.collect()
+    val plan = executed(hh).toString
+    // the candidate set meets the token stream via broadcast (≤m rows
+    // by construction) and the exact count has a partial/final
+    // HashAggregate pair — the full vocabulary never hash-shuffles raw
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
