@@ -166,6 +166,18 @@ object Text {
       greatest(size(toks), lit(1))).cast("double")
   }
 
+  /** Vocabulary coverage: fraction of a document's whitespace tokens
+    * found in `vocab` (an in-expression literal array — suited to
+    * checking against a small core vocabulary; for real tokenizer
+    * vocabs join against a broadcast vocab table instead). Exact
+    * integer counts under the hood; the ratio is rounded to 4 places
+    * for cross-engine comparison. */
+  def vocabCoverage(text: Column, vocab: Seq[String]): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => t.isInCollection(vocab))).cast("double") /
+      greatest(size(toks), lit(1)), 4)
+  }
+
   /** Canonical text normalization for dedup keys and model input:
     * lowercase, collapse all whitespace runs to single spaces, trim.
     * Pure codegen'd string ops; the regexes stay inside the

@@ -479,9 +479,58 @@ object TextQueries extends QueryGroup {
       .orderBy("c_custkey")
   }
 
+  /** TF/DF corpus statistics — the integer substrate of TF-IDF: per
+    * (doc, token) term frequency joined with each token's corpus
+    * document frequency. Both aggregates are partial-aggregable
+    * groupBys whose output is vocabulary-sized (the desired artifact);
+    * downstream idf/score arithmetic is a float projection over this
+    * exact table. Per-doc rows windowed to a doc slice to keep the
+    * oracle result bounded; df is computed over the FULL corpus. */
+  private val tfdf = q(
+    "q_tfdf",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+      |SELECT tf.doc_id, tf.tok, tf.tf, df.df
+      |FROM tf JOIN df ON tf.tok = df.tok
+      |WHERE tf.doc_id < 25
+      |ORDER BY tf.doc_id, tf.tok""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(df, "tok")
+      .where(col("doc_id") < 25)
+      .select("doc_id", "tok", "tf", "df")
+      .orderBy("doc_id", "tok")
+  }
+
+  /** Vocabulary coverage per document against a core vocab literal
+    * (Text.vocabCoverage) — exact integer counts, ratio rounded for
+    * cross-engine hash compare. */
+  private val vocabCov = q(
+    "q_vocab_coverage",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents)
+      |SELECT doc_id,
+      |  ROUND(CAST(LENGTH(list_filter(toks,
+      |      x -> x IN ('join', 'hash', 'row', 'scan', 'table', 'data')))
+      |    AS DOUBLE) / GREATEST(LENGTH(toks), 1), 4) AS coverage
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.vocabCoverage(col("text"),
+        Seq("join", "hash", "row", "scan", "table", "data")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
-    frequentTokens, normalizeText, redact)
+    frequentTokens, normalizeText, redact, tfdf, vocabCov)
 }
