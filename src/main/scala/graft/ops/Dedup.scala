@@ -333,4 +333,47 @@ object Dedup {
       .select(col("__doc").as(idCol),
         col("span_start"), col("span_end"), col("n_grams"))
   }
+
+  /** Fuzzy (edit-distance) near-dup pairs over SHORT strings — titles,
+    * names, URLs: all unordered id pairs inside a blocking key whose
+    * texts sit within `maxDist` Levenshtein edits (optionally at least
+    * `minDist`, to hand exact duplicates to the cheaper digest path).
+    *
+    * Scale shape: the quadratic verify only ever runs INSIDE a block —
+    * the caller picks the blocking column (first token, length band,
+    * simhash band, …) to bound block sizes, and [[capBuckets]]-style
+    * degenerate blocks can additionally be capped via `maxBlock`. Two
+    * cheap guards run before the O(len²) distance: the length
+    * difference bound (|len a − len b| ≤ maxDist is necessary) pushes
+    * into the join filter, and the distance itself uses Spark's
+    * early-abandon 3-arg `levenshtein(a, b, threshold)` (−1 past the
+    * threshold, so the scan stops at maxDist+1 edits). */
+  def editPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      block: Column, maxDist: Int, minDist: Int = 0,
+      maxBlock: Int = 0): DataFrame = {
+    require(maxDist >= 0 && minDist >= 0 && minDist <= maxDist,
+      "need 0 <= minDist <= maxDist")
+    val base = df.select(block.as("__blk"),
+      col(idCol).as("__id"), col(textCol).as("__t"))
+    val capped =
+      if (maxBlock <= 0) base
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("__blk").orderBy("__id")
+        base.withColumn("__bpos", row_number().over(w))
+          .filter(col("__bpos") <= maxBlock).drop("__bpos")
+      }
+    val a = capped.select(col("__blk"), col("__id").as("id_a"),
+      col("__t").as("t_a"))
+    val b = capped.select(col("__blk"), col("__id").as("id_b"),
+      col("__t").as("t_b"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b") &&
+        abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .where(col("dist") >= minDist && col("dist") =!= -1L)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -528,9 +528,30 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy near-dup pairs by edit distance (Dedup.editPairs): part
+    * names blocked on their first token, verified with early-abandon
+    * Levenshtein, keeping near-misses (1..3 edits — exact duplicates
+    * belong to the digest path). DuckDB's levenshtein is the identical
+    * metric, so every pair and distance hash-matches. */
+  private val editDedup = q(
+    "q_edit_pairs",
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] AS blk FROM part)
+      |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.editPairs(
+        Tables.part(s, d), "p_partkey", "p_name",
+        block = split(col("p_name"), " ").getItem(0),
+        maxDist = 3, minDist = 1)
+      .orderBy("id_a", "id_b")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
-    frequentTokens, normalizeText, redact, tfdf, vocabCov)
+    frequentTokens, normalizeText, redact, tfdf, vocabCov, editDedup)
 }

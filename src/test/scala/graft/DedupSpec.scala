@@ -151,4 +151,43 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 3L), (2L, 0L), (3L, 6L)))
     // a doc with no duplicated grams reports nothing (doc 4)
   }
+
+  test("editPairs: blocked fuzzy pairs match a naive Levenshtein sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha cat"), (2L, "alpha bat"), (3L, "alpha cart"),
+      (4L, "beta cat"), (5L, "beta cast"), (6L, "gamma zebra"),
+      (7L, "alpha wolverine")).toDF("id", "t")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val data = rows.as[(Long, String)].collect()
+    val naive = (for {
+      (ia, ta) <- data; (ib, tb) <- data
+      if ia < ib && ta.split(" ")(0) == tb.split(" ")(0)
+      d = lev(ta, tb) if d >= 1 && d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = graft.ops.Dedup.editPairs(
+        rows, "id", "t", split(col("t"), " ").getItem(0),
+        maxDist = 3, minDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // minDist = 0 admits exact duplicates
+    val withExact = graft.ops.Dedup.editPairs(
+        rows.union(Seq((8L, "alpha cat")).toDF("id", "t")),
+        "id", "t", split(col("t"), " ").getItem(0), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withExact.contains((1L, 8L, 0L)))
+    // block cap bounds the quadratic: cap 2 keeps only id-order members
+    val capped = graft.ops.Dedup.editPairs(
+        rows, "id", "t", split(col("t"), " ").getItem(0),
+        maxDist = 3, minDist = 1, maxBlock = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.forall { case (a2, b2, _) => Set(a2, b2).subsetOf(Set(1L, 2L, 4L, 5L, 6L)) })
+  }
 }
