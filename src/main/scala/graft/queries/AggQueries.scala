@@ -263,8 +263,29 @@ object AggQueries extends QueryGroup {
       .orderBy("lang")
   }
 
+  private def profileOracle(cols: Seq[String]): String =
+    cols.flatMap { c =>
+      Seq(
+        s"""SELECT '$c' AS "column", 'n' AS metric, CAST(COUNT($c) AS VARCHAR) AS value FROM documents""",
+        s"""SELECT '$c', 'nulls', CAST(COUNT(*) - COUNT($c) AS VARCHAR) FROM documents""",
+        s"""SELECT '$c', 'distinct', CAST(COUNT(DISTINCT $c) AS VARCHAR) FROM documents""",
+        s"""SELECT '$c', 'min', CAST(MIN($c) AS VARCHAR) FROM documents""",
+        s"""SELECT '$c', 'max', CAST(MAX($c) AS VARCHAR) FROM documents""")
+    }.mkString("", " UNION ALL ", """ ORDER BY "column", metric""")
+
+  /** One-pass dataset profile (ops.Profile): per-column non-null /
+    * null / exact-distinct / min / max in long format — the data-card
+    * stats block. The oracle recomputes every cell independently. */
+  private val profile = q(
+    "q_profile",
+    profileOracle(Seq("doc_id", "lang", "source", "n_chars"))) { (s, d) =>
+    graft.ops.Profile.describe(
+        Tables.documents(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("column", "metric")
+  }
+
   def defs = Seq(
     anyAll, partition0, pivot0, indexBy, approxDistinct, fanout0,
     zipShape, byYear, histogram, explode0, implode0, sketchDistinct,
-    sketchQuantile)
+    sketchQuantile, profile)
 }
