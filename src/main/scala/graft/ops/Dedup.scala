@@ -354,8 +354,14 @@ object Dedup {
       maxBlock: Int = 0): DataFrame = {
     require(maxDist >= 0 && minDist >= 0 && minDist <= maxDist,
       "need 0 <= minDist <= maxDist")
+    // a null blocking key is "unblockable" — such rows are EXCLUDED
+    // from pairing (SQL join semantics would drop them silently;
+    // making the policy explicit here keeps it visible and testable).
+    // Callers who want null-keyed rows to pair among themselves should
+    // coalesce the blocking expression to a sentinel.
     val base = df.select(block.as("__blk"),
       col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(col("__blk").isNotNull)
     val capped =
       if (maxBlock <= 0) base
       else {

@@ -79,22 +79,34 @@ object Frequent {
 
   /** Exact (value, cnt) for every value with cnt·denom ≥ N (frequency
     * at least 1/denom of non-null rows). m = 2·denom counters makes the
-    * MG error ≤ N/(2·denom+1) < N/denom, so recall is guaranteed; the
-    * exact second pass removes MG's false positives. Fully in-plan: the
-    * candidate set broadcasts (≤ m rows by construction), never a
-    * driver collect. */
+    * MG error ≤ N/(2·denom+1) < N/denom, so recall is GUARANTEED — which
+    * is why an m too small for the requested denom is a loud error, not
+    * a silent cap. Exactly two scans: pass 1 is one aggregate producing
+    * the bounded candidate map AND the total count together (the driver
+    * fetch is ≤ m entries — bounded by construction, the same contract
+    * as a Bloom build); pass 2 counts only the broadcast candidates. */
   def heavyHitters(df: DataFrame, valueCol: String, denom: Long,
                    m: Int = 0): DataFrame = {
     require(denom > 1, "denom must exceed 1")
-    val mm = if (m > 0) m else (2L * denom).min(1000000L).toInt
+    require(m > 0 || denom <= 500000L,
+      s"default m = 2*denom would need ${2 * denom} counters; pass m " +
+        "explicitly (and mind the memory) for thresholds finer than 1/500000")
+    val mm = if (m > 0) m else (2L * denom).toInt
     val rows = df.select(col(valueCol).cast("string").as("value"))
       .where(col("value").isNotNull)
-    val cand = candidates(rows, "value", mm).select("value")
-    val exact = rows.join(broadcast(cand), Seq("value"), "left_semi")
+    val agg = udaf(new MGAgg(mm))
+    val pass1 = rows
+      .agg(agg(col("value")).as("__mg"), count(lit(1)).as("__n"))
+      .select(col("__n"), map_keys(col("__mg")).as("__vals"))
+      .head()
+    val n = pass1.getLong(0)
+    val cand = pass1.getSeq[String](1)
+    if (cand.isEmpty) return rows.limit(0)
       .groupBy("value").agg(count(lit(1)).as("cnt"))
-    val total = rows.agg(count(lit(1)).as("__N"))
-    exact.join(broadcast(total))
-      .where(col("cnt") * denom >= col("__N"))
-      .select(col("value"), col("cnt"))
+    val candDf = df.sparkSession.createDataFrame(
+      cand.map(Tuple1(_))).toDF("value")
+    rows.join(broadcast(candDf), Seq("value"), "left_semi")
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * denom >= n)
   }
 }

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
 object Mix {
 
   /** Keep-rate per group for target fractions `targets` (group →
-    * fraction). Groups absent from `targets` are dropped (rate 0). */
+    * fraction). Groups absent from `targets` are dropped (rate 0); a
+    * TARGETED group with no rows is an error — silently skipping it
+    * would renormalise the output onto the remaining groups and ship a
+    * skewed corpus with no warning. One aggregate scan; the result is
+    * one row per target, computed driver-side (bounded by the target
+    * map, like a broadcast dim). */
   def rates(df: DataFrame, groupCol: String,
             targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(t => t > 0 && t <= 1),
@@ -32,14 +37,19 @@ object Mix {
     val t = df.sparkSession.createDataFrame(targets.toSeq)
       .toDF(groupCol, "__t")
     val counts = df.groupBy(groupCol).count()
-    // T = min_g(n_g / t_g) over targeted groups; rate_g = t_g * T / n_g
-    val joined = counts.join(t, groupCol) // inner: untargeted groups drop
-      .withColumn("__cap", col("count").cast("double") / col("__t"))
-    val tTotal = joined.agg(min("__cap").as("__tmin"))
-    joined.join(broadcast(tTotal))
-      .select(col(groupCol),
-        least(lit(1.0),
-          col("__t") * col("__tmin") / col("count").cast("double")).as("rate"))
+    val rows = counts.join(t, groupCol) // inner: untargeted groups drop
+      .select(col(groupCol), col("count").cast("double").as("__n"), col("__t"))
+      .collect()
+    val missing = targets.keySet -- rows.map(_.getString(0))
+    require(missing.isEmpty,
+      s"target groups absent from data: ${missing.toSeq.sorted.mkString(", ")}")
+    // T = min_g(n_g / t_g); rate_g = t_g * T / n_g — the same IEEE
+    // operation order an engine replaying the formula computes
+    val tmin = rows.map(r => r.getDouble(1) / r.getDouble(2)).min
+    val rateRows = rows.toSeq.map { r =>
+      (r.getString(0), math.min(1.0, r.getDouble(2) * tmin / r.getDouble(1)))
+    }
+    df.sparkSession.createDataFrame(rateRows).toDF(groupCol, "rate")
   }
 
   /** The mixed corpus: deterministic per-group hash sample at the

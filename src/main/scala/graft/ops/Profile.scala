@@ -33,8 +33,10 @@ object Profile {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.flatMap { c =>
       Seq("n", "nulls", "distinct", "min", "max").map { m =>
+        // backtick-quoted: a profiled column named "a.b" must resolve
+        // as the literal alias, not as a struct-field path
         struct(lit(c).as("column"), lit(m).as("metric"),
-          col(s"__${m}_$c").cast("string").as("value"))
+          col(s"`__${m}_$c`").cast("string").as("value"))
       }
     }
     one.select(explode(array(rows: _*)).as("p"))

@@ -57,9 +57,21 @@ object Sketch {
                      sketchCol: String = "qsketch"): DataFrame = {
     val merged = sketches.groupBy(groupCols.map(col): _*)
       .agg(kll_merge_agg_bigint(col(sketchCol)).as("qsketch"))
-    val qCols = qs.map(p =>
-      kll_sketch_get_quantile_bigint(col("qsketch"), lit(p))
-        .as(s"q${(p * 100).round}"))
+    // exact labels ("q50", "q99_5") — rounding to whole percents would
+    // collide nearby quantiles (0.995 and 1.0 both "q100")
+    def label(p: Double): String = {
+      // decimal via the shortest string form — p*100 in binary would
+      // stamp float dust into names (0.29*100 = 28.999999999999996)
+      val s = (BigDecimal(p.toString) * 100)
+        .underlying.stripTrailingZeros.toPlainString
+      "q" + s.replace('.', '_').replace("-", "m")
+    }
+    val labels = qs.map(label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels: ${labels.mkString(",")}")
+    val qCols = qs.zip(labels).map { case (p, l) =>
+      kll_sketch_get_quantile_bigint(col("qsketch"), lit(p)).as(l)
+    }
     merged.select(
       (groupCols.map(col) :+
         kll_sketch_get_n_bigint(col("qsketch")).as("n")) ++ qCols: _*)

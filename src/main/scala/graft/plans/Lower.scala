@@ -485,6 +485,16 @@ object Lower {
   private final case class St(
       df: DataFrame, order: Vector[(Expr, Boolean)] = Vector.empty)
 
+  /** Scalar kinds with a real order in BOTH backends (JValue.cmp has a
+    * non-tie comparison for them); arrays/structs/maps tie in doc mode. */
+  private def isAtomic(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.ArrayType  => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _: org.apache.spark.sql.types.MapType    => false
+    case org.apache.spark.sql.types.BinaryType    => false
+    case _                                        => true
+  }
+
   private def sortKeyAst(e: Expr): (Expr, Boolean) = e match {
     case Unary("-", inner) => (inner, true)
     case Lambda(ps, b) if ps.length == 2 =>
@@ -812,11 +822,21 @@ object Lower {
         else {
           // bare sort(): the reference orders by the element VALUE
           // itself (identity key). Relationally that is only a column
-          // order when the lane is a single visible column; whole-row
-          // object comparison (the reference's cross-kind total order)
-          // has no columnar equivalent — bail to the interpreter.
-          stripHidden(lowered).columns match {
-            case Array(only) => St(lowered, Vector((Ident(only), false)))
+          // order when the lane is a single visible ATOMIC column —
+          // whole-row objects and array/struct lanes tie EVERY pair in
+          // the interpreter (JValue.cmp incomparable-kinds → 0, stable
+          // sort keeps them in place), so any lowered order would
+          // diverge — bail to the interpreter. Known divergence kept
+          // (mirrors the documented take_while key-tie contract): a
+          // null in an atomic lane ties in place in doc mode but sorts
+          // first here; tables whose lanes hold nulls should sort_by
+          // an explicit key.
+          val vis = stripHidden(lowered)
+          (vis.columns, vis.schema.fields.map(_.dataType)) match {
+            case (Array(only), Array(t)) if isAtomic(t) =>
+              St(lowered, Vector((Ident(only), false)))
+            case (Array(_), _) =>
+              bail("bare sort() over a non-atomic lane ties in doc mode")
             case _ => bail("bare sort() over multi-column rows (sort_by a key)")
           }
         }

@@ -189,5 +189,15 @@ class DedupSpec extends SparkSpec {
         maxDist = 3, minDist = 1, maxBlock = 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(capped.forall { case (a2, b2, _) => Set(a2, b2).subsetOf(Set(1L, 2L, 4L, 5L, 6L)) })
+    // null blocking keys are unblockable by policy: excluded entirely
+    val withNull = rows.union(
+      Seq((9L, "alpha care"), (10L, "alpha card")).toDF("id", "t"))
+    val nullBlocked = graft.ops.Dedup.editPairs(
+        withNull, "id", "t",
+        when(col("id") >= 9L, lit(null)).otherwise(lit("k")),
+        maxDist = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(nullBlocked.nonEmpty &&
+      nullBlocked.forall { case (a3, b3, _) => a3 < 9L && b3 < 9L })
   }
 }

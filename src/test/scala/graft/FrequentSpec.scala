@@ -64,6 +64,17 @@ class FrequentSpec extends SparkSpec {
     assert(Frequent.heavyHitters(df.where(lit(false)), "v", 2L).count() == 0L)
   }
 
+  test("a denom too fine for the default counter budget fails loudly") {
+    val df = Seq("a", "b").toDF("v")
+    intercept[IllegalArgumentException] {
+      Frequent.heavyHitters(df, "v", denom = 1000000L)
+    }
+    // an explicit m restores the call (caller owns the memory bound);
+    // at N=2 every value clears the 1/1000000 cut
+    assert(Frequent.heavyHitters(df, "v", denom = 1000000L, m = 8)
+      .count() == 2L)
+  }
+
   test("merge rule is associative-enough: one partition == many partitions") {
     val data = zipf(10000, 300, fuzzSeed(99))
     val one = Frequent.heavyHitters(data.toDF("v").coalesce(1), "v", 50L)

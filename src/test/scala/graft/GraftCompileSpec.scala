@@ -450,6 +450,10 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       case other          => fail(s"unexpected ${other.kind}")
     }
     assert(gotB == expB && gotB == Vector(0L, 1L, 2L, 3L, 4L))
+    // non-atomic lanes tie every pair in doc mode (JValue.cmp → 0), so
+    // bare sort() over them must fall back, not impose a Spark order
+    assert(!Graft.lowers(spark, sfDir,
+      "$.nation.map(n_name.split(\" \")).sort()"))
   }
 
   test("enumerate / pairwise / window / chunk lower and match the interpreter") {

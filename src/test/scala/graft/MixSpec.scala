@@ -58,4 +58,11 @@ class MixSpec extends SparkSpec {
       Mix.rates(docs, "lang", Map("en" -> 0.0))
     }
   }
+
+  test("a targeted group with no rows is a loud error, not a skewed mix") {
+    val e = intercept[IllegalArgumentException] {
+      Mix.rates(docs, "lang", Map("en" -> 0.5, "xx" -> 0.5))
+    }
+    assert(e.getMessage.contains("xx"))
+  }
 }

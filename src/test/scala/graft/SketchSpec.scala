@@ -73,6 +73,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("KLL quantile labels are exact — no whole-percent collisions") {
+    val df = (0L until 100L).toDF("v")
+    val fine = Sketch.quantileGrouped(df, Seq.empty, "v")
+    val r = Sketch.quantileRollup(fine, Seq.empty, Seq(0.995, 1.0, 0.29))
+    assert(r.columns.toSet == Set("n", "q99_5", "q100", "q29"))
+    intercept[IllegalArgumentException] {
+      Sketch.quantileRollup(fine, Seq.empty, Seq(0.5, 0.5))
+    }
+  }
+
   test("KLL incremental: yesterday's sketch merges with today's shard") {
     val a = (0L until 5000L).toDF("v")
     val b = (5000L until 10000L).toDF("v")
