@@ -79,7 +79,9 @@ object Bench {
       "b_sketch" -> cat("q_sketch_distinct"), // mergeable HLL rollup
       "b_bloom_semi" -> cat("q_bloom_semi"),  // Bloom-pruned join
       "b_frequent" -> cat("q_frequent_tokens"), // Misra-Gries heavy hitters
-      "b_snapshot" -> cat("q_snapshot_diff")) // churn-sized version delta
+      "b_snapshot" -> cat("q_snapshot_diff"), // churn-sized version delta
+      "b_edit_pairs" -> cat("q_edit_pairs"),  // blocked fuzzy dedup
+      "b_mix" -> cat("q_mix"))                // proportion-targeted mixing
   }
 
   private def runOnce(df: DataFrame): Unit =

@@ -536,16 +536,20 @@ object TextQueries extends QueryGroup {
   private val editDedup = q(
     "q_edit_pairs",
     """WITH p AS (SELECT p_partkey, p_name,
-      |    string_split(p_name, ' ')[1] AS blk FROM part)
+      |    string_split(p_name, ' ')[1] AS blk FROM part
+      |  QUALIFY row_number() OVER (PARTITION BY blk ORDER BY p_partkey) <= 64)
       |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
       |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // maxBlock = 64 bounds each block's quadratic at 64²/2 verifies —
+    // the 100 TB calling convention (the cap is deterministic in id
+    // order, replayed by the oracle's QUALIFY row_number)
     Dedup.editPairs(
         Tables.part(s, d), "p_partkey", "p_name",
         block = split(col("p_name"), " ").getItem(0),
-        maxDist = 3, minDist = 1)
+        maxDist = 3, minDist = 1, maxBlock = 64)
       .orderBy("id_a", "id_b")
   }
 

@@ -30,4 +30,33 @@ class SnapshotDiffSpec extends SparkSpec {
     val s = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
     assert(SnapshotDiff.diff(s, s, "id", Seq("t")).count() == 0L)
   }
+
+  test("randomized differential: diff classification matches a naive map compare") {
+    val rnd = new scala.util.Random(fuzzSeed(2024))
+    for (_ <- 1 to 5) {
+      val oldM = (0 until 200).map(i =>
+        i.toLong -> rnd.nextInt(8).toString).toMap
+      val newM = oldM.flatMap { case (k, v) =>
+        rnd.nextInt(4) match {
+          case 0 => None                                  // removed
+          case 1 => Some(k -> rnd.nextInt(8).toString)    // maybe changed
+          case _ => Some(k -> v)                          // kept
+        }
+      } ++ (200 until 220).filter(_ => rnd.nextBoolean())
+        .map(i => i.toLong -> "new")
+      val want = ((oldM.keySet ++ newM.keySet).flatMap { k =>
+        (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_))              => Some(k -> "added")
+          case (Some(_), None)              => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _                            => None
+        }
+      }).toMap
+      val got = SnapshotDiff.diff(
+          oldM.toSeq.toDF("id", "t"), newM.toSeq.toDF("id", "t"),
+          "id", Seq("t"))
+        .select("id", "change").as[(Long, String)].collect().toMap
+      assert(got == want)
+    }
+  }
 }
