@@ -97,6 +97,28 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming KLL quantile sketches: exact n and banded quantiles vs batch") {
+    import graft.ops.Sketch
+    val got = runToTable(
+      Sketch.quantileGrouped(
+        streamEvents.selectExpr("event_type", "CAST(value AS BIGINT) AS v"),
+        Seq("event_type"), "v"),
+      "t_kll_stream")
+    val rolled = Sketch.quantileRollup(got, Seq.empty, Seq(0.5))
+    val row = rolled.head
+    assert(row.getAs[Long]("n") == batchEvents.count()) // every row ingested
+    val batch = Sketch.quantileRollup(
+      Sketch.quantileGrouped(
+        batchEvents.selectExpr("event_type", "CAST(value AS BIGINT) AS v"),
+        Seq("event_type"), "v"),
+      Seq.empty, Seq(0.5)).head
+    // KLL compaction is randomized, so estimates may differ between
+    // builds — but both are ~1.65%-rank-accurate order statistics of
+    // the same data, so the two medians must sit close in value space
+    val (a, b) = (row.getAs[Long]("q50"), batch.getAs[Long]("q50"))
+    assert(math.abs(a - b) <= math.max(25L, math.max(a, b) / 10), s"$a vs $b")
+  }
+
   test("windowed count_by parity with batch window agg") {
     val got = runToTable(
       StreamOps.countByWindow(streamEvents), "t_countby")
