@@ -104,6 +104,24 @@ object Builtins {
     case (_, other) => other
   }
 
+  /** The `...**` deep-SPREAD merge: like [[deepMerge]], but array
+    * values at the same key CONCATENATE instead of being overwritten
+    * (reference util.rs:478-505 deep_merge_concat — distinct from the
+    * `deep_merge` METHOD, which replaces arrays via util.rs:457). */
+  def deepMergeConcat(a: JValue, b: JValue): JValue = (a, b) match {
+    case (JObj(x), JObj(y)) =>
+      var out = x
+      y.foreach { case (k, v) =>
+        out += k -> (x.get(k) match {
+          case Some(xv) => deepMergeConcat(xv, v)
+          case None     => v
+        })
+      }
+      JObj(out)
+    case (JArr(x), JArr(y)) => JArr(x ++ y)
+    case (_, other)         => other
+  }
+
   private def uniqueBy(xs: Vector[JValue], key: JValue => JValue): Vector[JValue] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
     xs.filter(x => seen.add(key(x).render)) // keep-first (M:94-97)

@@ -88,9 +88,12 @@ object Interp {
         val bv = eval(base, env)
         // a root WRITE rolls the document forward: later stages' `$`
         // is the patched doc (patch_fusion_soundness.rs
-        // three_chained_sets_apply_in_order)
-        val e1 = if (isRootWrite(base, env)) env.copy(root = bv) else env
-        evalPipe(bv, steps, e1)
+        // three_chained_sets_apply_in_order), and `@`-rooted
+        // chain-writes in later stages target that same rolled doc
+        // (chain_write.rs phaseb_pipe_chain_fuses_at_rooted_stages)
+        val rolled = isRootWrite(base, env)
+        val e1 = if (rolled) env.copy(root = bv) else env
+        evalPipe(bv, steps, e1, rolled)
       }
     case Unary("-", x) => eval(x, env) match {
       case JInt(n)   => JInt(-n)
@@ -306,9 +309,11 @@ object Interp {
     v
   }
 
-  private def evalPipe(base: JValue, steps: Vector[PipeStep], env: Env): JValue = {
+  private def evalPipe(base: JValue, steps: Vector[PipeStep], env: Env,
+                       rolled0: Boolean = false): JValue = {
     var v = base
     var e = env
+    var rolled = rolled0
     steps.foreach {
       // bare identifier in a pipe: field of the piped value when present,
       // else a zero-arg builtin call (`xs | len` ≡ xs.len(), SYNTAX.md
@@ -329,9 +334,36 @@ object Interp {
                   "product", "range", "to_string", "type_of", "len")(n) =>
         v = Builtins.call(n, v, args, e.withCurrent(v))
       case PipeStep.Forward(expr0) =>
-        v = eval(expr0, e.withCurrent(v))
-        // a root write rolls `$` forward for the remaining stages
-        if (isRootWrite(expr0, e)) e = e.copy(root = v)
+        // when the pipeline head wrote the root, `@` in a stage IS the
+        // rolled document, so `@.path.set(v)` is a patch against it —
+        // the reference's phase-B pipe fusion shape (patch_fusion.rs:
+        // 1382-1390 canonicalises a stage's Current root to the acc)
+        val lifted =
+          if (!rolled) None
+          else expr0 match {
+            case Chain(Current, s) =>
+              chainWrite(Current, s, e.withCurrent(v)).map { case (pf, rest) =>
+                val ec = e.withCurrent(v)
+                val patched = PatchEval.apply(v, Vector(pf), ec)
+                (if (rest.isEmpty) patched else evalChain(patched, rest, ec),
+                  rest.isEmpty)
+              }
+            case _ => None
+          }
+        lifted match {
+          case Some((nv, pureWrite)) =>
+            v = nv
+            // a pure write keeps the pipeline on the rolled document;
+            // trailing reads after the write yield a plain value
+            if (pureWrite) e = e.copy(root = v) else rolled = false
+          case None =>
+            v = eval(expr0, e.withCurrent(v))
+            // a root write rolls `$` forward for the remaining stages;
+            // any other stage ends the write pipeline (the reference
+            // fuses `@`-writes only while the acc is still one Patch)
+            rolled = isRootWrite(expr0, e)
+            if (rolled) e = e.copy(root = v)
+        }
       case PipeStep.BindName(n)    => e = e.bind(n, v)
       case PipeStep.BindObj(names, rest) => v match {
         case JObj(fs) =>
@@ -369,11 +401,14 @@ object Interp {
         case _        => ()
       }
       case ObjField.SpreadDeep(e) => eval(e, env) match {
+        // deep_merge_concat semantics: objects recurse, arrays at the
+        // same key CONCATENATE (reference regression.rs
+        // spread_deep_concatenates_arrays), scalars replace
         case JObj(fs) => fs.foreach { case (k, v) =>
-          (out.get(k), v) match {
-            case (Some(JObj(a)), JObj(b)) => out += k -> Builtins.deepMerge(JObj(a), JObj(b))
-            case _                        => out += k -> v
-          }
+          out += k -> (out.get(k) match {
+            case Some(prev) => Builtins.deepMergeConcat(prev, v)
+            case None       => v
+          })
         }
         case _ => ()
       }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jexpr._
+
+/** Machine-extracted conformance corpus: every (expr, doc, expected)
+  * triple from the reference's own test files whose assertion is an
+  * exact-value `assert_eq!(r, json!(…))` — regression.rs, examples.rs
+  * and chain_write.rs — replayed through `Jetro.collect` and compared
+  * STRICTLY (JInt ≠ JFloat, so numeric kinds must match the reference
+  * engine's, exactly as serde equality demands in the originals).
+  * The extraction is mechanical (tools-free shapes only); looser
+  * assertions (len, contains) and optimizer-internal tests are covered
+  * by the hand-ported RegressionSpec / ExamplesSpec / ChainWriteSpec.
+  */
+class ReferenceCorpusSpec extends AnyFunSuite {
+
+  private case class Case(name: String, doc: JValue, expr: String, expected: JValue)
+
+  private val books = JValue.parse(
+    """{
+      "store": {
+        "books": [
+          {"title": "Dune",        "price": 12.99, "rating": 4.8, "genre": "sci-fi",   "tags": ["sci-fi","classic"]},
+          {"title": "Foundation",  "price":  9.99, "rating": 4.5, "genre": "sci-fi",   "tags": ["sci-fi","series"]},
+          {"title": "Neuromancer", "price": 11.50, "rating": 4.2, "genre": "cyberpunk","tags": ["sci-fi","cyberpunk"]},
+          {"title": "1984",        "price":  7.99, "rating": 4.6, "genre": "dystopia", "tags": ["classic","dystopia"]}
+        ]
+      },
+      "user": {"name": "Alice", "age": 30, "score": 85}
+    }""")
+
+  private val cases: Seq[Case] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_cases.json"), "UTF-8").mkString
+    JValue.parse(raw) match {
+      case JArr(xs) => xs.map { c =>
+        val o = c.asInstanceOf[JObj].v
+        val doc = o("doc") match {
+          case JStr("BOOKS") => books
+          case d             => d
+        }
+        Case(o("name").asInstanceOf[JStr].v, doc,
+          o("expr").asInstanceOf[JStr].v, o("expected"))
+      }.toSeq
+      case other => fail(s"bad corpus: ${other.kind}")
+    }
+  }
+
+  test(s"corpus loaded (${cases.length} cases)") {
+    assert(cases.length >= 120)
+  }
+
+  for (c <- cases) test(c.name) {
+    val got = JValue.parse(Jetro.collect(c.doc.render, c.expr))
+    assert(got == c.expected,
+      s"\nexpr: ${c.expr}\n got: ${got.render}\nwant: ${c.expected.render}")
+  }
+}
