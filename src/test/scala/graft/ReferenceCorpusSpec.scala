@@ -56,4 +56,34 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     assert(got == c.expected,
       s"\nexpr: ${c.expr}\n got: ${got.render}\nwant: ${c.expected.render}")
   }
+
+  // The reference's equivalence assertions (regression.rs fusion_*_
+  // semantics / alias tests): two surface forms must produce the same
+  // value — fusion is an optimization, never a semantics change.
+  private val equivalences: Seq[(String, String, String)] = Seq(
+    ("""{"s":0}""", "$.store.books.filter(@.price > 10).first()",
+      "$.store.books.filter(@.price > 10) | first()"),
+    ("""{"xs": [3, 1, 2, 1, 3]}""", "$.xs.unique().unique()", "$.xs.unique()"),
+    ("""{"s":0}""", "$.store.books.sort(price).min(price)", "$.store.books.min(price)"),
+    ("""{"s":0}""", "$.store.books.reverse().max(price)", "$.store.books.max(price)"),
+    ("""{"s":0}""", "$.store.books.map(@.price).sum()", "$.store.books.sum(price)"),
+    ("""{"s":0}""", "$.store.books.map(@.price).avg()", "$.store.books.avg(price)"),
+    ("""{"s":0}""", "$.store.books | count()", "$.store.books |> count()"),
+    ("""{"a": null, "b": 5}""", "$.a ?| $.b", "$.a ?? $.b"),
+    ("""{"x": 42}""", "$.x kind number", "$.x is number"),
+    ("""{"x": 42}""", "$.x kind not number", "$.x is not number"),
+    ("""{"user": {"name": "Bob"}}""", "$.user[\"name\"]", "$.user.{\"name\"}"),
+    ("""{"s":0}""", "$.store.books.map({title})", "$.store.books[*] => {title}"),
+    ("""{"s":0}""",
+      "$.store.books.filter(price > 10).map({title, price})",
+      "$.store.books[* if price > 10] => {title, price}"))
+
+  test("reference equivalence pairs: both forms agree") {
+    for ((d, ea, eb) <- equivalences) {
+      val doc = if (d == """{"s":0}""") books.render else d
+      val a = JValue.parse(Jetro.collect(doc, ea))
+      val b = JValue.parse(Jetro.collect(doc, eb))
+      assert(a == b, s"$ea  vs  $eb: ${a.render} != ${b.render}")
+    }
+  }
 }
