@@ -111,6 +111,37 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.unset("graft.lower.blockRows")
   }
 
+  test("bare sort() on value lanes: compiled == interpreted") {
+    // identity-key sort over single-column lanes (the SortedDedup
+    // fusion's input form): dup-heavy (c_nationkey) and unique
+    // (c_custkey) lanes, follow-on ops that observe the order. Equal
+    // values are interchangeable, so every op here is tie-safe.
+    val rng = new scala.util.Random(fuzzSeed(60214))
+    val cmpPosts = Seq("count()", "first()", "last()", "unique()",
+      "reverse()", "take(11)", "skip(7)", "min()", "max()")
+    (0 until 40).foreach { _ =>
+      val pred = preds(rng.nextInt(preds.length))
+      val lane = Seq("c_custkey", "c_nationkey", "c_acctbal")(rng.nextInt(3))
+      // double sums are order-sensitive in the last ulp (the suite's
+      // integer-lane rule) — sum() only fuzzes the integer lanes
+      val posts = if (lane == "c_acctbal") cmpPosts else "sum()" +: cmpPosts
+      val post = posts(rng.nextInt(posts.length))
+      val e = s"$$.customer$pred.map($lane).sort().$post"
+      val exp = docEval(e)
+      (exp: @unchecked) match {
+        case jexpr.JArr(xs) =>
+          val got = sparkRows(e)
+            .map(r => Option(r.get(0)).map(_.asInstanceOf[Number].doubleValue))
+            .toVector
+          assert(got == xs.map(asD), e)
+        case v =>
+          val got = sparkRows(e).headOption.flatMap(r => Option(r.get(0)))
+            .map(_.asInstanceOf[Number].doubleValue)
+          assert(got == asD(v), e)
+      }
+    }
+  }
+
   /** Edge-literal sweep: negative / zero / small / large argument
     * literals across the scalar-fn and sequence-op surface. The contract
     * under test is the compiler's lower-exactly-or-bail rule in its
