@@ -325,6 +325,7 @@ object Interp {
             catch { case _: EvalException => JNull }
           case fv => fv
         }
+        rolled = false // v is now a sub-value, not the rolled document
       // `xs | filter(pred)` — a call in a pipe is a method application on
       // the piped value (examples.rs complex_pipeline_reshape), unless the
       // name is a lambda binding or a true global
@@ -333,6 +334,7 @@ object Interp {
              !Set("coalesce", "chain", "join", "zip", "zip_longest",
                   "product", "range", "to_string", "type_of", "len")(n) =>
         v = Builtins.call(n, v, args, e.withCurrent(v))
+        rolled = false // a method application ends the write pipeline
       case PipeStep.Forward(expr0) =>
         // when the pipeline head wrote the root, `@` in a stage IS the
         // rolled document, so `@.path.set(v)` is a patch against it —

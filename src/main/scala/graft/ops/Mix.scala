@@ -37,19 +37,27 @@ object Mix {
     val t = df.sparkSession.createDataFrame(targets.toSeq)
       .toDF(groupCol, "__t")
     val counts = df.groupBy(groupCol).count()
-    val rows = counts.join(t, groupCol) // inner: untargeted groups drop
+    val joined = counts.join(t, groupCol) // inner: untargeted groups drop
       .select(col(groupCol), col("count").cast("double").as("__n"), col("__t"))
-      .collect()
-    val missing = targets.keySet -- rows.map(_.getString(0))
+    val rows = joined.collect()
+    // key values kept as whatever type the join coerced to — never
+    // assumed string (a numeric group column must round-trip intact)
+    val missing = targets.keySet -- rows.map(r => String.valueOf(r.get(0)))
     require(missing.isEmpty,
       s"target groups absent from data: ${missing.toSeq.sorted.mkString(", ")}")
     // T = min_g(n_g / t_g); rate_g = t_g * T / n_g — the same IEEE
     // operation order an engine replaying the formula computes
     val tmin = rows.map(r => r.getDouble(1) / r.getDouble(2)).min
-    val rateRows = rows.toSeq.map { r =>
-      (r.getString(0), math.min(1.0, r.getDouble(2) * tmin / r.getDouble(1)))
+    val rateRows = rows.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.get(0),
+        math.min(1.0, r.getDouble(2) * tmin / r.getDouble(1)))
     }
-    df.sparkSession.createDataFrame(rateRows).toDF(groupCol, "rate")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      joined.schema.head,
+      org.apache.spark.sql.types.StructField("rate",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rateRows, 1), schema)
   }
 
   /** The mixed corpus: deterministic per-group hash sample at the

@@ -59,6 +59,15 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("numeric group columns round-trip through rates") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = docs.withColumn("g", (c("doc_id") % 3).cast("int"))
+    val r = Mix.toProportions(df, "g", c("doc_id"),
+      Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.25))
+    assert(r.count() > 0)
+    assert(r.select("g").distinct().count() == 3)
+  }
+
   test("a targeted group with no rows is a loud error, not a skewed mix") {
     val e = intercept[IllegalArgumentException] {
       Mix.rates(docs, "lang", Map("en" -> 0.5, "xx" -> 0.5))

@@ -78,6 +78,19 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       "$.store.books.filter(price > 10).map({title, price})",
       "$.store.books[* if price > 10] => {title, price}"))
 
+  test("a read stage ends the pipe write-chain: later @-writes are plain method calls") {
+    // regression probe: after `| b` the piped value is a SUB-value, so
+    // `@.x.set(2)` must be the builtin (returns its arg), NOT a patch,
+    // and must never overwrite the rolled root document
+    val doc = """{"a":0,"y":9,"b":{"x":5}}"""
+    assert(Jetro.collect(doc, "$.a.set(1) | b | @.x.set(2) | $.y") == "9")
+    assert(JValue.parse(Jetro.collect(doc, "$.a.set(1) | b | @.x.set(2) | $")) ==
+      JValue.parse("""{"a":1,"y":9,"b":{"x":5}}"""))
+    // while an UNBROKEN write pipeline still rolls through @-stages
+    assert(JValue.parse(Jetro.collect("{}", "$.a.set(1) | @.b.set(2) | @.c.set(3)")) ==
+      JValue.parse("""{"a":1,"b":2,"c":3}"""))
+  }
+
   test("reference equivalence pairs: both forms agree") {
     for ((d, ea, eb) <- equivalences) {
       val doc = if (d == """{"s":0}""") books.render else d
