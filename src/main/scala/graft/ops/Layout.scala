@@ -75,4 +75,21 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Persist `df` bucketed + sorted by `key` as a catalog table — the
+    * co-located layout that makes every future equi-join or
+    * aggregation on `key` between same-bucketed tables SHUFFLE-FREE
+    * (asserted on the physical plan in PlanQualitySpec "bucketed
+    * tables join without a shuffle"). Bucket counts must match across
+    * the tables that will join; at 100 TB pick buckets so one bucket
+    * of the largest table fits an executor (e.g. 4096 for a 10 TB
+    * fact). This is the standard write-side investment for a table
+    * that is joined on the same key by many downstream jobs — pay one
+    * write-time shuffle, never shuffle that key again. */
+  def bucketedWrite(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+  }
 }

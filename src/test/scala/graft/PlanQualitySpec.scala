@@ -91,12 +91,10 @@ class PlanQualitySpec extends SparkSpec {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    Tables.orders(spark, sf)
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.lineitem(spark, sf)
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+    graft.ops.Layout.bucketedWrite(
+      Tables.orders(spark, sf), "b_orders", "o_orderkey", buckets = 8)
+    graft.ops.Layout.bucketedWrite(
+      Tables.lineitem(spark, sf), "b_lineitem", "l_orderkey", buckets = 8)
     // force the sort-merge path (tiny test tables would broadcast and
     // trivially skip the shuffle; bucketing is for when neither side fits)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
