@@ -553,9 +553,51 @@ object TextQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-(lang, source) curation report: corpus size, quality-floor
+    * pass rate, and token budget — the summary a filtering run emits.
+    * Every metric derives from integer counts (pass rate = two-int
+    * division, rounded identically in both engines), so the whole
+    * report hash-verifies. */
+  private val qualityReport = q(
+    "q_quality_report",
+    s"""WITH t AS (
+      |  SELECT lang, source,
+      |    string_split_regex(text, '\\s+') AS toks, text FROM documents),
+      |s AS (SELECT lang, source,
+      |    LENGTH(toks) AS tc,
+      |    (ROUND(
+      |      LEAST(CAST(LENGTH(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |      (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) - (LENGTH(toks) - 1))
+      |                 / GREATEST(CAST(LENGTH(toks) AS DOUBLE), 1.0)
+      |                 BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+      |      LEAST(CAST(LENGTH(list_filter(toks, x -> x IN (${sqlStops}))) AS DOUBLE)
+      |            / GREATEST(LENGTH(toks), 1) * 4.0, 1.0) * 0.3, 4)
+      |     >= 0.75) AS pass FROM t)
+      |SELECT lang, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  ROUND(SUM(CASE WHEN pass THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+      |    AS pass_rate,
+      |  CAST(SUM(tc) AS BIGINT) AS total_tokens
+      |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        Text.tokenCount(col("text")).as("tc"),
+        (Text.qualityScore(col("text")) >= 0.75).as("pass"))
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1).otherwise(0)).cast("long").as("n_pass"),
+        round(sum(when(col("pass"), 1).otherwise(0)) * 1.0 / count(lit(1)), 4)
+          .as("pass_rate"),
+        sum("tc").cast("long").as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
   def defs = Seq(
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
-    frequentTokens, normalizeText, redact, tfdf, vocabCov, editDedup)
+    frequentTokens, normalizeText, redact, tfdf, vocabCov, editDedup,
+    qualityReport)
 }
