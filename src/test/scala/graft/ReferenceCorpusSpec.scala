@@ -33,11 +33,14 @@ class ReferenceCorpusSpec extends AnyFunSuite {
   private val cases: Seq[Case] = {
     val raw = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/reference_cases.json"), "UTF-8").mkString
-    JValue.parse(raw) match {
+    val top = JValue.parse(raw).asInstanceOf[JObj].v
+    val world = top("world")
+    top("cases") match {
       case JArr(xs) => xs.map { c =>
         val o = c.asInstanceOf[JObj].v
         val doc = o("doc") match {
           case JStr("BOOKS") => books
+          case JStr("WORLD") => world
           case d             => d
         }
         Case(o("name").asInstanceOf[JStr].v, doc,
@@ -48,7 +51,7 @@ class ReferenceCorpusSpec extends AnyFunSuite {
   }
 
   test(s"corpus loaded (${cases.length} cases)") {
-    assert(cases.length >= 120)
+    assert(cases.length >= 175)
   }
 
   for (c <- cases) test(c.name) {
