@@ -37,14 +37,16 @@ object Mix {
     val t = df.sparkSession.createDataFrame(targets.toSeq)
       .toDF(groupCol, "__t")
     val counts = df.groupBy(groupCol).count()
-    val joined = counts.join(t, groupCol) // inner: untargeted groups drop
+    // left-outer from the TARGETS: a null count marks a targeted group
+    // absent from the data, using the join's own type coercion (so a
+    // numeric/decimal group column matches its string target exactly
+    // the way the rates join will) — never a driver-side string compare
+    val joined = t.join(counts, Seq(groupCol), "left_outer")
       .select(col(groupCol), col("count").cast("double").as("__n"), col("__t"))
     val rows = joined.collect()
-    // key values kept as whatever type the join coerced to — never
-    // assumed string (a numeric group column must round-trip intact)
-    val missing = targets.keySet -- rows.map(r => String.valueOf(r.get(0)))
+    val missing = rows.filter(_.isNullAt(1)).map(r => String.valueOf(r.get(0)))
     require(missing.isEmpty,
-      s"target groups absent from data: ${missing.toSeq.sorted.mkString(", ")}")
+      s"target groups absent from data: ${missing.sorted.mkString(", ")}")
     // T = min_g(n_g / t_g); rate_g = t_g * T / n_g — the same IEEE
     // operation order an engine replaying the formula computes
     val tmin = rows.map(r => r.getDouble(1) / r.getDouble(2)).min

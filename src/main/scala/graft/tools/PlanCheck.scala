@@ -13,12 +13,17 @@ object PlanCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (n <- args) {
-      println(s"======== $n ========")
-      println(graft.queries.Catalog.queries(n)(spark, dir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode))
-    }
-    spark.stop()
+    try
+      for (n <- args) {
+        println(s"======== $n ========")
+        graft.queries.Catalog.queries.get(n) match {
+          case Some(fn) =>
+            try println(fn(spark, dir).queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode))
+            catch { case e: Exception => println(s"[plancheck] $n failed: $e") }
+          case None => println(s"[plancheck] unknown query: $n")
+        }
+      }
+    finally spark.stop()
   }
 }

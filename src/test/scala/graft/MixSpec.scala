@@ -66,6 +66,12 @@ class MixSpec extends SparkSpec {
       Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.25))
     assert(r.count() > 0)
     assert(r.select("g").distinct().count() == 3)
+    // non-integral numeric group column: join coercion must carry the
+    // membership check too (1.0 matches target "1"), not a string compare
+    val dfd = docs.withColumn("g", (c("doc_id") % 2).cast("double"))
+    val rd = Mix.toProportions(dfd, "g", c("doc_id"),
+      Map("0" -> 0.5, "1" -> 0.5))
+    assert(rd.select("g").distinct().count() == 2)
   }
 
   test("a targeted group with no rows is a loud error, not a skewed mix") {
