@@ -21,21 +21,110 @@ object Graft {
 
   def query(spark: SparkSession, sfDir: String, expr: String): DataFrame =
     Lower.tryCompile(expr, t => Tables(spark, sfDir, t))
+      .orElse(rowwiseCompile(spark, sfDir, expr))
       .getOrElse(docFallback(spark, sfDir, expr))
 
   /** True when the expression fully lowers to a Catalyst plan. */
   def lowers(spark: SparkSession, sfDir: String, expr: String): Boolean =
     Lower.tryCompile(expr, t => Tables(spark, sfDir, t)).isDefined
 
+  /** Which execution path [[query]] takes for `expr`:
+    *   - `"relational"` — full Catalyst lowering ([[Lower]]);
+    *   - `"rowwise"`    — distributed per-row interpreter fallback;
+    *   - `"document"`   — driver-side whole-document interpreter. */
+  def backend(spark: SparkSession, sfDir: String, expr: String): String =
+    if (lowers(spark, sfDir, expr)) "relational"
+    else if (rowwiseCompile(spark, sfDir, expr).isDefined) "rowwise"
+    else "document"
+
+  /** Pipeline stages that distribute over stream concatenation:
+    * `f(rowsA ++ rowsB) == f(rowsA) ++ f(rowsB)` because each element
+    * is mapped/kept/dropped independently of every other element. Any
+    * stage that looks across elements (sort, agg, window, zip, take,
+    * index…) is excluded — those either lower relationally or go to
+    * the whole-document interpreter. */
+  private val rowwiseMethods = Set(
+    "filter", "where", "find_all", "map", "flat_map", "compact",
+    "pick", "omit", "remove")
+
+  private def elementwiseStep(s: Expr.Step): Boolean = {
+    import Expr._
+    s match {
+      // a nested `$` reference (another table, or the table itself as a
+      // whole — e.g. dividing each row by a global sum) breaks per-row
+      // independence, so any Root in an argument disqualifies the stage
+      case Step.Method(m, args) if rowwiseMethods(m) =>
+        !args.exists(a => containsRoot(a.e))
+      case Step.InlineFilter(p) => !containsRoot(p)
+      case Step.MapShape(p, sh) =>
+        !p.exists(containsRoot) && !containsRoot(sh)
+      case Step.Optional => true
+      case _             => false
+    }
+  }
+
+  /** Distributed per-row document-mode fallback (the middle rung
+    * between [[Lower]] and [[docFallback]]): when the expression is a
+    * single-table pipeline of element-wise stages, evaluate it per row
+    * against the singleton document `{table: [row]}` and union the
+    * per-row contributions with `explode`. Full interpreter semantics —
+    * including constructs with no relational lowering (dynamic shapes,
+    * long-tail builtins) — but the table never leaves the executors,
+    * mirroring the reference's per-element VM dispatch (defs.rs:74-90)
+    * instead of its whole-document tape. Output order is the source
+    * partition order (element-wise stages are order-independent). */
+  private[graft] def rowwiseCompile(
+      spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{array, col, explode, struct, to_json}
+    val ast =
+      try jexpr.Parser.parse(expr)
+      catch { case _: jexpr.ParseException => return None }
+    ast match {
+      case Expr.Chain(Expr.Root, steps) if steps.length >= 2 =>
+        steps.head match {
+          case Expr.Step.Field(table) if Tables.names.contains(table) &&
+              steps.tail.forall(elementwiseStep) =>
+            val df = Tables(spark, sfDir, table)
+            // {table: [row]} — same shape docFallback builds, one row deep
+            val doc = to_json(struct(
+              array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table)))
+            val jsonDs = df
+              .select(explode(Jetro.jetroEvalElems(expr, doc)).as("__j"))
+              .select(col("__j"))
+              .as(org.apache.spark.sql.Encoders.STRING)
+            // distributed two-pass read: schema inference + parse both
+            // run as jobs over the executors, never on the driver
+            Some(spark.read.json(jsonDs))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Document-mode fallback: build `{table: [rows…]}` for every table
     * the expression references, evaluate with the interpreter, and read
-    * the result back as a DataFrame (JSON-inferred schema). */
+    * the result back as a DataFrame (JSON-inferred schema).
+    *
+    * This path materialises every referenced table ON THE DRIVER — it is
+    * the small/interactive contract (the analogue of the reference's
+    * single-node VM), and `spark.graft.docFallback.maxRows` (default
+    * 1,000,000) makes that boundary real: past the cap the query fails
+    * with an explanatory error instead of an opaque driver OOM. */
   private[graft] def docFallback(spark: SparkSession, sfDir: String, expr: String): DataFrame = {
     val ast = jexpr.Parser.parse(expr)
     val tables = referencedTables(ast)
     require(tables.nonEmpty, s"no table reference in: $expr")
+    val maxRows = spark.conf
+      .get("spark.graft.docFallback.maxRows", "1000000").toLong
     val docFields = tables.toVector.sorted.map { t =>
-      val rows = Tables(spark, sfDir, t).toJSON.collect()
+      val tdf = Tables(spark, sfDir, t)
+      val n = tdf.count()
+      if (n > maxRows) throw new IllegalStateException(
+        s"expression does not lower relationally and the document " +
+        s"fallback is capped: table `$t` has $n rows > " +
+        s"spark.graft.docFallback.maxRows=$maxRows. Rewrite the query " +
+        s"with lowerable stages, or raise the cap for interactive use.")
+      val rows = tdf.toJSON.collect()
       s""""$t": [${rows.mkString(",")}]"""
     }
     val doc = docFields.mkString("{", ",", "}")
@@ -97,4 +186,52 @@ object Graft {
     }
     walk(e)
   }
+
+  /** Any `$` (Root) reference anywhere in the expression tree. */
+  private def containsRoot(e: Expr): Boolean = {
+    import Expr._
+    def any(x: Expr): Boolean = x match {
+      case Root             => true
+      case Chain(b, steps)  => any(b) || steps.exists(stepAny)
+      case Pipe(b, steps)   => any(b) || steps.exists {
+        case PipeStep.Forward(f) => any(f); case _ => false }
+      case Binary(_, l, r)  => any(l) || any(r)
+      case Unary(_, i)      => any(i)
+      case IfElse(c, t, f)  => any(c) || any(t) || any(f)
+      case TryElse(b, d)    => any(b) || any(d)
+      case Let(bs, body)    => bs.exists(b => any(b._2)) || any(body)
+      case Lambda(_, b)     => any(b)
+      case Comp(_, k, v, cls, cond) =>
+        any(k) || v.exists(any) || cls.exists(c => any(c._2)) || cond.exists(any)
+      case ObjLit(fs) => fs.exists {
+        case ObjField.KV(k, v, w)   => any(k) || any(v) || w.exists(any)
+        case ObjField.OptKV(k, v)   => any(k) || any(v)
+        case ObjField.Dyn(k, v)     => any(k) || any(v)
+        case ObjField.Spread(s)     => any(s)
+        case ObjField.SpreadDeep(s) => any(s)
+        case _                      => false
+      }
+      case ArrLit(es) => es.exists {
+        case ArrElem.One(a) => any(a); case ArrElem.Spread(a) => any(a) }
+      case GlobalCall(_, args) => args.exists(a => any(a.e))
+      case Patch(t, fs) => any(t) || fs.exists(f =>
+        f.value.exists(any) || f.when.exists(any))
+      case Cast(i, _)      => any(i)
+      case KindIs(i, _, _) => any(i)
+      case FString(ps) => ps.exists {
+        case FPart.Interp(i, _) => any(i); case _ => false }
+      case _ => false
+    }
+    def stepAny(s: Expr.Step): Boolean = s match {
+      case Step.Method(_, args)     => args.exists(a => any(a.e))
+      case Step.DeepMethod(_, args) => args.exists(a => any(a.e))
+      case Step.Index(i)            => any(i)
+      case Step.DynField(i)         => any(i)
+      case Step.InlineFilter(p)     => any(p)
+      case Step.MapShape(p, sh)     => p.exists(any) || any(sh)
+      case _                        => false
+    }
+    any(e)
+  }
+
 }

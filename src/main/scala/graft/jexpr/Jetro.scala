@@ -53,6 +53,25 @@ object Jetro {
       catch { case _: EvalException | _: ParseException | _: JsonParseException => null }
   }
 
+  /** `jetro_eval_elems(expr, json)` → the result's ELEMENTS as rendered
+    * JSON texts: array → one text per element, scalar → singleton, null
+    * result → empty, eval failure → null. Powers the distributed
+    * row-wise fallback ([[graft.Graft]]): an element-wise pipeline
+    * evaluated against a singleton `{table: [row]}` document yields this
+    * row's contribution to the stream, and `explode` unions the
+    * contributions across rows — the reference's per-element VM dispatch
+    * (defs.rs:74-90) re-expressed as a distributed map. */
+  val jetroEvalElemsUdf = udf { (expr: String, json: String) =>
+    if (expr == null || json == null) null
+    else
+      try cached(expr).evalValue(JValue.parse(json)) match {
+        case JArr(xs) => xs.map(_.render)
+        case JNull    => Seq.empty[String]
+        case scalar   => Seq(scalar.render)
+      }
+      catch { case _: EvalException | _: ParseException | _: JsonParseException => null }
+  }
+
   /** `jetro_eval_str`: like jetro_eval but unwraps a string/number result
     * to its display text (no JSON quoting) — handy for joining/grouping
     * on extracted scalars. */
@@ -84,7 +103,11 @@ object Jetro {
     spark.udf.register("jetro_eval", jetroEvalUdf)
     spark.udf.register("jetro_eval_str", jetroEvalStrUdf)
     spark.udf.register("jetro_eval_many", jetroEvalManyUdf)
+    spark.udf.register("jetro_eval_elems", jetroEvalElemsUdf)
   }
+
+  def jetroEvalElems(expr: String, col: Column): Column =
+    jetroEvalElemsUdf(org.apache.spark.sql.functions.lit(expr), col)
 
   def jetroEval(expr: String, col: Column): Column =
     jetroEvalUdf(org.apache.spark.sql.functions.lit(expr), col)

@@ -358,17 +358,53 @@ object Dedup {
     // from pairing (SQL join semantics would drop them silently;
     // making the policy explicit here keeps it visible and testable).
     // Callers who want null-keyed rows to pair among themselves should
-    // coalesce the blocking expression to a sentinel.
+    // coalesce the blocking expression to a sentinel. A null TEXT is
+    // excluded for the same reason: length/levenshtein comparisons on
+    // null would drop the row silently inside the join filter, so the
+    // policy is made explicit (and testable) up front.
     val base = df.select(block.as("__blk"),
       col(idCol).as("__id"), col(textCol).as("__t"))
-      .where(col("__blk").isNotNull)
+      .where(col("__blk").isNotNull && col("__t").isNotNull)
+    // The cap keeps the maxBlock SMALLEST ids per block (deterministic,
+    // oracle-replayable). NOT the row_number window idiom — that sorts
+    // the entire degenerate block in one task, i.e. the very pathology
+    // the cap exists to bound pays a straggler to enforce it. Instead
+    // the bounded-buffer k-smallest aggregate (the stratified-sampling
+    // shape): map-side combine caps each partition's buffer at
+    // maxBlock, so ≤ maxBlock ids per block per partition cross the
+    // shuffle, and the capped survivor set semi-joins back. Ids are
+    // distinct per row by contract (duplicate ids would all survive
+    // together); null ids are excluded under a cap.
     val capped =
       if (maxBlock <= 0) base
       else {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("__blk").orderBy("__id")
-        base.withColumn("__bpos", row_number().over(w))
-          .filter(col("__bpos") <= maxBlock).drop("__bpos")
+        import org.apache.spark.sql.types._
+        val keyed = base.where(col("__id").isNotNull)
+        val idKeep: Option[(DataFrame, Column)] =
+          base.schema("__id").dataType match {
+            case StringType =>
+              val agg = udaf(new Sampling.KSmallestAgg(maxBlock))
+              Some((keyed.groupBy("__blk").agg(agg(col("__id")).as("__ks")),
+                col("__id") === col("__kid")))
+            case ByteType | ShortType | IntegerType | LongType =>
+              val agg = udaf(new Sampling.KSmallestLongAgg(maxBlock))
+              Some((keyed.groupBy("__blk")
+                .agg(agg(col("__id").cast("long")).as("__ks")),
+                col("__id").cast("long") === col("__kid")))
+            case _ => None // exotic id type: windowed cap below
+          }
+        idKeep match {
+          case Some((keep, idCond)) =>
+            val kept = keep.select(col("__blk").as("__kblk"),
+              explode(col("__ks")).as("__kid"))
+            keyed.join(kept,
+              col("__blk") === col("__kblk") && idCond, "left_semi")
+          case None =>
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy("__blk").orderBy("__id")
+            base.withColumn("__bpos", row_number().over(w))
+              .filter(col("__bpos") <= maxBlock).drop("__bpos")
+        }
       }
     val a = capped.select(col("__blk"), col("__id").as("id_a"),
       col("__t").as("t_a"))

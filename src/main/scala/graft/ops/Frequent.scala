@@ -92,6 +92,12 @@ object Frequent {
       s"default m = 2*denom would need ${2 * denom} counters; pass m " +
         "explicitly (and mind the memory) for thresholds finer than 1/500000")
     val mm = if (m > 0) m else (2L * denom).toInt
+    // the recall guarantee needs the MG error bound N/(mm+1) strictly
+    // below the threshold N/denom — an explicit m below denom would
+    // silently void the no-false-negative contract, so it is refused
+    require(mm >= denom,
+      s"m=$mm counters cannot guarantee recall at threshold 1/$denom " +
+        "(Misra-Gries error N/(m+1) must fall below N/denom): pass m >= denom")
     val rows = df.select(col(valueCol).cast("string").as("value"))
       .where(col("value").isNotNull)
     val agg = udaf(new MGAgg(mm))

@@ -20,23 +20,30 @@ object Profile {
 
   /** Long-format profile: (column, metric, value) rows, metrics
     * `n` / `nulls` / `distinct` / `min` / `max`, values stringified. */
+  private val metrics = Seq("n", "nulls", "distinct", "min", "max")
+
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    // duplicates would produce ambiguous duplicate aggregate outputs
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in profile: ${cols.diff(cols.distinct).distinct.mkString(",")}")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__n_$c"),
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__distinct_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(col(c)),
+        count(lit(1)) - count(col(c)),
+        countDistinct(col(c)),
+        min(col(c)).cast("string"),
+        max(col(c)).cast("string"))
     }
+    // outputs are consumed POSITIONALLY (toDF renames by position), so
+    // no profiled column name — dots, backticks, whatever — can break
+    // or ambiguate the lookup
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.flatMap { c =>
-      Seq("n", "nulls", "distinct", "min", "max").map { m =>
-        // backtick-quoted: a profiled column named "a.b" must resolve
-        // as the literal alias, not as a struct-field path
+      .toDF(aggs.indices.map(i => s"__m$i"): _*)
+    val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
+      metrics.zipWithIndex.map { case (m, mi) =>
         struct(lit(c).as("column"), lit(m).as("metric"),
-          col(s"`__${m}_$c`").cast("string").as("value"))
+          col(s"__m${ci * metrics.size + mi}").cast("string").as("value"))
       }
     }
     one.select(explode(array(rows: _*)).as("p"))

@@ -85,6 +85,37 @@ object Sampling {
     out.result()
   }
 
+  /** Long twin of [[mergeSmallK]]. */
+  private[graft] def mergeSmallKL(k: Int, a: List[Long], b: List[Long]): List[Long] = {
+    val out = List.newBuilder[Long]
+    var (x, y, n) = (a, b, 0)
+    var last: Long = Long.MinValue
+    var first = true
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      val v =
+        if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) { val h = x.head; x = x.tail; h }
+        else { val h = y.head; y = y.tail; h }
+      if (first || v != last) { out += v; last = v; first = false; n += 1 }
+    }
+    out.result()
+  }
+
+  /** [[KSmallestAgg]] on the integral lane: the k smallest distinct
+    * longs per group with map-side combine. Callers must pre-filter
+    * nulls (the primitive encoder would read them as 0). */
+  final class KSmallestLongAgg(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(buf: List[Long], in: Long): List[Long] =
+      mergeSmallKL(k, buf, List(in))
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      mergeSmallKL(k, a, b)
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Bounded-buffer aggregate: the k smallest distinct string values.
     * Partial aggregation caps each map-side buffer at k, so at most k
     * values per (stratum, partition) ever cross the shuffle. */

@@ -179,13 +179,21 @@ object Similarity {
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    cand
+    val scored = cand
       .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
+      .select("qid", "cid", "sim")
+    rerank(scored, k)
   }
+
+  /** Shared ANN re-rank: exact top-k per query over the scored
+    * candidate set via the bounded [[TopK.TopKAgg]] buffer (sim desc,
+    * cid asc tie-break — the same order the old per-qid row_number
+    * window imposed, without its per-query sort: map-side combine caps
+    * every buffer at k before the one shuffle on qid). Candidate ids
+    * surface as LONG (the aggregator's id lane). */
+  private def rerank(scored: DataFrame, k: Int): DataFrame =
+    TopK.perGroup(scored, Seq("qid"), "sim", "cid", k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank").as("rk"))
 
   /** Lloyd-iteration k-means centroids, DataFrame-native: seed with the
     * first `nlist` corpus vectors (deterministic), then `iters` rounds
@@ -270,12 +278,10 @@ object Similarity {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select("qid", "qv", "centroid_id")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    probes.join(assigned, Seq("centroid_id"))
+    val scored = probes.join(assigned, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("sim"), col("rk").cast("long").as("rk"))
+      .select("qid", "cid", "sim")
+    rerank(scored, k)
   }
 }

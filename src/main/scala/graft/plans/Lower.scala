@@ -2044,7 +2044,10 @@ object Lower {
       case "trim_right" | "rstrip" => rtrim(c)
       case "capitalize"  => initcap(c)
       case "reverse_str" => reverse(c)
-      case "len" | "length" | "byte_len" => length(c).cast("long")
+      case "len" | "length" => length(c).cast("long")
+      // UTF-8 byte count, NOT character count (Strings.scala:86) —
+      // length() would silently diverge on non-ASCII text
+      case "byte_len"       => octet_length(c).cast("long")
       case "abs"         => abs(c)
       case "ceil"        => ceil(c)
       case "floor"       => floor(c)

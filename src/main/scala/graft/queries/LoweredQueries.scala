@@ -583,11 +583,31 @@ object LoweredQueries extends QueryGroup {
         |.take(10).map({k: c_custkey, ord: c_custkey * 7 % 7919})""".stripMargin)
   }
 
+  /** The distributed per-row fallback rung (Graft.rowwiseCompile): an
+    * element-wise pipeline whose `.words()` builtin has no relational
+    * lowering bails out of Lower — but instead of collecting the table
+    * on the driver, each row is evaluated by the interpreter against
+    * its own singleton `{documents: [row]}` document on the executors
+    * (the reference's per-element VM dispatch, defs.rs:74-90). The
+    * oracle replays the words-count and blank-test semantics in SQL. */
+  private val rowwiseFb = q(
+    "q_lower_rowwise_fallback",
+    """SELECT doc_id AS id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nw,
+      |  trim(text) = '' AS blank
+      |FROM documents WHERE lang = 'en' ORDER BY id""".stripMargin) { (s, d) =>
+    val e = """$.documents.filter(lang == "en")
+              |.map({id: doc_id, nw: text.words().len(), blank: text.is_blank()})""".stripMargin
+    assert(graft.Graft.backend(s, d, e) == "rowwise",
+      "expression must exercise the rowwise rung")
+    graft.Graft.query(s, d, e).orderBy("id")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
-    sortCmp)
+    sortCmp, rowwiseFb)
 }

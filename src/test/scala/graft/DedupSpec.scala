@@ -199,5 +199,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(nullBlocked.nonEmpty &&
       nullBlocked.forall { case (a3, b3, _) => a3 < 9L && b3 < 9L })
+    // null TEXT rows are excluded by the same explicit policy
+    val withNullText = rows.union(
+      Seq((11L, null.asInstanceOf[String])).toDF("id", "t"))
+    val nullText = graft.ops.Dedup.editPairs(
+        withNullText, "id", "t", lit("k"), maxDist = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(nullText.nonEmpty &&
+      nullText.forall { case (a4, b4, _) => a4 != 11L && b4 != 11L })
+    // string-typed ids cap lexicographically (the KSmallestAgg lane)
+    val strIds = rows.withColumn("sid", concat(lit("x"), col("id")))
+    val strCapped = graft.ops.Dedup.editPairs(
+        strIds, "sid", "t", split(col("t"), " ").getItem(0),
+        maxDist = 3, minDist = 1, maxBlock = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(strCapped.forall { case (a5, b5, _) =>
+      Set(a5, b5).subsetOf(Set("x1", "x2", "x4", "x5", "x6")) })
   }
 }

@@ -69,9 +69,15 @@ class FrequentSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Frequent.heavyHitters(df, "v", denom = 1000000L)
     }
-    // an explicit m restores the call (caller owns the memory bound);
-    // at N=2 every value clears the 1/1000000 cut
-    assert(Frequent.heavyHitters(df, "v", denom = 1000000L, m = 8)
+    // an explicit m below denom would void the recall guarantee — the
+    // guard refuses it rather than silently capping
+    intercept[IllegalArgumentException] {
+      Frequent.heavyHitters(df, "v", denom = 1000000L, m = 8)
+    }
+    // m >= denom restores the call (caller owns the memory bound);
+    // at N=2 every value clears the 1/1000000 cut and the MG map only
+    // ever holds as many entries as distinct values seen
+    assert(Frequent.heavyHitters(df, "v", denom = 1000000L, m = 1000000)
       .count() == 2L)
   }
 

@@ -380,4 +380,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("editPairs block cap is a bounded aggregate, not a per-block sort window") {
+    val q = graft.queries.Catalog.queries("q_edit_pairs")(spark, sf)
+    q.collect()
+    val plan = executed(q).toString
+    // the cap's k-smallest survivor set comes from partial-aggregable
+    // ObjectHashAggregate buffers (≤ maxBlock ids per block per
+    // partition cross the shuffle) — no degenerate-block sort anywhere
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("rowwise fallback query never collects the table on the driver") {
+    val q = graft.queries.Catalog.queries("q_lower_rowwise_fallback")(spark, sf)
+    // the interpreter runs per row on the executors: the lineage starts
+    // at the parquet scan, with no driver-side parallelized collection
+    val lineage = q.rdd.toDebugString
+    assert(lineage.contains("FileScanRDD"), lineage)
+    assert(!lineage.contains("ParallelCollectionRDD"), lineage)
+  }
 }

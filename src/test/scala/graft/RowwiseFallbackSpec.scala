@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Contract of the distributed per-row document-mode fallback
+  * (Graft.rowwiseCompile) and the docFallback row cap.
+  *
+  * The fallback ladder mirrors the reference's backend-preference lists
+  * (ir/physical.rs:219-230): relational lowering first, then — NEW in
+  * round 7 — per-row interpreter dispatch for element-wise pipelines
+  * (the reference's per-element VM dispatch, defs.rs:74-90), and only
+  * then the whole-document driver-side interpreter, now bounded by
+  * `spark.graft.docFallback.maxRows`.
+  */
+class RowwiseFallbackSpec extends SparkSpec {
+
+  /** Rows as a sorted set of JSON texts — schema-inference order and
+    * partition order are both irrelevant to the comparison. */
+  private def rowsOf(df: DataFrame): Vector[String] =
+    df.toJSON.collect().toVector.sorted
+
+  // .words() has no relational lowering (not in Lower.scalarFn) but is
+  // element-wise: the canonical "bails relationally, runs distributed".
+  private val rowwiseExpr =
+    """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, nw: s_name.words().len()})"""
+
+  test("element-wise non-lowerable pipeline picks the rowwise backend") {
+    assert(!Graft.lowers(spark, sf, rowwiseExpr))
+    assert(Graft.backend(spark, sf, rowwiseExpr) == "rowwise")
+  }
+
+  test("rowwise result equals the whole-document interpreter result") {
+    val rw  = Graft.rowwiseCompile(spark, sf, rowwiseExpr).get
+    val doc = Graft.docFallback(spark, sf, rowwiseExpr)
+    val got = rowsOf(rw)
+    assert(got.nonEmpty && got == rowsOf(doc))
+  }
+
+  test("rowwise plan stays distributed: parquet scan, no driver collect") {
+    val rw = Graft.rowwiseCompile(spark, sf, rowwiseExpr).get
+    // spark.read.json over a derived Dataset shows as Scan ExistingRDD;
+    // the proof of distribution is the RDD lineage: the parquet scan
+    // (FileScanRDD) feeds the executors directly, with no driver-side
+    // parallelized local collection anywhere in the chain
+    val lineage = rw.rdd.toDebugString
+    assert(lineage.contains("FileScanRDD"), lineage)
+    assert(!lineage.contains("ParallelCollectionRDD"), lineage)
+  }
+
+  test("cross-element stages refuse the rowwise backend") {
+    // sort_by over a non-lowerable key: neither relational nor row-wise
+    val e = """$.supplier.sort_by(s_name.snake_case()).map({k: s_suppkey})"""
+    assert(Graft.backend(spark, sf, e) == "document")
+  }
+
+  test("a nested $ reference breaks per-row independence and is refused") {
+    // each element reads a global: correct only with the whole document
+    val e = """$.nation.map({k: n_nationkey, total: $.region.count()})"""
+    assert(Graft.rowwiseCompile(spark, sf, e).isEmpty)
+  }
+
+  test("lowerable pipelines never reach the rowwise rung") {
+    val e = """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, up: s_name.upper()})"""
+    assert(Graft.backend(spark, sf, e) == "relational")
+  }
+
+  test("docFallback is capped by spark.graft.docFallback.maxRows") {
+    val key = "spark.graft.docFallback.maxRows"
+    spark.conf.set(key, "3") // supplier has 10 rows at sf0.001
+    try {
+      val e = """$.supplier.sort_by(s_name.snake_case()).map({k: s_suppkey})"""
+      val err = intercept[IllegalStateException] {
+        Graft.query(spark, sf, e).collect()
+      }
+      assert(err.getMessage.contains(key) &&
+        err.getMessage.contains("does not lower"), err.getMessage)
+    } finally spark.conf.unset(key)
+  }
+
+  test("under the cap the document fallback still answers") {
+    val e = """$.region.sort_by(r_name.snake_case()).map({k: r_regionkey})"""
+    assert(Graft.backend(spark, sf, e) == "document")
+    assert(Graft.query(spark, sf, e).count() == 5)
+  }
+}
