@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * the first round nothing changes (one scalar aggregate per round —
   * the same driver-side control flow GraphX/GraphFrames use for CC).
   * Lineage is truncated per round with localCheckpoint so the plan
-  * doesn't grow with iterations; on a real cluster with unreliable
-  * executors swap in `sparkContext.setCheckpointDir` + `checkpoint`.
+  * doesn't grow with iterations. localCheckpoint stores blocks on the
+  * executors — lost with a lost executor — so on a real cluster pass
+  * `checkpointDir` to switch every truncation to a RELIABLE checkpoint
+  * (HDFS/S3-backed `sparkContext.checkpoint`); the local default keeps
+  * single-JVM runs free of tmp-dir churn.
   */
 object Components {
 
@@ -31,8 +34,13 @@ object Components {
     * `component` = the smallest node id in the node's connected
     * component. Node ids must be LONG-castable. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
-                maxIters: Int = 20): DataFrame = {
+                maxIters: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(maxIters > 0, "maxIters must be positive")
+    // reliable-checkpoint mode: survives executor loss mid-iteration
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetric edge list + self-loops (so isolated endpoints keep
@@ -41,16 +49,15 @@ object Components {
       .union(e.select(col("src"), col("src").as("dst")))
       .union(e.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node"), col("src").as("label"))
-      .distinct()
-      .localCheckpoint()
+    val symT = truncate(sym)
+    var labels = truncate(
+      symT.select(col("src").as("node"), col("src").as("label")).distinct())
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       // neighbour-min pass: label(x) <- min over {x} ∪ N(x) of label
       // (self-loops make the node's own label part of the aggregate)
-      val nbr = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      val nbr = symT.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("label").as("label"))
       // pointer-doubling shortcut: label(x) <- label(label(x)). Labels
@@ -63,12 +70,12 @@ object Components {
       val next = nbr.alias("__a")
         .join(labels.alias("__b"), col("__a.label") === col("__b.node"))
         .select(col("__a.node").as("node"), col("__b.label").as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+      val nextT = truncate(next)
+      val changed = nextT.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .where(col("label") =!= col("old"))
         .limit(1).count()
       converged = changed == 0
-      labels = next
+      labels = nextT
       it += 1
     }
     // an unconverged result is silently WRONG (labels stop mid-merge) —

@@ -802,6 +802,7 @@ object Lower {
       return zipStep(st, name, args, resolve)
     if (name == "deep_shape" || name == "deep_like")
       return deepShapeStep(st, name, args)
+    if (name == "trace_path" && args.isEmpty) return tracePathStep(st)
     if (name == "find_index" || name == "indices_where")
       return idxStep(st, name, args)
     if (name == "reverse") {
@@ -845,6 +846,54 @@ object Lower {
       case n if orderSensitive(n) => St(lowered, st.order)
       case _ => St(lowered)
     }
+  }
+
+  /** `trace_path()` — `{path, value}` rows for every leaf of every row
+    * (reference O:schema.rs / Deep.tracePaths): paths render as
+    * `$[i].a.b` rooted at the stream, so the row index needs the TOTAL
+    * active order — computed by the distributed global-rn machinery,
+    * never an unpartitioned window. Leaf paths are enumerated from the
+    * static schema at plan time (pre-order, declared field order — the
+    * interpreter's walk order); null leaves are filtered (absent from
+    * the document the interpreter walks). Array/map leaves have no
+    * static path and heterogeneous leaf types have no single `value`
+    * lane — both bail to doc mode. */
+  private def tracePathStep(st: St): St = {
+    import org.apache.spark.sql.types._
+    if (st.order.isEmpty) bail("trace_path without an explicit sort (document order undefined)")
+    val df = st.df
+    val vis = df.columns.filterNot(_.startsWith("__ord_")).toIndexedSeq
+    val visSchema = StructType(df.schema.fields.filter(f => vis.contains(f.name)))
+    def leaves(path: Seq[String], tpe: StructType): Seq[(Seq[String], DataType)] =
+      tpe.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s: StructType             => leaves(path :+ f.name, s)
+          case _: ArrayType | _: MapType =>
+            bail("trace_path: array/map leaves have no static path")
+          case dt                        => Seq((path :+ f.name, dt))
+        }
+      }
+    val ps = leaves(Nil, visSchema)
+    if (ps.isEmpty) bail("trace_path: no leaf fields")
+    if (ps.map(_._2).distinct.length != 1)
+      bail("trace_path: heterogeneous leaf types (project a uniform shape first)")
+    val cl = new ColLower(Some(df.schema))
+    val ordCols = st.order.map { case (e, d) =>
+      val c = cl.colExpr(e); if (d) c.desc else c.asc
+    }
+    val elems = ps.map { case (p, _) =>
+      val c = col(p.mkString("."))
+      when(c.isNotNull, struct(lit("." + p.mkString(".")).as("sfx"), c.as("v")))
+    }
+    val arr = filter(array(elems: _*), x => x.isNotNull)
+    val sel = withGlobalRn(df, ordCols, "__grn")
+      .select(col("__grn").as("__ord_0"), posexplode(arr).as(Seq("__ord_1", "__e")))
+    val out = sel.select(
+      concat(lit("$["), (col("__ord_0") - 1).cast("string"), lit("]"),
+        col("__e.sfx")).as("path"),
+      col("__e.v").as("value"),
+      col("__ord_0"), col("__ord_1"))
+    St(out, Vector((Ident("__ord_0"), false), (Ident("__ord_1"), false)))
   }
 
   /** `map(shape)` with a live sort in force: project the shape AND the

@@ -222,6 +222,36 @@ object DocQueries extends QueryGroup {
       .orderBy("okey")
   }
 
+  /** Structural schema inference per document (reference O:schema.rs:219
+    * via Builtins.schemaOf): a synthesised JSON doc exercises every
+    * branch — Int/String scalars, an explicitly-null field (marked
+    * nullable and dropped from `required`), and a mixed-type array
+    * (items unify to Mixed). The oracle replays the exact rendered
+    * schema text per row, so the whole inference walk hash-verifies. */
+  private val schemaQ = q(
+    "q_schema",
+    """SELECT event_id AS id,
+      |  '{"type":"Object","required":["id","typ"' ||
+      |  CASE WHEN CAST(FLOOR(value) AS BIGINT) % 2 = 0 THEN '' ELSE ',"v"' END ||
+      |  ',"tags"],"fields":{"id":{"type":"Int"},"typ":{"type":"String"},"v":' ||
+      |  CASE WHEN CAST(FLOOR(value) AS BIGINT) % 2 = 0 THEN '{"type":"Null","nullable":true}'
+      |       ELSE '{"type":"Int"}' END ||
+      |  ',"tags":{"type":"Array","len":2,"items":{"type":"Mixed"}}}}' AS sch
+      |FROM events WHERE event_id <= 500 ORDER BY id""".stripMargin) { (s, d) =>
+    val doc = concat(
+      lit("{\"id\": "), col("event_id"),
+      lit(", \"typ\": \""), col("event_type"), lit("\""),
+      lit(", \"v\": "),
+      when(col("value").cast("long") % 2 === 0, lit("null"))
+        .otherwise(col("value").cast("long").cast("string")),
+      lit(", \"tags\": [\"a\", "), col("user_id"), lit("]}"))
+    Tables.events(s, d)
+      .filter(col("event_id") <= 500)
+      .select(col("event_id").as("id"),
+        Jetro.jetroEval("$.schema()", doc).as("sch"))
+      .orderBy("id")
+  }
+
   def defs = Seq(docPipeline, docNative, docRow, docNativeTopK, docDeep,
-    docPatch, docTop2)
+    docPatch, docTop2, schemaQ)
 }

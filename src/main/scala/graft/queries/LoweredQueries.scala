@@ -603,11 +603,31 @@ object LoweredQueries extends QueryGroup {
     graft.Graft.query(s, d, e).orderBy("id")
   }
 
+  /** `trace_path()` through the compiler — `{path, value}` rows for
+    * every leaf in document order (reference Deep.tracePaths): leaf
+    * paths enumerate from the static schema at plan time, the `$[i]`
+    * row index comes from the distributed global-rn machinery (no
+    * OrderBarrier). The oracle replays the path rendering and the
+    * (row, leaf pre-order) output order. */
+  private val tracePathL = q(
+    "q_lower_trace_path",
+    """WITH r AS (SELECT c_name, c_mktsegment,
+      |    row_number() OVER (ORDER BY c_custkey) - 1 AS i
+      |  FROM customer WHERE c_custkey <= 40)
+      |SELECT path, value FROM (
+      |  SELECT i, 0 AS fo, '$[' || i || '].name' AS path, c_name AS value FROM r
+      |  UNION ALL
+      |  SELECT i, 1, '$[' || i || '].seg', c_mktsegment FROM r)
+      |ORDER BY i, fo""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.customer{c_custkey <= 40}.sort_by(c_custkey).map({name: c_name, seg: c_mktsegment}).trace_path()""")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
-    sortCmp, rowwiseFb)
+    sortCmp, rowwiseFb, tracePathL)
 }

@@ -71,4 +71,24 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L, 5L)) // 4 and 6 dropped, rep 2 kept
   }
+
+  test("reliable-checkpoint mode produces the same clusters") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      val got = Components.connected(
+          edges.toDF("a", "b"), "a", "b",
+          maxIters = 20, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges))
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

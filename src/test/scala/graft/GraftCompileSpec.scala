@@ -35,6 +35,32 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     Jetro.compile(expr).evalValue(JValue.parse(s"""{"$table": [${rows.mkString(",")}]}"""))
   }
 
+  test("trace_path lowers with document-order paths and matches the interpreter") {
+    val expr = """$.customer.sort_by(c_custkey).map({name: c_name, seg: c_mktsegment}).trace_path()"""
+    val compiled = graft.plans.Lower
+      .compile(expr, t => graft.core.Tables(spark, sfDir, t))
+    val got = compiled.collect().map(r => (r.getString(0), r.getString(1))).toVector
+    val exp = docAnswer(expr) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        def s(k: String) = jexpr.Interp.fieldOf(o, k) match {
+          case jexpr.JStr(v) => v
+          case other         => fail(s"expected string $k, got ${other.kind}")
+        }
+        (s("path"), s("value"))
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.nonEmpty)
+    // heterogeneous leaves refuse to lower (doc mode keeps them typed)
+    assert(graft.plans.Lower.tryCompile(
+      """$.customer.sort_by(c_custkey).map({k: c_custkey, name: c_name}).trace_path()""",
+      t => graft.core.Tables(spark, sfDir, t)).isEmpty)
+    // no sort, no document order: refuses rather than fabricating one
+    assert(graft.plans.Lower.tryCompile(
+      """$.region.map({name: r_name}).trace_path()""",
+      t => graft.core.Tables(spark, sfDir, t)).isEmpty)
+  }
+
   test("headline pipeline compiles and matches the interpreter") {
     val expr = """$.orders{o_orderstatus == "O"}.sort_by(-o_orderkey).take(3).map({id: o_orderkey, total: o_totalprice})"""
     val compiled = graft.plans.Lower
