@@ -88,19 +88,18 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // the candidate set per query is the WHOLE corpus, so the re-rank
+    // must be the bounded k-buffer aggregate: a per-qid row_number
+    // window here would sort corpus-sized groups — at 100 TB that is
+    // the difference between shuffling ~queries × k candidates and
+    // sorting queries × corpus rows
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("cid"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("sim"),
-        col("rk").cast("long").as("rk"))
+      .select("qid", "cid", "sim")
+    rerank(scored, k)
   }
 
   /** Per-group mean-pooled embedding (class centroids, user profiles,

@@ -803,6 +803,7 @@ object Lower {
     if (name == "deep_shape" || name == "deep_like")
       return deepShapeStep(st, name, args)
     if (name == "trace_path" && args.isEmpty) return tracePathStep(st)
+    if (name == "walk" || name == "walk_pre") return walkTransformStep(st, name, args)
     if (name == "find_index" || name == "indices_where")
       return idxStep(st, name, args)
     if (name == "reverse") {
@@ -846,6 +847,83 @@ object Lower {
       case n if orderSensitive(n) => St(lowered, st.order)
       case _ => St(lowered)
     }
+  }
+
+  /** `walk(fn)` / `walk_pre(fn)` — recursive node transform (reference
+    * O:array.rs:599-806; Deep.walkPost/walkPre) for the tractable
+    * static-schema subset: a kind-guarded scalar lambda
+    * `walk(x => T(x) if x is <string|number|bool> else x)`. Containers
+    * take the identity branch, so the whole walk is "transform every
+    * matching scalar leaf" — ONE codegen'd projection, recursing into
+    * structs (rebuilt) and arrays (`transform` HOF), no interpreter.
+    * Pre/post order coincide because T is required to return a SCALAR
+    * (a container-producing T would be re-walked by walk_pre — that
+    * shape keeps the interpreter). Bails: non-guarded bodies, map
+    * lanes, and — for the string guard — date/timestamp/binary leaves,
+    * which the walked JSON document presents as strings (a typed
+    * column would silently skip what doc mode transforms). */
+  private def walkTransformStep(st: St, name: String, args: Vector[Arg]): St = {
+    import org.apache.spark.sql.types._
+    val (param, body) = argE(args, 0) match {
+      case Lambda(Vector(p), b) => (p, b)
+      case _                    => bail(s"$name: single-param lambda required")
+    }
+    val (kind, tBody) = body match {
+      case IfElse(KindIs(Ident(p2), k, false), t, Ident(p3))
+          if p2 == param && p3 == param => (k, t)
+      case _ => bail(s"$name: only a kind-guarded scalar transform lowers")
+    }
+    if (!Set("string", "number", "bool")(kind))
+      bail(s"$name: kind $kind guard does not lower")
+    def matches(dt: DataType): Boolean = (kind, dt) match {
+      case ("string", StringType)     => true
+      case ("number", _: NumericType) => true
+      case ("bool", BooleanType)      => true
+      case _                          => false
+    }
+    // doc mode walks the toJSON image, where these arrive as strings
+    def stringInDoc(dt: DataType): Boolean = dt match {
+      case DateType | TimestampType | TimestampNTZType | BinaryType => true
+      case _ => false
+    }
+    def tOver(c: Column, dt: DataType): Column = {
+      val scope = new ColLower(None, current = Some(c), currentDt = Some(dt),
+        param = Some(param), scalarElem = true)
+      val out = scope.colExpr(tBody)
+      scope.inferDt(tBody) match {
+        case Some(t) if isAtomic(t) => out
+        case _ => bail(s"$name: transform must return a scalar")
+      }
+    }
+    def rebuild(c: Column, dt: DataType): Column = dt match {
+      case s: StructType =>
+        val inner = struct(s.fields.map(f =>
+          rebuild(c.getField(f.name), f.dataType).as(f.name)): _*)
+        when(c.isNotNull, inner)
+      case ArrayType(et, _) => transform(c, x => rebuild(x, et))
+      case _: MapType       => bail(s"$name: map lanes have no static walk")
+      case leaf if matches(leaf) => when(c.isNotNull, tOver(c, leaf))
+      case leaf =>
+        if (kind == "string" && stringInDoc(leaf))
+          bail(s"$name: $leaf walks as a string in doc mode")
+        c
+    }
+    val df = st.df
+    val vis = df.columns.filterNot(_.startsWith("__ord_")).toIndexedSeq
+    // freeze the active order BEFORE values change: the walk rewrites
+    // the very columns a prior sort may key on, and doc mode sorted
+    // first — so the order rides through on hidden pre-walk copies
+    val cl = new ColLower(Some(df.schema))
+    val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
+      cl.colExpr(e).as(s"__ord_$i")
+    }
+    val walked = vis.map { c =>
+      rebuild(col(c), df.schema(c).dataType).as(c)
+    }
+    val rebased = st.order.zipWithIndex.map { case ((_, d), i) =>
+      (Ident(s"__ord_$i"): Expr, d)
+    }
+    St(df.select(walked ++ ordCols: _*), rebased)
   }
 
   /** `trace_path()` — `{path, value}` rows for every leaf of every row
@@ -2025,7 +2103,7 @@ object Lower {
     * for array-op decisions (sum zero typing, flat_map shape, map result
     * lanes) — the KIND must be right; exact width may differ from the
     * analyzer's (e.g. int vs long), which only ever widens. */
-  private def inferDt(e: Expr): Option[DataType] = e match {
+  private[Lower] def inferDt(e: Expr): Option[DataType] = e match {
     case Lit(JInt(_))   => Some(LongType)
     case Lit(JFloat(_)) => Some(DoubleType)
     case Lit(JStr(_))   => Some(StringType)

@@ -623,11 +623,28 @@ object LoweredQueries extends QueryGroup {
       """$.customer{c_custkey <= 40}.sort_by(c_custkey).map({name: c_name, seg: c_mktsegment}).trace_path()""")
   }
 
+  /** `walk(fn)` through the compiler — the kind-guarded scalar-
+    * transform subset compiles to ONE projection (string leaves
+    * lowered, numbers untouched via the identity branch); the active
+    * sort rides on hidden pre-walk copies so transforming the sort
+    * key's column cannot reorder the stream. */
+  private val walkL = q(
+    "q_lower_walk",
+    """SELECT LOWER(c_name) AS name, LOWER(c_mktsegment) AS seg,
+      |  c_acctbal AS bal
+      |FROM customer WHERE c_custkey <= 100
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.customer{c_custkey <= 100}.sort_by(c_custkey)
+        |.map({name: c_name, seg: c_mktsegment, bal: c_acctbal})
+        |.walk(lambda x: x.lower() if x is string else x)""".stripMargin)
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
-    sortCmp, rowwiseFb, tracePathL)
+    sortCmp, rowwiseFb, tracePathL, walkL)
 }

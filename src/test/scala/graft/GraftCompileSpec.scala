@@ -61,6 +61,61 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       t => graft.core.Tables(spark, sfDir, t)).isEmpty)
   }
 
+  test("walk/walk_pre lower kind-guarded scalar transforms") {
+    // string guard after a sort + shape: order must ride on pre-walk
+    // values (doc mode sorted before walking)
+    val e1 = """$.customer.sort_by(-c_custkey).map({name: c_name, seg: c_mktsegment})
+               |.walk(lambda x: x.lower() if x is string else x)""".stripMargin
+    val got1 = graft.plans.Lower
+      .compile(e1, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(r => (r.getString(0), r.getString(1))).toVector
+    val exp1 = docAnswer(e1) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        def s(k: String) = jexpr.Interp.fieldOf(o, k) match {
+          case jexpr.JStr(v) => v; case other => fail(s"$k: ${other.kind}")
+        }
+        (s("name"), s("seg"))
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got1 == exp1 && got1.nonEmpty)
+    // number guard through walk_pre (scalar transform: pre == post)
+    val e2 = """$.region.map({k: r_regionkey, n: r_name})
+               |.walk_pre(lambda v: v * 10 if v is number else v)""".stripMargin
+    val got2 = graft.plans.Lower
+      .compile(e2, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp2 = docAnswer(e2) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong,
+         jexpr.Interp.fieldOf(o, "n") match { case jexpr.JStr(v) => v; case _ => fail() })
+      }.toSet
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got2 == exp2 && got2.nonEmpty)
+    // non-guarded body / container kinds keep the interpreter
+    assert(!Graft.lowers(spark, sfDir,
+      "$.region.walk(lambda x: x.upper())"))
+    assert(!Graft.lowers(spark, sfDir,
+      "$.region.walk(lambda x: x if x is array else x)"))
+  }
+
+  test("walk recurses through arrays and nested structs") {
+    val df = spark
+      .createDataFrame(Seq((1L, Seq(1L, 2L), "a"), (2L, Seq(3L), "b")))
+      .toDF("id", "xs", "tag")
+    val expr = "$.t.walk(lambda x: x * 10 if x is number else x)"
+    val got = graft.plans.Lower.compile(expr, _ => df)
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1).toVector, r.getString(2))).toSet
+    assert(got == Set((10L, Vector(10L, 20L), "a"), (20L, Vector(30L), "b")))
+    // same answer as the interpreter over the equivalent document
+    val doc = """{"t":[{"id":1,"xs":[1,2],"tag":"a"},{"id":2,"xs":[3],"tag":"b"}]}"""
+    val exp = Jetro.compile(expr).evalValue(JValue.parse(doc)).render
+    assert(exp ==
+      """[{"id":10,"xs":[10,20],"tag":"a"},{"id":20,"xs":[30],"tag":"b"}]""")
+  }
+
   test("headline pipeline compiles and matches the interpreter") {
     val expr = """$.orders{o_orderstatus == "O"}.sort_by(-o_orderkey).take(3).map({id: o_orderkey, total: o_totalprice})"""
     val compiled = graft.plans.Lower

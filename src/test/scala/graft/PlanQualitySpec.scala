@@ -392,6 +392,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("ANN re-ranks are bounded k-buffer aggregates, not per-query sort windows") {
+    for (name <- Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf")) {
+      val q = graft.queries.Catalog.queries(name)(spark, sf)
+      q.collect()
+      val plan = executed(q).toString
+      // probe-list windows (bounded by nlist per query) are fine; the
+      // corpus-sized candidate re-rank must never be a Window sort.
+      // q_cosine_topk's candidate set is the whole corpus, so its plan
+      // must carry NO Window at all
+      assert(plan.contains("ObjectHashAggregate"), s"$name: $plan")
+      if (name == "q_cosine_topk") assert(!plan.contains("Window"), s"$name: $plan")
+    }
+  }
+
   test("rowwise fallback query never collects the table on the driver") {
     val q = graft.queries.Catalog.queries("q_lower_rowwise_fallback")(spark, sf)
     // the interpreter runs per row on the executors: the lineage starts
