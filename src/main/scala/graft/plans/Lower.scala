@@ -619,12 +619,17 @@ object Lower {
 
   /** `$..name` — schema-directed deep descent (reference structural
     * backend exec/structural.rs:22-40, opcode.rs:206-209): every match
-    * is a static column path (StructOps.descendantPaths), emitted
-    * pre-order per row and flattened across rows like the interpreter's
-    * document walk. Null leaves are filtered — a null field is absent
-    * from the document the interpreter walks (toJSON omits nulls).
-    * Matches hiding inside array/map ELEMENTS have no static column
-    * path → bail to doc mode. */
+    * site is enumerated from the STATIC schema at plan time and emitted
+    * pre-order per row (declared field order; a matched field's value is
+    * emitted, then descended into), flattened across rows like the
+    * interpreter's document walk. Matches inside array ELEMENTS lower
+    * too: `transform` + `flatten` HOFs collect per-element matches in
+    * element order — still one codegen'd projection, no interpreter.
+    * Null leaves are filtered and null containers contribute nothing —
+    * both absent from the document the interpreter walks (toJSON omits
+    * nulls). Matches under map VALUES have no static key order → bail
+    * to doc mode; heterogeneous match types surface as an analysis
+    * failure, which tryCompile turns into the fallback. */
   private def descendStep(st: St, name: String): St = {
     import org.apache.spark.sql.types._
     val df = st.df
@@ -634,20 +639,42 @@ object Lower {
       case MapType(_, v, _) => containsName(v)
       case _                => false
     }
-    def hiddenInContainer(t: DataType): Boolean = t match {
-      case s: StructType    => s.fields.exists(f => hiddenInContainer(f.dataType))
-      case ArrayType(e, _)  => containsName(e) || hiddenInContainer(e)
-      case MapType(_, v, _) => containsName(v) || hiddenInContainer(v)
+    def underMapValue(t: DataType): Boolean = t match {
+      case s: StructType    => s.fields.exists(f => underMapValue(f.dataType))
+      case ArrayType(e, _)  => underMapValue(e)
+      case MapType(_, v, _) => containsName(v) || underMapValue(v)
       case _                => false
     }
-    if (df.schema.fields.exists(f => hiddenInContainer(f.dataType)))
-      bail("deep descent: matches inside array/map elements")
+    if (df.schema.fields.exists(f => underMapValue(f.dataType)))
+      bail("deep descent: matches inside map values have no static walk")
     val vis = df.columns.filterNot(_.startsWith("__ord_"))
     val visSchema = StructType(df.schema.fields.filter(f => vis.contains(f.name)))
-    val paths = graft.ops.StructOps.descendantPaths(visSchema, name)
-    if (paths.isEmpty) bail(s"deep descent: no '$name' in the plan schema")
-    val arr = filter(array(paths.map(col): _*), x => x.isNotNull)
-    explodePreOrder(st, arr)
+    if (!containsName(visSchema)) bail(s"deep descent: no '$name' in the plan schema")
+    // array of pre-order matches INSIDE value c (never null: null hits
+    // filter to empty, null arrays coalesce to a typed empty)
+    def matchesIn(c: Column, dt: DataType): Column = dt match {
+      case s: StructType =>
+        val parts = s.fields.toSeq.flatMap { f =>
+          val fc = c.getField(f.name)
+          val hit =
+            if (f.name == name) Seq(filter(array(fc), x => x.isNotNull)) else Nil
+          val rec =
+            if (containsName(f.dataType)) Seq(matchesIn(fc, f.dataType)) else Nil
+          hit ++ rec
+        }
+        concat(parts: _*)
+      case at @ ArrayType(e, _) =>
+        flatten(transform(coalesce(c, array().cast(at)), x => matchesIn(x, e)))
+      case other => bail(s"deep descent: cannot walk $other")
+    }
+    val top = visSchema.fields.toSeq.flatMap { f =>
+      val hit =
+        if (f.name == name) Seq(filter(array(col(f.name)), x => x.isNotNull)) else Nil
+      val rec =
+        if (containsName(f.dataType)) Seq(matchesIn(col(f.name), f.dataType)) else Nil
+      hit ++ rec
+    }
+    explodePreOrder(st, concat(top: _*))
   }
 
   /** Flatten a per-row pre-order match array into the chain's row
@@ -737,40 +764,54 @@ object Lower {
       case MapType(_, v2, _) => containsCandidate(v2)
       case _                 => false
     }
-    def hiddenCandidate(t: DataType): Boolean = t match {
-      case s2: StructType    => s2.fields.exists(f => hiddenCandidate(f.dataType))
-      case ArrayType(e, _)   => containsCandidate(e)
-      case MapType(_, v2, _) => containsCandidate(v2)
+    def underMapValue(t: DataType): Boolean = t match {
+      case s2: StructType    => s2.fields.exists(f => underMapValue(f.dataType))
+      case ArrayType(e, _)   => underMapValue(e)
+      case MapType(_, v2, _) => containsCandidate(v2) || underMapValue(v2)
       case _                 => false
     }
-    if (visSchema.fields.exists(f => hiddenCandidate(f.dataType)))
-      bail(s"$name: candidate objects inside array/map elements")
-    // pre-order, self included: the row object first, then DFS in
-    // declared field order — the interpreter's allNodes walk
-    def candidates(path: Seq[String], tpe: StructType): Seq[Seq[String]] = {
-      val here = if (hasKeys(tpe)) Seq(path) else Nil
-      here ++ tpe.fields.toSeq.flatMap { f =>
-        f.dataType match {
-          case s2: StructType => candidates(path :+ f.name, s2)
-          case _              => Nil
-        }
-      }
-    }
-    val cands = candidates(Nil, visSchema)
-    if (cands.isEmpty) bail(s"$name: no candidate object in the plan schema")
-    val cols = cands.map { path =>
-      val self = if (path.isEmpty) struct(vis.map(col): _*) else col(path.mkString("."))
-      def keyCol(k: String) =
-        if (path.isEmpty) col(k) else col((path :+ k).mkString("."))
+    if (visSchema.fields.exists(f => underMapValue(f.dataType)))
+      bail(s"$name: candidate objects inside map values have no static walk")
+    // pre-order, self included: every struct node is a candidate (the
+    // interpreter's allNodes walk), checked with native predicates —
+    // key presence (non-null, matching the bridge's null-omission) for
+    // shape, type-checked null-safe literal equality for like. Struct
+    // nodes inside ARRAYS are collected with transform+flatten HOFs in
+    // element order; null candidates filter to nothing.
+    def checked(c: Column, s2: StructType): Column = {
       val matched = keys.map { k =>
-        if (isLike) keyCol(k) <=> litOf(likeRaw.toMap.apply(k))
-        else keyCol(k).isNotNull // null field = absent from the walked doc
+        if (isLike) c.getField(k) <=> litOf(likeRaw.toMap.apply(k))
+        else c.getField(k).isNotNull // null field = absent from the walked doc
       }.reduce(_ && _)
-      val selfPresent = if (path.isEmpty) lit(true) else self.isNotNull
-      when(selfPresent && matched, self)
+      when(c.isNotNull && matched, c)
     }
-    val arr = filter(array(cols: _*), x => x.isNotNull)
-    explodePreOrder(st, arr)
+    def candIn(c: Column, dt: DataType): Seq[Column] = dt match {
+      case s2: StructType =>
+        val self =
+          if (hasKeys(s2)) Seq(filter(array(checked(c, s2)), x => x.isNotNull))
+          else Nil
+        self ++ s2.fields.toSeq.flatMap { f =>
+          if (containsCandidate(f.dataType)) candIn(c.getField(f.name), f.dataType)
+          else Nil
+        }
+      case at @ ArrayType(e, _) =>
+        Seq(flatten(transform(coalesce(c, array().cast(at)),
+          x => concat(candIn(x, e): _*))))
+      case other => bail(s"$name: cannot walk $other")
+    }
+    val rowSelf =
+      if (hasKeys(visSchema)) {
+        val matched = keys.map { k =>
+          if (isLike) col(k) <=> litOf(likeRaw.toMap.apply(k))
+          else col(k).isNotNull
+        }.reduce(_ && _)
+        Seq(filter(array(when(matched, struct(vis.map(col): _*))), x => x.isNotNull))
+      } else Nil
+    val parts = rowSelf ++ visSchema.fields.toSeq.flatMap { f =>
+      if (containsCandidate(f.dataType)) candIn(col(f.name), f.dataType) else Nil
+    }
+    if (parts.isEmpty) bail(s"$name: no candidate object in the plan schema")
+    explodePreOrder(st, concat(parts: _*))
   }
 
   /** Ops that consume or preserve the active sequence order; everything
@@ -1814,6 +1855,11 @@ object Lower {
         case ObjField.KV(Ident(k), v, None)     => colExpr(v).as(k)
         case f => bail(s"object literal field unsupported: $f")
       }: _*)
+    case ArrLit(es) // array literal → array column (elements coerce or
+        if es.forall { case ArrElem.One(_) => true; case _ => false } =>
+      array(es.map { case ArrElem.One(x) => colExpr(x)
+                     case s => bail(s"array literal element unsupported: $s")
+      }: _*) // the analysis failure falls back, like every mixed lane
     case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
     case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)
     case Cast(x, to) => to match {

@@ -623,6 +623,26 @@ object LoweredQueries extends QueryGroup {
       """$.customer{c_custkey <= 40}.sort_by(c_custkey).map({name: c_name, seg: c_mktsegment}).trace_path()""")
   }
 
+  /** `$..field` through ARRAY elements — matches inside an array of
+    * structs lower with transform+flatten HOFs in element order (no
+    * interpreter, no bail); the array itself is built by the new
+    * array-literal lowering inside the map shape. The oracle replays
+    * the per-row element order with a UNION ALL position column. */
+  private val deepArrL = q(
+    "q_lower_deep_arr",
+    """SELECT v AS value FROM (
+      |  SELECT c_custkey AS o, 0 AS p, c_name AS v
+      |  FROM customer WHERE c_custkey <= 60
+      |  UNION ALL
+      |  SELECT c_custkey, 1, c_mktsegment
+      |  FROM customer WHERE c_custkey <= 60)
+      |ORDER BY o, p""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.customer{c_custkey <= 60}.sort_by(c_custkey)
+        |.map({id: c_custkey, kids: [{v: c_name}, {v: c_mktsegment}]})
+        |..v""".stripMargin)
+  }
+
   /** `walk(fn)` through the compiler — the kind-guarded scalar-
     * transform subset compiles to ONE projection (string leaves
     * lowered, numbers untouched via the identity branch); the active
@@ -646,5 +666,5 @@ object LoweredQueries extends QueryGroup {
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
-    sortCmp, rowwiseFb, tracePathL, walkL)
+    sortCmp, rowwiseFb, tracePathL, walkL, deepArrL)
 }

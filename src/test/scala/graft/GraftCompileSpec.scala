@@ -116,6 +116,74 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"id":10,"xs":[10,20],"tag":"a"},{"id":20,"xs":[30],"tag":"b"}]""")
   }
 
+  test("deep descent lowers through arrays of structs in document pre-order") {
+    // matches at three sites per row — a top-level struct, elements of
+    // an array of structs, and an array nested INSIDE a matched parent —
+    // interleaved exactly as the interpreter's walk emits them
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, named_struct('v', 'a0', 'deep', named_struct('v', 'a1')),
+        |   array(named_struct('v', 'a2'), named_struct('v', 'a3'))),
+        |  (2L, named_struct('v', 'b0', 'deep', named_struct('v', 'b1')),
+        |   array(named_struct('v', 'b2')))
+        |AS t(id, head, kids)""".stripMargin)
+    val expr = "$.t.sort_by(id)..v"
+    val got = graft.plans.Lower.compile(expr, _ => df)
+      .collect().map(_.getString(0)).toVector
+    val doc =
+      """{"t":[{"id":1,"head":{"v":"a0","deep":{"v":"a1"}},
+        |       "kids":[{"v":"a2"},{"v":"a3"}]},
+        |      {"id":2,"head":{"v":"b0","deep":{"v":"b1"}},
+        |       "kids":[{"v":"b2"}]}]}""".stripMargin.replaceAll("\n\\s*", "")
+    val exp = Jetro.compile(expr).evalValue(JValue.parse(doc)) match {
+      case jexpr.JArr(xs) => xs.map { case jexpr.JStr(s) => s; case o => fail(o.kind) }
+      case other          => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got == Vector("a0", "a1", "a2", "a3", "b0", "b1", "b2"))
+    // null elements and null containers contribute nothing (absent from
+    // the walked document), matching the interpreter over the same doc
+    val dfN = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(named_struct('v', 'x'), named_struct('v', CAST(NULL AS STRING)))),
+        |  (2L, CAST(NULL AS ARRAY<STRUCT<v: STRING>>))
+        |AS t(id, kids)""".stripMargin)
+    val gotN = graft.plans.Lower.compile("$.t.sort_by(id)..v", _ => dfN)
+      .collect().map(_.getString(0)).toVector
+    assert(gotN == Vector("x"))
+    // matches under map VALUES have no static key order: refuse, and the
+    // interpreter path stays the designed fallback
+    val dfM = spark.sql(
+      "SELECT * FROM VALUES (1L, map('k', named_struct('v', 'm'))) AS t(id, m)")
+    assert(graft.plans.Lower.tryCompile("$.t..v", _ => dfM).isEmpty)
+  }
+
+  test("deep shape/like lower through arrays of structs") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(named_struct('sku', 's1', 'qty', 2L),
+        |             named_struct('sku', 's2', 'qty', 5L))),
+        |  (2L, array(named_struct('sku', 's3', 'qty', 1L)))
+        |AS t(id, items)""".stripMargin)
+    val gotShape = graft.plans.Lower
+      .compile("$.t.sort_by(id)..shape({sku, qty})", _ => df)
+      .select("value.sku")
+      .collect().map(_.getString(0)).toVector
+    assert(gotShape == Vector("s1", "s2", "s3"))
+    val gotLike = graft.plans.Lower
+      .compile("""$.t.sort_by(id)..like({sku: "s2"})""", _ => df)
+      .select("value.qty")
+      .collect().map(_.getLong(0)).toVector
+    assert(gotLike == Vector(5L))
+    // interpreter parity over the equivalent document
+    val doc =
+      """{"t":[{"id":1,"items":[{"sku":"s1","qty":2},{"sku":"s2","qty":5}]},
+        |      {"id":2,"items":[{"sku":"s3","qty":1}]}]}"""
+        .stripMargin.replaceAll("\n\\s*", "")
+    val exp = Jetro.compile("$.t.sort_by(id)..shape({sku, qty}).map(sku)")
+      .evalValue(JValue.parse(doc)).render
+    assert(exp == """["s1","s2","s3"]""")
+  }
+
   test("headline pipeline compiles and matches the interpreter") {
     val expr = """$.orders{o_orderstatus == "O"}.sort_by(-o_orderkey).take(3).map({id: o_orderkey, total: o_totalprice})"""
     val compiled = graft.plans.Lower
