@@ -678,22 +678,44 @@ object Lower {
   }
 
   /** Flatten a per-row pre-order match array into the chain's row
-    * stream as `value`, carrying the active order through the explode
-    * plus the in-row position as the final sequence key. */
+    * stream, carrying the active order through the explode plus the
+    * in-row position as the final sequence key. An OBJECT stream lands
+    * as a row lane — the matched struct's fields become the row's
+    * columns, the same bridge `map({shape})` uses — so downstream
+    * stages (`filter(qty > 2)`, `map(sku)`, group_by…) keep lowering;
+    * scalar streams stay a single `value` column. */
   private def explodePreOrder(st: St, arr: Column): St = {
     val df = st.df
-    if (st.order.isEmpty) St(df.select(explode(arr).as("value")))
-    else {
-      val cl = new ColLower(Some(df.schema))
-      val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
-        cl.colExpr(e).as(s"__ord_$i")
+    val out =
+      if (st.order.isEmpty) St(df.select(explode(arr).as("value")))
+      else {
+        val cl = new ColLower(Some(df.schema))
+        val ordCols = st.order.zipWithIndex.map { case ((e, _), i) =>
+          cl.colExpr(e).as(s"__ord_$i")
+        }
+        val sel = df.select(
+          ordCols :+ posexplode(arr).as(Seq("__ord_p", "value")): _*)
+        val rebased = st.order.zipWithIndex.map { case ((_, d), i) =>
+          (Ident(s"__ord_$i"): Expr, d)
+        } :+ ((Ident("__ord_p"): Expr, false))
+        St(sel, rebased)
       }
-      val sel = df.select(
-        ordCols :+ posexplode(arr).as(Seq("__ord_p", "value")): _*)
-      val rebased = st.order.zipWithIndex.map { case ((_, d), i) =>
-        (Ident(s"__ord_$i"): Expr, d)
-      } :+ ((Ident("__ord_p"): Expr, false))
-      St(sel, rebased)
+    expandValueLane(out)
+  }
+
+  /** Rewrite a single struct-typed `value` lane into its fields as row
+    * columns (hidden `__ord_*` carries ride along). Field names that
+    * would clash with the carries or shadow `value` keep the struct. */
+  private def expandValueLane(st: St): St = {
+    import org.apache.spark.sql.types._
+    st.df.schema.fields.find(_.name == "value").map(_.dataType) match {
+      case Some(s: StructType)
+          if !s.fieldNames.exists(n => n.startsWith("__ord_") || n == "value") =>
+        val hidden = st.df.columns.filter(_.startsWith("__ord_")).toIndexedSeq
+        St(st.df.select(
+          s.fieldNames.toIndexedSeq.map(n => col("value").getField(n).as(n)) ++
+            hidden.map(col): _*), st.order)
+      case _ => st
     }
   }
 

@@ -462,7 +462,6 @@ object LoweredQueries extends QueryGroup {
         |.map({id: n_nationkey, geo: {key: n_regionkey, tag: "g"},
         |      meta: {key: n_nationkey + 100, tag: "m"}})
         |..shape({key, tag})""".stripMargin)
-      .select(col("value.key").as("key"), col("value.tag").as("tag"))
   }
 
   /** `..like({k: lit})` through the compiler — the shape walk plus a
@@ -477,7 +476,6 @@ object LoweredQueries extends QueryGroup {
         |.map({id: n_nationkey, geo: {key: n_regionkey, tag: "g"},
         |      meta: {key: n_nationkey + 100, tag: "m"}})
         |..like({tag: "m"})""".stripMargin)
-      .select(col("value.key").as("key"), col("value.tag").as("tag"))
   }
 
   /** `zip(other)` through the compiler — positional row_number join of

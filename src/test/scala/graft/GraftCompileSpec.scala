@@ -164,14 +164,16 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
         |             named_struct('sku', 's2', 'qty', 5L))),
         |  (2L, array(named_struct('sku', 's3', 'qty', 1L)))
         |AS t(id, items)""".stripMargin)
+    // the matched-object stream lands as a ROW lane (fields = columns),
+    // so downstream stages keep lowering — here a filter + map over the
+    // match results compile through
     val gotShape = graft.plans.Lower
-      .compile("$.t.sort_by(id)..shape({sku, qty})", _ => df)
-      .select("value.sku")
+      .compile("$.t.sort_by(id)..shape({sku, qty}).filter(qty > 1).map(sku)", _ => df)
       .collect().map(_.getString(0)).toVector
-    assert(gotShape == Vector("s1", "s2", "s3"))
+    assert(gotShape == Vector("s1", "s2"))
     val gotLike = graft.plans.Lower
       .compile("""$.t.sort_by(id)..like({sku: "s2"})""", _ => df)
-      .select("value.qty")
+      .select("qty")
       .collect().map(_.getLong(0)).toVector
     assert(gotLike == Vector(5L))
     // interpreter parity over the equivalent document
@@ -179,9 +181,9 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"t":[{"id":1,"items":[{"sku":"s1","qty":2},{"sku":"s2","qty":5}]},
         |      {"id":2,"items":[{"sku":"s3","qty":1}]}]}"""
         .stripMargin.replaceAll("\n\\s*", "")
-    val exp = Jetro.compile("$.t.sort_by(id)..shape({sku, qty}).map(sku)")
+    val exp = Jetro.compile("$.t.sort_by(id)..shape({sku, qty}).filter(qty > 1).map(sku)")
       .evalValue(JValue.parse(doc)).render
-    assert(exp == """["s1","s2","s3"]""")
+    assert(exp == """["s1","s2"]""")
   }
 
   test("headline pipeline compiles and matches the interpreter") {
@@ -702,8 +704,8 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(e: String): Vector[(Long, String)] =
       graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
         .collect().map { r =>
-          val s = r.getStruct(0)
-          (s.getAs[Number]("key").longValue, s.getAs[String]("tag"))
+          // the matched-object stream is a row lane: fields are columns
+          (r.getAs[Number]("key").longValue, r.getAs[String]("tag"))
         }.toVector
     def doc(e: String): Vector[(Long, String)] = docAnswer(e) match {
       case jexpr.JArr(xs) => xs.map { o =>
