@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -368,54 +370,123 @@ object Dedup {
     // The cap keeps the maxBlock SMALLEST ids per block (deterministic,
     // oracle-replayable). NOT the row_number window idiom — that sorts
     // the entire degenerate block in one task, i.e. the very pathology
-    // the cap exists to bound pays a straggler to enforce it. Instead
-    // the bounded-buffer k-smallest aggregate (the stratified-sampling
-    // shape): map-side combine caps each partition's buffer at
-    // maxBlock, so ≤ maxBlock ids per block per partition cross the
-    // shuffle, and the capped survivor set semi-joins back. Ids are
-    // distinct per row by contract (duplicate ids would all survive
-    // together); null ids are excluded under a cap.
-    val capped =
-      if (maxBlock <= 0) base
+    // the cap exists to bound pays a straggler to enforce it. Instead a
+    // bounded-buffer k-smallest aggregate whose buffer carries the
+    // (id, text) survivor PAIRS (the stratified-sampling shape, payload
+    // included): map-side combine caps each partition's buffer at
+    // maxBlock, so ≤ maxBlock short rows per block per partition cross
+    // the shuffle, and the pair fan-out double-explodes the per-block
+    // survivor array — ONE scan, no join-back, no window, no sort.
+    // Ids are distinct per row by contract (a duplicate id would keep
+    // one arbitrary text); null ids are excluded under a cap.
+    def pairsOf(aId: Column, aT: Column, bId: Column, bT: Column,
+                idLt: Column): DataFrame => DataFrame = df0 =>
+      df0.where(idLt && abs(length(aT) - length(bT)) <= maxDist)
+        .withColumn("dist", levenshtein(aT, bT, maxDist).cast("long"))
+        .where(col("dist") >= minDist && col("dist") =!= -1L)
+        .select(aId.as("id_a"), bId.as("id_b"), col("dist"))
+    val cappedPairs: Option[DataFrame] =
+      if (maxBlock <= 0) None
       else {
         import org.apache.spark.sql.types._
+        val idType = base.schema("__id").dataType
         val keyed = base.where(col("__id").isNotNull)
-        val idKeep: Option[(DataFrame, Column)] =
-          base.schema("__id").dataType match {
-            case StringType =>
-              val agg = udaf(new Sampling.KSmallestAgg(maxBlock))
-              Some((keyed.groupBy("__blk").agg(agg(col("__id")).as("__ks")),
-                col("__id") === col("__kid")))
-            case ByteType | ShortType | IntegerType | LongType =>
-              val agg = udaf(new Sampling.KSmallestLongAgg(maxBlock))
-              Some((keyed.groupBy("__blk")
-                .agg(agg(col("__id").cast("long")).as("__ks")),
-                col("__id").cast("long") === col("__kid")))
-            case _ => None // exotic id type: windowed cap below
-          }
-        idKeep match {
-          case Some((keep, idCond)) =>
-            val kept = keep.select(col("__blk").as("__kblk"),
-              explode(col("__ks")).as("__kid"))
-            keyed.join(kept,
-              col("__blk") === col("__kblk") && idCond, "left_semi")
-          case None =>
-            import org.apache.spark.sql.expressions.Window
-            val w = Window.partitionBy("__blk").orderBy("__id")
-            base.withColumn("__bpos", row_number().over(w))
-              .filter(col("__bpos") <= maxBlock).drop("__bpos")
+        val kept: Option[DataFrame] = idType match {
+          case StringType =>
+            val agg = udaf(new KSmallestStrRowAgg(maxBlock))
+            Some(keyed.groupBy("__blk")
+              .agg(agg(col("__id"), col("__t")).as("__ks")))
+          case ByteType | ShortType | IntegerType | LongType =>
+            val agg = udaf(new KSmallestLongRowAgg(maxBlock))
+            Some(keyed.groupBy("__blk")
+              .agg(agg(col("__id").cast("long"), col("__t")).as("__ks")))
+          case _ => None // exotic id type: windowed cap + self-join below
+        }
+        kept.map { k =>
+          val ex = k
+            .select(explode(col("__ks")).as("__a"), col("__ks"))
+            .select(col("__a"), explode(col("__ks")).as("__b"))
+          pairsOf(col("__a._1").cast(idType), col("__a._2"),
+            col("__b._1").cast(idType), col("__b._2"),
+            col("__a._1") < col("__b._1"))(ex)
         }
       }
-    val a = capped.select(col("__blk"), col("__id").as("id_a"),
-      col("__t").as("t_a"))
-    val b = capped.select(col("__blk"), col("__id").as("id_b"),
-      col("__t").as("t_b"))
-    a.join(b, Seq("__blk"))
-      .where(col("id_a") < col("id_b") &&
-        abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
-      .withColumn("dist",
-        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
-      .where(col("dist") >= minDist && col("dist") =!= -1L)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    cappedPairs.getOrElse {
+      val capped =
+        if (maxBlock <= 0) base
+        else {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("__blk").orderBy("__id")
+          base.withColumn("__bpos", row_number().over(w))
+            .filter(col("__bpos") <= maxBlock).drop("__bpos")
+        }
+      val a = capped.select(col("__blk"), col("__id").as("id_a"),
+        col("__t").as("t_a"))
+      val b = capped.select(col("__blk"), col("__id").as("id_b"),
+        col("__t").as("t_b"))
+      pairsOf(col("id_a"), col("t_a"), col("id_b"), col("t_b"),
+        col("id_a") < col("id_b"))(a.join(b, Seq("__blk")))
+    }
+  }
+
+  /** Bounded-buffer k-smallest (id, text) pairs, asc by LONG id with
+    * id-dedup — the [[Sampling.KSmallestLongAgg]] shape carrying the
+    * text payload so a capped block needs no join-back. */
+  final class KSmallestLongRowAgg(k: Int)
+      extends Aggregator[(Long, String), List[(Long, String)], Seq[(Long, String)]] {
+    override def zero: List[(Long, String)] = Nil
+    override def reduce(buf: List[(Long, String)], in: (Long, String)): List[(Long, String)] = {
+      // rejection fast path: a full buffer whose max id <= in cannot change
+      var n = 0; var it = buf; var last = Long.MinValue
+      while (it.nonEmpty && n < k) { last = it.head._1; it = it.tail; n += 1 }
+      if (n == k && last <= in._1) buf else merge(buf, List(in))
+    }
+    override def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] = {
+      val out = List.newBuilder[(Long, String)]
+      var (x, y, n) = (a, b, 0)
+      var last = Long.MinValue; var first = true
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        val v =
+          if (y.isEmpty || (x.nonEmpty && x.head._1 <= y.head._1)) { val h = x.head; x = x.tail; h }
+          else { val h = y.head; y = y.tail; h }
+        if (first || v._1 != last) { out += v; last = v._1; first = false; n += 1 }
+      }
+      out.result()
+    }
+    override def finish(r: List[(Long, String)]): Seq[(Long, String)] = r
+    override def bufferEncoder: Encoder[List[(Long, String)]] =
+      ExpressionEncoder[List[(Long, String)]]()
+    override def outputEncoder: Encoder[Seq[(Long, String)]] =
+      ExpressionEncoder[Seq[(Long, String)]]()
+  }
+
+  /** String-id twin of [[KSmallestLongRowAgg]]. */
+  final class KSmallestStrRowAgg(k: Int)
+      extends Aggregator[(String, String), List[(String, String)], Seq[(String, String)]] {
+    override def zero: List[(String, String)] = Nil
+    override def reduce(buf: List[(String, String)], in: (String, String)): List[(String, String)] =
+      if (in._1 == null) buf
+      else {
+        var n = 0; var it = buf; var last: String = null
+        while (it.nonEmpty && n < k) { last = it.head._1; it = it.tail; n += 1 }
+        if (n == k && last <= in._1) buf else merge(buf, List(in))
+      }
+    override def merge(a: List[(String, String)], b: List[(String, String)]): List[(String, String)] = {
+      val out = List.newBuilder[(String, String)]
+      var (x, y, n) = (a, b, 0)
+      var last: String = null
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        val v =
+          if (y.isEmpty || (x.nonEmpty && x.head._1 <= y.head._1)) { val h = x.head; x = x.tail; h }
+          else { val h = y.head; y = y.tail; h }
+        if (v._1 != last) { out += v; last = v._1; n += 1 }
+      }
+      out.result()
+    }
+    override def finish(r: List[(String, String)]): Seq[(String, String)] = r
+    override def bufferEncoder: Encoder[List[(String, String)]] =
+      ExpressionEncoder[List[(String, String)]]()
+    override def outputEncoder: Encoder[Seq[(String, String)]] =
+      ExpressionEncoder[Seq[(String, String)]]()
   }
 }

@@ -105,8 +105,15 @@ object Sampling {
     * nulls (the primitive encoder would read them as 0). */
   final class KSmallestLongAgg(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
     override def zero: List[Long] = Nil
-    override def reduce(buf: List[Long], in: Long): List[Long] =
-      mergeSmallKL(k, buf, List(in))
+    override def reduce(buf: List[Long], in: Long): List[Long] = {
+      // rejection fast path: once the buffer is full (the steady state),
+      // a value >= the max cannot enter — one allocation-free walk
+      // instead of an O(k) list rebuild per row
+      var n = 0; var it = buf; var last = Long.MinValue
+      while (it.nonEmpty && n < k) { last = it.head; it = it.tail; n += 1 }
+      if (n == k && last <= in) buf
+      else mergeSmallKL(k, buf, List(in))
+    }
     override def merge(a: List[Long], b: List[Long]): List[Long] =
       mergeSmallKL(k, a, b)
     override def finish(r: List[Long]): Seq[Long] = r
@@ -122,7 +129,16 @@ object Sampling {
   final class KSmallestAgg(k: Int) extends Aggregator[String, List[String], Seq[String]] {
     override def zero: List[String] = Nil
     override def reduce(buf: List[String], in: String): List[String] =
-      if (in == null) buf else mergeSmallK(k, buf, List(in))
+      if (in == null) buf
+      else {
+        // rejection fast path: a full buffer (the steady state) whose
+        // max <= in cannot change — one allocation-free walk instead
+        // of an O(k) list rebuild per row
+        var n = 0; var it = buf; var last: String = null
+        while (it.nonEmpty && n < k) { last = it.head; it = it.tail; n += 1 }
+        if (n == k && last <= in) buf
+        else mergeSmallK(k, buf, List(in))
+      }
     override def merge(a: List[String], b: List[String]): List[String] =
       mergeSmallK(k, a, b)
     override def finish(r: List[String]): Seq[String] = r
