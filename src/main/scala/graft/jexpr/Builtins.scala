@@ -33,10 +33,16 @@ object Builtins {
     }
 
   private def strArg(args: Vector[Arg], i: Int, env: Env): String =
-    evOpt(args, i, env) match {
-      case Some(JStr(s)) => s
-      case Some(other)   => JValue.display(other)
-      case None          => err("missing string argument")
+    args.lift(i).map(_.e) match {
+      // bare identifiers name the string directly — the reference's
+      // args.str ident_arg short-circuit (mod.rs:529-537), which even
+      // shadows a same-named binding: `explode(xs)` == `explode("xs")`
+      case Some(Expr.Ident(n)) => n
+      case _ => evOpt(args, i, env) match {
+        case Some(JStr(s)) => s
+        case Some(other)   => JValue.display(other)
+        case None          => err("missing string argument")
+      }
     }
 
   /** Body arg: the per-element expression/lambda, or identity when absent. */
@@ -387,13 +393,15 @@ object Builtins {
     case "pivot" => pivot(recv, args, env)
     case "explode" =>
       val field = strArg(args, 0, env)
+      // a missing / null / non-array field keeps the row unchanged, and
+      // non-object rows pass through (reference collection.rs:497-520);
+      // an EMPTY array explodes to zero rows
       JArr(arrOnly(recv, "explode").flatMap {
-        case JObj(fs) => fs.getOrElse(field, JNull) match {
-          case JArr(items) => items.map(it => JObj(fs + (field -> it)))
-          case JNull       => Vector.empty
-          case other       => Vector(JObj(fs + (field -> other)))
+        case row @ JObj(fs) => fs.get(field) match {
+          case Some(JArr(items)) => items.map(it => JObj(fs + (field -> it)))
+          case _                 => Vector(row)
         }
-        case _ => Vector.empty
+        case other => Vector(other)
       })
     case "implode" =>
       val field = strArg(args, 0, env)
@@ -457,12 +465,13 @@ object Builtins {
           case (Some(p), Some(c)) if p != 0.0 => Some((c - p) / p)
           case _                              => None
         }).toVector)
-    case "cum_max" | "cum_min" =>
+    case "cum_max" | "cum_min" | "cummax" | "cummin" => // cummax/cummin: reference defs.rs:2299,2321
+      val wantMax = name == "cum_max" || name == "cummax"
       val xs = nums(recv)
       var best: Option[Double] = None
       numArr(xs.map { v =>
         (v, best) match {
-          case (Some(x), Some(b)) => best = Some(if (name == "cum_max") math.max(x, b) else math.min(x, b))
+          case (Some(x), Some(b)) => best = Some(if (wantMax) math.max(x, b) else math.min(x, b))
           case (Some(x), None)    => best = Some(x)
           case _                  =>
         }
@@ -638,16 +647,21 @@ object Builtins {
     case "deep_find" | "deep_shape" | "deep_like" => deepCall(name, recv, args, env)
     case "walk"      => Deep.walkPost(recv, bodyOr(args, 0, env))
     case "walk_pre"  => Deep.walkPre(recv, bodyOr(args, 0, env))
-    case "rec" => // fixpoint of a transform, bounded
+    case "rec" => // fixpoint of a transform; bound + loud overflow (reference array.rs:741-755)
       val f = bodyOr(args, 0, env)
       var cur = recv
       var i = 0
       var done = false
-      while (i < 64 && !done) {
+      while (i < 10000 && !done) {
         val next = f(cur)
-        if (JValue.eq(next, cur)) done = true else cur = next
+        // converging returns NEXT, not cur: the fixpoint test is
+        // numeric-tolerant, so the post-transform value's KIND wins
+        // (0.0 -> literal 0 lands as the int; array.rs:745-750)
+        if (JValue.eq(next, cur)) done = true
+        cur = next
         i += 1
       }
+      if (!done) err("rec: exceeded 10000 iterations without reaching fixpoint")
       cur
     case "trace_path" => JArr(Deep.tracePaths(recv))
     case "schema" => schemaOf(recv) // structural schema inference (O:schema.rs:219)
@@ -905,4 +919,44 @@ object Builtins {
       }
     case _ => v
   }
+
+  /** Every builtin name AND alias the reference's registry resolves
+    * (defs.rs NAME/ALIASES consts, registry.rs by_name) — the gate for
+    * the bare-ident-as-builtin rule in Interp.eval (exec.rs:829-846):
+    * `map(len)` over strings applies `len`, not a field lookup. */
+  val knownNames: Set[String] = Set(
+    "abs", "accumulate", "all", "any", "append", "approx_count_distinct",
+    "avg", "batch", "byte_len", "bytes", "camel_case", "capitalize",
+    "captures", "captures_all", "ceil", "center", "chars", "chars_of",
+    "chunk", "collect", "compact", "contains", "contains_all",
+    "contains_any", "count", "count_by", "cummax", "cummin", "dedent",
+    "deep_find", "deep_like", "deep_merge", "deep_shape", "defaults",
+    "del_path", "del_paths", "diff", "diff_window", "distinct", "drop",
+    "drop_while", "dropwhile", "ends_with", "entries", "enumerate",
+    "equi_join", "exists", "explode", "fanout", "filter", "filter_keys",
+    "filter_values", "find", "find_all", "find_first", "find_index",
+    "find_one", "first", "flat_map", "flatten", "flatten_keys", "floor",
+    "from_base64", "from_json", "from_pairs", "get_path", "group_by",
+    "group_shape", "has", "has_path", "html_escape", "html_unescape",
+    "implode", "includes", "indent", "index", "index_by", "index_of",
+    "indices_of", "indices_where", "intersect", "invert", "is_alpha",
+    "is_ascii", "is_blank", "is_numeric", "join", "kebab_case", "keys",
+    "lag", "last", "last_index_of", "lead", "len", "lines", "lower",
+    "lstrip", "map", "match_all", "match_first", "matches", "max",
+    "max_by", "merge", "min", "min_by", "missing", "nth", "omit", "or",
+    "pad_left", "pad_right", "pairwise", "parse_bool", "parse_float",
+    "parse_int", "partition", "pascal_case", "pct_change", "pick", "pivot",
+    "prepend", "re_match", "rec", "remove", "rename", "repeat",
+    "repeat_str", "replace", "replace_all", "replace_all_re", "replace_re",
+    "reverse", "reverse_str", "rolling_avg", "rolling_max", "rolling_min",
+    "rolling_sum", "round", "rstrip", "scan", "schema", "set", "set_path",
+    "skip", "slice", "snake_case", "sort", "sort_by", "split", "split_re",
+    "starts_with", "strip_prefix", "strip_suffix", "sum", "take",
+    "take_while", "takewhile", "title_case", "to_base64", "to_bool",
+    "to_csv", "to_json", "to_number", "to_pairs", "to_string", "to_tsv",
+    "trace_path", "transform_keys", "transform_values", "trim",
+    "trim_left", "trim_right", "type", "unflatten_keys", "union", "unique",
+    "unique_by", "update", "upper", "url_decode", "url_encode", "values",
+    "walk", "walk_pre", "window", "words", "zip", "zip_longest",
+    "zip_shape", "zscore")
 }

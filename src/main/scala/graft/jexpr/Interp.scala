@@ -33,7 +33,18 @@ object Interp {
     case Current     => env.current
     case Lit(v)      => v
     case Ident(name) =>
-      env.vars.get(name).getOrElse(fieldOf(env.current, name))
+      env.vars.getOrElse(name, {
+        // bare builtin name over an ARRAY or STRING current applies the
+        // zero-arg builtin — `map(len)` on strings is len(@), not a
+        // field lookup (reference exec.rs:829-846 LoadIdent). Objects
+        // and numbers keep plain field semantics.
+        val asBuiltin = env.current match {
+          case JArr(_) | JStr(_) => Builtins.knownNames.contains(name)
+          case _                 => false
+        }
+        if (asBuiltin) Builtins.call(name, env.current, Vector.empty, env)
+        else fieldOf(env.current, name)
+      })
     case Lambda(ps, body) => JFun(ps, body, env.vars)
     case FString(parts)   => JStr(parts.map(fpart(_, env)).mkString)
     case ArrLit(elems)    =>
