@@ -149,6 +149,48 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * chunk(0)…) the lowering must bail or error too — never silently
     * produce a direction-flipped / truncated / padded value (the round-4
     * advice bugs were exactly this class). */
+  test("deep family over generated nested shapes: compiled == interpreted") {
+    // map into a nested struct+array shape, then run the deep ops the
+    // round-7 lowerings added ($..field through arrays, ..shape/..like
+    // row lanes, kind-guarded walk). Homogeneous lanes MUST lower
+    // (tryCompile.nonEmpty) — a silent bail regression here would hide
+    // behind the interpreter fallback.
+    val rng = new scala.util.Random(fuzzSeed(70214))
+    val strCols = Seq("c_name", "c_mktsegment") // the driver customer schema's string lanes
+    (0 until 25).foreach { _ =>
+      val pred = preds(rng.nextInt(preds.length))
+      def sc = strCols(rng.nextInt(strCols.length))
+      val (k1, k2, k3, k4) = (sc, sc, sc, sc)
+      // ..shape needs CANDIDATE structs of one unified type (mixed
+      // shapes bail to doc mode by contract), so its pool keeps every
+      // object {v}; the scalar-match ops keep the deeper mixed nest
+      val (shape, op) = rng.nextInt(3) match {
+        case 0 =>
+          (s"map({id: c_custkey, a: {v: $k1, deep: {v: $k2}}, kids: [{v: $k3}, {v: $k4}]})",
+            "..v")
+        case 1 =>
+          (s"map({id: c_custkey, a: {v: $k1}, kids: [{v: $k2}, {v: $k3}]})",
+            "..shape({v}).map(v)")
+        case _ =>
+          (s"map({id: c_custkey, a: {v: $k1, deep: {v: $k2}}, kids: [{v: $k3}, {v: $k4}]})",
+            s".walk(lambda x: x.${if (rng.nextBoolean()) "upper" else "lower"}() if x is string else x)..v")
+      }
+      val e = s"$$.customer$pred.sort_by(c_custkey).$shape$op"
+      val compiled = graft.plans.Lower.tryCompile(
+        e, t => graft.core.Tables(spark, sfDir, t))
+      assert(compiled.nonEmpty, s"should lower: $e")
+      val got = compiled.get.collect().map(_.getString(0)).toVector
+      val exp = docEval(e) match {
+        case jexpr.JArr(xs) => xs.map {
+          case jexpr.JStr(s) => s
+          case o             => fail(s"$e: ${o.kind}")
+        }
+        case other => fail(s"$e: expected array, got ${other.kind}")
+      }
+      assert(got == exp, e)
+    }
+  }
+
   test("edge literals: lowering bails or matches the interpreter exactly") {
     import scala.util.{Failure, Success, Try}
     def toJ(v: Any): JValue = v match {
