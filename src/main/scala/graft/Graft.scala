@@ -73,33 +73,48 @@ object Graft {
     * mirroring the reference's per-element VM dispatch (defs.rs:74-90)
     * instead of its whole-document tape. Output order is the source
     * partition order (element-wise stages are order-independent). */
-  private[graft] def rowwiseCompile(
-      spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{array, col, explode, struct, to_json}
+  /** The single-table element-wise qualification check: Some(table)
+    * when every stage after `$.table` distributes over stream
+    * concatenation (shared by the batch rung and the streaming rung in
+    * StreamOps.rowwiseStream). */
+  private[graft] def rowwiseTable(expr: String): Option[String] = {
     val ast =
       try jexpr.Parser.parse(expr)
       catch { case _: jexpr.ParseException => return None }
     ast match {
       case Expr.Chain(Expr.Root, steps) if steps.length >= 2 =>
         steps.head match {
-          case Expr.Step.Field(table) if Tables.names.contains(table) &&
-              steps.tail.forall(elementwiseStep) =>
-            val df = Tables(spark, sfDir, table)
-            // {table: [row]} — same shape docFallback builds, one row deep
-            val doc = to_json(struct(
-              array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table)))
-            val jsonDs = df
-              .select(explode(Jetro.jetroEvalElems(expr, doc)).as("__j"))
-              .select(col("__j"))
-              .as(org.apache.spark.sql.Encoders.STRING)
-            // distributed two-pass read: schema inference + parse both
-            // run as jobs over the executors, never on the driver
-            Some(spark.read.json(jsonDs))
+          case Expr.Step.Field(table) if steps.tail.forall(elementwiseStep) =>
+            Some(table)
           case _ => None
         }
       case _ => None
     }
   }
+
+  /** Per-row interpreter projection: each row evaluated against its own
+    * singleton `{table: [row]}` document on the executors, per-row
+    * contributions flattened with `explode`, results as JSON strings.
+    * Stateless and shuffle-free, so it runs identically on a bounded
+    * frame or a streaming micro-batch. */
+  private[graft] def rowwiseJson(
+      df: DataFrame, table: String, expr: String): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.functions.{array, col, explode, struct, to_json}
+    // {table: [row]} — same shape docFallback builds, one row deep
+    val doc = to_json(struct(
+      array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table)))
+    df.select(explode(Jetro.jetroEvalElems(expr, doc)).as("__j"))
+      .select(col("__j"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+  }
+
+  private[graft] def rowwiseCompile(
+      spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] =
+    rowwiseTable(expr).filter(Tables.names.contains).map { table =>
+      // distributed two-pass read: schema inference + parse both
+      // run as jobs over the executors, never on the driver
+      spark.read.json(rowwiseJson(Tables(spark, sfDir, table), table, expr))
+    }
 
   /** Document-mode fallback: build `{table: [rows…]}` for every table
     * the expression references, evaluate with the interpreter, and read

@@ -393,4 +393,26 @@ object StreamOps {
     graft.plans.Lower.tryCompile(expr, t =>
       if (t == table) stream
       else throw new graft.plans.LowerException(s"not the stream table: $t"))
+
+  /** The streaming rung of the fallback ladder (Graft.query's batch
+    * shape, incrementally): when [[lowerStream]] bails but the chain is
+    * a single-table pipeline of element-wise stages, run the
+    * interpreter PER EVENT against `{table: [row]}` singletons — a
+    * stateless, shuffle-free projection Structured Streaming accepts at
+    * any scale (zero state, per-micro-batch). Returns one `json` string
+    * column (streaming cannot run batch schema inference; apply
+    * `from_json` with your result schema to get typed columns). None
+    * when a stage looks across rows — sorts/aggs/windows have no
+    * order-free streaming semantics and must be expressed with the
+    * watermarked operators above. */
+  def rowwiseStream(expr: String, table: String, stream: DataFrame): Option[DataFrame] =
+    graft.Graft.rowwiseTable(expr).filter(_ == table).map { t =>
+      graft.Graft.rowwiseJson(stream, t, expr).toDF("json")
+    }
+
+  /** [[lowerStream]] then [[rowwiseStream]] — the first rung that
+    * accepts the expression, tagged with which one it was. */
+  def compileStream(expr: String, table: String, stream: DataFrame): Option[(String, DataFrame)] =
+    lowerStream(expr, table, stream).map("lowered" -> _)
+      .orElse(rowwiseStream(expr, table, stream).map("rowwise" -> _))
 }

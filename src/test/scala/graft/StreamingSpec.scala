@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("rowwise interpreter rung runs on streams (non-lowerable element-wise)") {
+    // words()/is_blank() have no relational lowering — the batch path
+    // takes Graft's rowwise rung; the stream must produce the same
+    // per-event results through StreamOps.rowwiseStream
+    val e = """$.events{event_type == "purchase"}
+              |.map({id: event_id, tokens: props.words().len()})""".stripMargin
+    assert(StreamOps.lowerStream(e, "events", streamEvents).isEmpty)
+    val Some(("rowwise", js)) = StreamOps.compileStream(e, "events", streamEvents)
+    assert(js.isStreaming)
+    val got = runToTable(js, "t_rowwise_stream")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, tokens BIGINT")).as("r"))
+      .select("r.id", "r.tokens")
+    val want = graft.Graft.query(spark, sf, e)
+    assert(graft.Graft.backend(spark, sf, e) == "rowwise")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("tokens")).head.getLong(0)
+      === want.agg(sum("tokens")).head.getLong(0))
+    // cross-row stages refuse the rowwise rung on streams too
+    assert(StreamOps.rowwiseStream(
+      "$.events.sort_by(event_id).map(event_id)", "events", streamEvents).isEmpty)
+  }
+
   test("stateless filter/shape parity") {
     val got = runToTable(StreamOps.filterShape(streamEvents), "t_filter")
     val want = StreamOps.filterShape(batchEvents)
