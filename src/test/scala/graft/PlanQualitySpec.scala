@@ -406,6 +406,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("array deep descent is a narrow codegen fan-out: pushdown, no window, no join") {
+    val q = graft.queries.Catalog.queries("q_lower_deep_arr")(spark, sf)
+    q.collect()
+    val plan = executed(q).toString
+    // the transform+flatten match collection is a single Generate over
+    // one projection; the predicate reaches the parquet scan, and the
+    // only exchange is the ordered-output range partitioning
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,60)]"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("rowwise fallback query never collects the table on the driver") {
     val q = graft.queries.Catalog.queries("q_lower_rowwise_fallback")(spark, sf)
     // the interpreter runs per row on the executors: the lineage starts
