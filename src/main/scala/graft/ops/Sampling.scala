@@ -44,6 +44,29 @@ object Sampling {
     if (pct256 >= 256) df else df.where(bucketBelow(bucket(key), pct256))
   }
 
+  /** Deterministic global corpus shuffle + sharding for training-data
+    * writes: every row gets a reproducible pseudo-random rank
+    * (`shuffle_rank` = md5(seed ‖ key)) and a `shard` from the rank's
+    * first 8 hex digits mod `shards`, then rows are hash-partitioned by
+    * shard and sorted by rank WITHIN each partition — one hash shuffle
+    * plus per-partition sorts, never a global total-order barrier (the
+    * OrderBarrier a naive `orderBy(rand)` pays). Shard sizes balance by
+    * hashing; assignment and order depend only on (seed, key), so the
+    * same corpus shuffles identically on any cluster, partitioning, or
+    * rerun, and a different seed is a fresh epoch-order. Write with
+    * `.write.partitionBy("shard")` (or feed shards to workers directly);
+    * readers consuming files in rank order replay the shuffle. */
+  def shuffleShards(df: DataFrame, key: Column, shards: Int, seed: String): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = md5(concat(lit(seed), key.cast("string")))
+    df.withColumn("shuffle_rank", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_rank"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "shuffle_rank")
+  }
+
   /** Deterministic train/val/test assignment by hash bucket:
     * `[0, trainHi)` → train, `[trainHi, valHi)` → val, rest → test
     * (bucket bounds in 0..256). Defaults ≈ 80/10/10. */

@@ -66,6 +66,24 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global shuffle + sharding (Sampling.shuffleShards):
+    * the oracle replays rank = md5(seed‖key) and shard = first-8-hex
+    * mod n exactly, so assignment AND the within-shard order key are
+    * cross-engine verified. The Spark side pays one hash shuffle +
+    * per-partition sorts — no global sort barrier. */
+  private val shuffleShards = q(
+    "q_shuffle_shards",
+    """SELECT doc_id, shard, shuffle_rank FROM (
+      |  SELECT doc_id,
+      |    md5('ep0' || CAST(doc_id AS VARCHAR)) AS shuffle_rank,
+      |    ('0x' || substring(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+      |  FROM documents)
+      |ORDER BY shard, shuffle_rank""".stripMargin) { (s, d) =>
+    Sampling.shuffleShards(Tables.documents(s, d), col("doc_id"), 8, "ep0")
+      .select("doc_id", "shard", "shuffle_rank")
+      .orderBy("shard", "shuffle_rank")
+  }
+
   /** Exact 20-docs-per-language stratified sample, ranked by content
     * hash inside each stratum (deterministic reservoir twin). */
   private val sampleStratified = q(
@@ -506,5 +524,5 @@ object PipelineQueries extends QueryGroup {
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
     packSeqs, chunkSliding, curate, zorderVals, packText, lmScore,
-    bloomSemi, bloomAnti, snapshotDiff, mixProportions)
+    bloomSemi, bloomAnti, snapshotDiff, mixProportions, shuffleShards)
 }

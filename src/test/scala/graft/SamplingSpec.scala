@@ -14,6 +14,36 @@ class SamplingSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("shuffleShards: deterministic, balanced, rank-sorted, no global sort barrier") {
+    val n = docs.count()
+    val shards = 8
+    val a = Sampling.shuffleShards(docs, col("doc_id"), shards, "ep0")
+    // total preservation + every shard populated + hash-balanced
+    val sizes = a.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == n && sizes.keySet == (0L until shards).toSet)
+    val expect = n.toDouble / shards
+    sizes.values.foreach(s => assert(math.abs(s - expect) < expect * 0.5, sizes))
+    // reruns replay bit-identically; a new seed is a different order
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "shard", "shuffle_rank").orderBy("shard", "shuffle_rank")
+        .collect().toSeq
+    assert(key(a) == key(Sampling.shuffleShards(docs, col("doc_id"), shards, "ep0")))
+    assert(key(a) != key(Sampling.shuffleShards(docs, col("doc_id"), shards, "ep1")))
+    // rows arrive rank-sorted within each partition (the write order)
+    val sortedWithin = a.select("shard", "shuffle_rank")
+      .mapPartitions { it =>
+        val v = it.map(r => (r.getLong(0), r.getString(1))).toVector
+        Iterator.single(v == v.sorted)
+      }(org.apache.spark.sql.Encoders.scalaBoolean)
+      .collect()
+    assert(sortedWithin.forall(identity))
+    // the plan is a hash exchange + local sorts — a global range sort
+    // (the orderBy(rand) OrderBarrier) must never appear
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"), plan)
+  }
+
   test("sampleByHash bounds: 0 keeps nothing, 256 keeps everything") {
     val n = docs.count()
     assert(Sampling.sampleByHash(docs, col("doc_id"), 0).count() == 0L)
