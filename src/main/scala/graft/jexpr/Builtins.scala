@@ -493,6 +493,7 @@ object Builtins {
 
     // ═══ joins / zips / set ops (§2.3, §2.7) ═══
     case "equi_join" => // inner hash join, right wins on collision (O:array.rs:489-548)
+      if (args.length < 2) err("equi_join requires (right, key) or (right, lkey, rkey) arguments")
       val right = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "equi_join")
       // key args are field names when string literals (SYNTAX.md:668),
       // arbitrary key expressions otherwise
@@ -727,6 +728,7 @@ object Builtins {
   }
 
   private def pivot(recv: JValue, args: Vector[Arg], env: Env): JValue = {
+    if (args.length < 2) err("pivot requires (key, value) or (row, col, value) arguments")
     val xs = arrOnly(recv, "pivot")
     // string-literal args are FIELD NAMES (examples.rs obj_pivot), other
     // expressions evaluate per element

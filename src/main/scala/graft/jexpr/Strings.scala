@@ -38,6 +38,9 @@ object Strings {
     case other   => JValue.display(other)
   }
 
+  private def argA(args: Vector[JValue], i: Int): JValue =
+    if (i < args.length) args(i) else err(s"missing argument ${i + 1}")
+
   private def strA(args: Vector[JValue], i: Int): String =
     if (i < args.length) s0(args(i)) else err("missing string argument")
 
@@ -133,7 +136,7 @@ object Strings {
       case "ends_with"    => JBool(s.endsWith(strA(args, 0)))
       case "index_of"     => recv match {
         case JArr(xs) => // array form: null on miss (O:collection.rs:470)
-          val i = xs.indexWhere(JValue.eq(_, args.head))
+          val i = xs.indexWhere(JValue.eq(_, argA(args, 0)))
           if (i < 0) JNull else JInt(i.toLong)
         case _ => // string form: -1 on miss (mod.rs:2113-2122)
           JInt(s.indexOf(strA(args, 0)).toLong)
@@ -158,11 +161,11 @@ object Strings {
           .map(l => l.length - l.dropWhile(_.isWhitespace).length)
           .minOption.getOrElse(0)
         JStr(ls.map(l => if (l.length >= margin) l.drop(margin) else l).mkString("\n"))
-      case "contains_any" => args.head match {
+      case "contains_any" => argA(args, 0) match {
         case JArr(xs) => JBool(xs.exists(x => s.contains(s0(x))))
         case one      => JBool(s.contains(s0(one)))
       }
-      case "contains_all" => args.head match {
+      case "contains_all" => argA(args, 0) match {
         case JArr(xs) => JBool(xs.forall(x => s.contains(s0(x))))
         case one      => JBool(s.contains(s0(one)))
       }

@@ -304,6 +304,23 @@ class JexprSpec extends AnyFunSuite {
     intercept[JsonParseException] { compiled.eval(deep) }
   }
 
+  test("every knownNames builtin dispatches (controlled error or value, never a crash)") {
+    // the bare-ident-as-builtin rule routes any of these names at an
+    // array/string current straight into Builtins.call with no args —
+    // a name in the set that is not dispatched would surface as a
+    // MatchError instead of jetro's own error type
+    val samples = Seq("""["a","bb"]""", """"text here"""")
+    for (name <- jexpr.Builtins.knownNames; doc <- samples) {
+      try Jetro.collect(doc, s"$$.$name()")
+      catch {
+        case _: jexpr.EvalException      => () // jetro's own loud error: fine
+        case _: jexpr.ParseException     => () // reserved words don't parse as methods: fine
+        case _: jexpr.JsonParseException => () // from_json on non-JSON input: fine
+        case e: Throwable => fail(s"$name on $doc: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("keywords are legal object keys") {
     assert(run(store, "$.store.books[0] | {kind: title, in: price, has: 1}")
       == """{"kind":"Dune","in":9.99,"has":1}""")
