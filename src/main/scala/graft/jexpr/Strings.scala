@@ -53,6 +53,14 @@ object Strings {
 
   def call(name: String, recv: JValue, args: Vector[JValue]): JValue = {
     if (recv == JNull) return JNull
+    // reference contract: a string method on a non-applicable receiver
+    // returns the receiver UNCHANGED (apply_or_recv mod.rs:1448-1455 —
+    // every str apply is as_str_ref-gated), never a stringified
+    // coercion: [1, "a"].map(@.upper()) keeps the 1. The two methods
+    // with true array receivers keep their array branches.
+    val arrayForm =
+      (name == "index_of" || name == "slice") && recv.isInstanceOf[JArr]
+    if (!recv.isInstanceOf[JStr] && !arrayForm) return recv
     val s = s0(recv)
     name match {
       case "upper"       => JStr(s.toUpperCase)

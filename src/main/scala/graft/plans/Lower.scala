@@ -1940,6 +1940,16 @@ object Lower {
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
         case _ =>
+          // doc mode returns the RECEIVER unchanged when a string
+          // method hits a non-string value (reference apply_or_recv,
+          // mod.rs:1448-1455) — Spark's functions would coerce-and-
+          // transform instead, so a statically non-string lane bails
+          // to the interpreter rather than diverge
+          dt match {
+            case Some(t) if stringOnlyFns(m) && t != StringType =>
+              bail(s"$m over a ${t.simpleString} lane (doc mode keeps the receiver)")
+            case _ => ()
+          }
           c = scalarFn(m, c, args); dt = scalarFnReturn(m)
       }
       case Step.Optional => () // Spark navigation is already null-safe
@@ -1947,6 +1957,20 @@ object Lower {
     }
     c
   }
+
+  /** String-receiver-only builtins: on any other receiver kind the
+    * interpreter leaves the value untouched, so lowering them over a
+    * known non-string lane must bail (see Step.Method above). Numeric
+    * fns (abs/ceil/floor/round) and len are excluded — those have
+    * their own cross-kind semantics. */
+  private val stringOnlyFns: Set[String] = Set(
+    "upper", "lower", "trim", "trim_left", "lstrip", "trim_right",
+    "rstrip", "capitalize", "reverse_str", "byte_len", "starts_with",
+    "ends_with", "replace_all", "split", "repeat", "pad_left",
+    "pad_right", "to_base64", "from_base64", "re_match",
+    "re_replace_all", "parse_int", "parse_float", "to_number",
+    "index_of", "matches", "replace", "strip_prefix", "strip_suffix",
+    "is_numeric", "is_alpha", "is_ascii")
 
   /** Array-pipeline methods with an exact columnar lowering. Names that
     * double as string builtins (`len`, `reverse`, `includes`, …)

@@ -186,6 +186,21 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exp == """["s1","s2"]""")
   }
 
+  test("string fns over statically non-string lanes bail (doc mode keeps the receiver)") {
+    // Spark's upper() would cast-and-transform the int; the interpreter
+    // returns it untouched — so the lowering must refuse, and the
+    // fallback must produce the interpreter's answer
+    val e = "$.region.sort_by(r_regionkey).map({v: r_regionkey.upper()})"
+    assert(graft.plans.Lower.tryCompile(
+      e, t => graft.core.Tables(spark, sfDir, t)).isEmpty)
+    val got = Graft.query(spark, sfDir, e).collect().map(_.getLong(0)).toVector
+    assert(got == Vector(0L, 1L, 2L, 3L, 4L))
+    // string lanes still lower
+    assert(graft.plans.Lower.tryCompile(
+      "$.region.map({v: r_name.upper()})",
+      t => graft.core.Tables(spark, sfDir, t)).nonEmpty)
+  }
+
   test("headline pipeline compiles and matches the interpreter") {
     val expr = """$.orders{o_orderstatus == "O"}.sort_by(-o_orderkey).take(3).map({id: o_orderkey, total: o_totalprice})"""
     val compiled = graft.plans.Lower

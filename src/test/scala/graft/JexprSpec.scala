@@ -321,6 +321,17 @@ class JexprSpec extends AnyFunSuite {
     }
   }
 
+  test("string methods on non-applicable receivers keep the receiver unchanged") {
+    // the reference's apply_or_recv contract (mod.rs:1448-1455): every
+    // str apply is as_str_ref-gated, so mixed lanes pass non-strings
+    // through untouched — never a stringified coercion
+    assert(Jetro.collect("""[1, "a", true, [2]]""", "$.map(@.upper())")
+      == """[1,"A",true,[2]]""")
+    assert(Jetro.collect("""[5]""", "$.map(@.trim())") == "[5]")
+    assert(Jetro.collect("""[{"x":7}]""", "$.map(x.split(\"-\"))") == "[7]")
+    assert(Jetro.collect("""[3.5]""", "$.map(@.parse_int())") == "[3.5]")
+  }
+
   test("keywords are legal object keys") {
     assert(run(store, "$.store.books[0] | {kind: title, in: price, has: 1}")
       == """{"kind":"Dune","in":9.99,"has":1}""")
