@@ -49,6 +49,16 @@ object Builtins {
   private def bodyOr(args: Vector[Arg], i: Int, env: Env): JValue => JValue =
     if (i < args.length) Interp.body(args(i).e, env) else identity
 
+  /** Numeric-aggregate receiver rule (reference mod.rs:1485-1490,
+    * string.rs:667-669): bare form on a non-array is null (None here);
+    * projected form on a non-array is a loud error. */
+  private def aggElems(name: String, recv: JValue, args: Vector[Arg]): Option[Vector[JValue]] =
+    recv match {
+      case JArr(xs)            => Some(xs)
+      case _ if args.isEmpty   => None
+      case other               => err(s"$name: expected array for numeric aggregate, got ${other.kind}")
+    }
+
   private def elems(v: JValue): Vector[JValue] = v match {
     case JArr(xs) => xs
     case JNull    => Vector.empty
@@ -308,28 +318,37 @@ object Builtins {
       else JArr(elems(recv).takeRight(intArg(args, 0, env).toInt))
     case "nth" => Interp.indexOf(recv, intArg(args, 0, env))
     case "count" =>
-      if (args.isEmpty) JInt(elems(recv).length.toLong)
+      // bare count() IS len() in the reference (one shared dispatch
+      // arm, mod.rs:1491-1493): "abc".count() == 3, scalars unchanged
+      if (args.isEmpty) call("len", recv, args, env)
       else { val p = bodyOr(args, 0, env); JInt(elems(recv).count(x => p(x).truthy).toLong) }
-    case "sum" => // empty → 0, Int/Float polymorphic (D:551, pipeline.rs:320-328)
-      val f = bodyOr(args, 0, env)
-      elems(recv).map(f).foldLeft(JInt(0L): JValue) {
-        case (JInt(a), JInt(b))     => JInt(a + b)
-        case (JInt(a), JFloat(b))   => JFloat(a + b)
-        case (JFloat(a), JInt(b))   => JFloat(a + b)
-        case (JFloat(a), JFloat(b)) => JFloat(a + b)
-        case (acc, JNull)           => acc
-        case (_, other)             => err(s"sum on ${other.kind}")
-      }
-    case "avg" | "mean" => // empty → null (D:562)
-      val f = bodyOr(args, 0, env)
-      val vs = elems(recv).map(f).flatMap(JValue.asNum)
-      if (vs.isEmpty) JNull else JFloat(vs.sum / vs.length)
+    // ═══ numeric aggregates (string.rs:646-798 + pipeline num_fold:
+    // both reference backends SKIP non-numeric elements; a bare
+    // aggregate on a non-array receiver is null, a projected one on a
+    // non-array is a loud error) ═══
+    case "sum" => // empty/all-skipped → 0, Int/Float polymorphic
+      aggElems(name, recv, args).map(_.map(bodyOr(args, 0, env))
+        .foldLeft(JInt(0L): JValue) {
+          case (JInt(a), JInt(b))     => JInt(a + b)
+          case (JInt(a), JFloat(b))   => JFloat(a + b)
+          case (JFloat(a), JInt(b))   => JFloat(a + b)
+          case (JFloat(a), JFloat(b)) => JFloat(a + b)
+          case (acc, _)               => acc // non-numeric: skipped
+        }).getOrElse(JNull)
+    case "avg" | "mean" => // no numeric observations → null
+      aggElems(name, recv, args).map { xs =>
+        val vs = xs.map(bodyOr(args, 0, env)).flatMap(JValue.asNum)
+        if (vs.isEmpty) JNull else JFloat(vs.sum / vs.length)
+      }.getOrElse(JNull)
     case "min" | "max" =>
-      val f = bodyOr(args, 0, env)
-      val vs = elems(recv).map(f).filterNot(_ == JNull)
-      if (vs.isEmpty) JNull
-      else if (name == "min") vs.reduce((a, b) => if (JValue.cmp(a, b) <= 0) a else b)
-      else vs.reduce((a, b) => if (JValue.cmp(a, b) >= 0) a else b)
+      aggElems(name, recv, args).map { xs =>
+        // numeric ORDER, original VALUE kind kept, first-wins ties
+        val vs = xs.map(bodyOr(args, 0, env))
+          .flatMap(v => JValue.asNum(v).map(v -> _))
+        if (vs.isEmpty) JNull
+        else if (name == "min") vs.reduce((a, b) => if (a._2 <= b._2) a else b)._1
+        else vs.reduce((a, b) => if (a._2 >= b._2) a else b)._1
+      }.getOrElse(JNull)
     case "min_by" | "max_by" =>
       val f = bodyOr(args, 0, env)
       val xs = arrOnly(recv, name)
@@ -614,11 +633,13 @@ object Builtins {
     case "missing" => JBool(!membership(recv, evOpt(args, 0, env).getOrElse(JNull)))
     case "type" | "type_of" => JStr(recv.kind)
     case "len" | "length" => recv match {
-      case JStr(s)  => JInt(s.length.toLong)
+      // unicode-scalar count, like Rust's chars().count() (collection.rs:14)
+      case JStr(s)  => JInt(s.codePointCount(0, s.length).toLong)
       case JArr(xs) => JInt(xs.length.toLong)
       case JObj(fs) => JInt(fs.size.toLong)
-      case JNull    => JInt(0L)
-      case other    => err(s"len on ${other.kind}")
+      // numbers/bools/null: receiver unchanged (len_apply → None →
+      // apply_or_recv, collection.rs:6-19 + mod.rs:1491-1493)
+      case other    => other
     }
 
     // ═══ dot-path ops (§2.8, O:path.rs) ═══

@@ -1745,11 +1745,23 @@ object Lower {
     if (i < args.length) args(i).e else bail("missing argument")
 
   /** No-arg aggregate after a single-column `map(...)`: fold over that
-    * column; with an arg, over the compiled arg expression. */
-  private def aggTarget(df: DataFrame, args: Vector[Arg]): Column =
-    if (args.nonEmpty) colExpr(args(0).e)
-    else if (df.columns.length == 1) col(df.columns(0))
-    else bail("no-arg aggregate needs a single-column input")
+    * column; with an arg, over the compiled arg expression. The lane
+    * must be NUMERIC — the interpreter's aggregates skip non-numeric
+    * values entirely (reference num_fold `_ => return`), so a Spark
+    * lexicographic MIN over strings or an implicit-cast SUM would
+    * silently diverge; such lanes stay with the interpreter. */
+  private def aggTarget(df: DataFrame, args: Vector[Arg]): Column = {
+    val c =
+      if (args.nonEmpty) colExpr(args(0).e)
+      else if (df.columns.length == 1) col(df.columns(0))
+      else bail("no-arg aggregate needs a single-column input")
+    val dt =
+      try df.select(c).schema.head.dataType
+      catch { case e: org.apache.spark.sql.AnalysisException => bail(e.getMessage) }
+    if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      bail(s"aggregate over non-numeric lane ${dt.simpleString}")
+    c
+  }
 
   private def intLit(args: Vector[Arg], i: Int): Long = argE(args, i) match {
     case Lit(JInt(n))             => n
@@ -2077,13 +2089,20 @@ object Lower {
         }
       case "compact" => (filter(c, _.isNotNull), someArr) // null passes through (no elems)
       case "count" =>
-        val counted = if (args.isEmpty) c else filter(c, x => body(0).pred(x))
-        (when(c.isNull, lit(0L)).otherwise(size(counted).cast("long")),
+        // bare count() is len(): null receiver stays null (the
+        // reference's shared len arm leaves non-arrays unchanged);
+        // size() null-propagates natively. The predicate form keeps
+        // the elems view (null → empty → 0).
+        if (args.isEmpty) (size(c).cast("long"), Some(LongType))
+        else (when(c.isNull, lit(0L))
+          .otherwise(size(filter(c, x => body(0).pred(x))).cast("long")),
           Some(LongType))
       case "len" | "length" =>
-        (when(c.isNull, lit(0L)).otherwise(size(c).cast("long")), Some(LongType))
+        (size(c).cast("long"), Some(LongType)) // null lane → null (len_apply)
       case "sum" =>
-        // empty → 0; nulls skipped; Int/Float polymorphic (Builtins sum).
+        // empty → 0; non-numeric elements skipped; a NULL receiver is
+        // null (bare: reference numeric_aggregate_apply; projected: the
+        // reference errors, which the jetro_eval contract nulls).
         // One typed-lane representation note: on a FRACTIONAL lane the
         // empty/all-null sum is 0.0 (the column is double), where the
         // interpreter's polymorphic fold starts at int 0 — numerically
@@ -2096,7 +2115,7 @@ object Lower {
           else if (numericDt(d)) lit(0.0)
           else bail(s"sum over non-numeric lane ${d.simpleString}")
         val nn = filter(mapped, _.isNotNull)
-        (coalesce(aggregate(nn, zero, (a, x) => a + x), zero),
+        (when(c.isNotNull, coalesce(aggregate(nn, zero, (a, x) => a + x), zero)),
           Some(if (integralDt(d)) LongType else DoubleType))
       case "avg" | "mean" =>
         // nulls skipped; empty → null; always float (Builtins avg)
@@ -2108,8 +2127,12 @@ object Lower {
           aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) / n),
           Some(DoubleType))
       case "min" | "max" =>
-        // nulls skipped; empty → null (Builtins min/max)
+        // nulls skipped; empty → null; NUMERIC-only (the reference's
+        // aggregate skips non-numbers entirely — a lexicographic
+        // array_min over strings would diverge, so non-numeric lanes
+        // stay with the interpreter)
         val (mapped, d) = mappedWithDt()
+        if (!numericDt(d)) bail(s"$name over non-numeric lane ${d.simpleString}")
         ((if (name == "min") array_min(mapped) else array_max(mapped)), Some(d))
       case "first" if args.isEmpty => (get(c, lit(0)), Some(at.elementType))
       case "last" if args.isEmpty  =>

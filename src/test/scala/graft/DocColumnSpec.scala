@@ -78,7 +78,13 @@ class DocColumnSpec extends SparkSpec {
     val compiled = Jetro.compile(expr)
     both.foreach { r =>
       val native = toJ(r.get(1))
-      val interp = compiled.evalValue(JValue.parse(r.getString(2)))
+      // per-row interpreter ERRORS null the row in the jetro_eval UDF
+      // contract (a malformed row nulls, never kills the job) — the
+      // columnar lane matches that, e.g. a projected aggregate on a
+      // missing field (reference: "expected array" error) lands null
+      val interp =
+        try compiled.evalValue(JValue.parse(r.getString(2)))
+        catch { case _: jexpr.EvalException => jexpr.JNull }
       assert(jEq(native, interp),
         s"row id=${r.getLong(0)} expr=$expr native=${native.render} interp=${interp.render}")
     }

@@ -332,6 +332,21 @@ class JexprSpec extends AnyFunSuite {
     assert(Jetro.collect("""[3.5]""", "$.map(@.parse_int())") == "[3.5]")
   }
 
+  test("numeric aggregates skip non-numbers; len/count leave scalars unchanged") {
+    // both reference backends skip non-numeric elements (string.rs
+    // numeric_aggregate_values, pipeline num_fold `_ => return`)
+    assert(Jetro.collect("""[1, "a", 2, true]""", "$.sum()") == "3")
+    assert(Jetro.collect("""["a", "b"]""", "$.min()") == "null")
+    assert(Jetro.collect("""[3, "z", 1]""", "$.max()") == "3")
+    assert(Jetro.collect("""["a"]""", "$.avg()") == "null")
+    // a bare aggregate on a non-array receiver is null
+    assert(Jetro.collect("""{"x": 5}""", "$.x.sum()") == "null")
+    // count() IS len(): chars for strings, unchanged for scalars
+    assert(Jetro.collect("""{"s": "abc"}""", "$.s.count()") == "3")
+    assert(Jetro.collect("""{"n": 5}""", "$.n.len()") == "5")
+    assert(Jetro.collect("""{"n": 5}""", "$.missing.len()") == "null")
+  }
+
   test("keywords are legal object keys") {
     assert(run(store, "$.store.books[0] | {kind: title, in: price, has: 1}")
       == """{"kind":"Dune","in":9.99,"has":1}""")
