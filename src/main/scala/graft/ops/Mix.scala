@@ -71,4 +71,40 @@ object Mix {
       .where(Sampling.hashUniform(key) < col("rate"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** α-temperature mix — the multilingual-training sampling standard
+    * (target fractions p_g ∝ n_g^α computed from the data itself:
+    * α = 1 keeps natural proportions, α → 0 approaches uniform across
+    * groups, in between damps head-group dominance). The normaliser
+    * Σ n^α CANCELS in the keep-rate algebra, leaving
+    * `rate_g = min_h(n_h^(1-α)) · n_g^(α-1)` — a MIN, not a SUM, so
+    * the arithmetic is order-free and replays bit-identically in any
+    * engine (an IEEE sum would depend on group enumeration order). The
+    * scarcest-effective group is kept whole; everything else
+    * downsamples deterministically on the md5 lane.
+    *
+    * Scale shape: identical to [[toProportions]] — one
+    * partial-aggregable count per group (driver fetch bounded by group
+    * cardinality: languages/sources/domains), broadcast rates, pure
+    * per-row pushed-down filter; the corpus never shuffles. */
+  def temperature(df: DataFrame, groupCol: String, key: Column,
+                  alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(groupCol).count().collect()
+    require(counts.nonEmpty, "temperature mix over an empty corpus")
+    val m = counts.map(r => math.pow(r.getLong(1).toDouble, 1 - alpha)).min
+    val rateRows = counts.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.get(0),
+        math.min(1.0, m * math.pow(r.getLong(1).toDouble, alpha - 1)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.select(groupCol).schema.head,
+      org.apache.spark.sql.types.StructField("rate",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val r = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rateRows, 1), schema)
+    df.join(broadcast(r), groupCol)
+      .where(Sampling.hashUniform(key) < col("rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -521,8 +521,30 @@ object PipelineQueries extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** α-temperature mix (Mix.temperature, α = 0.5): targets p ∝ n^0.5
+    * from the data itself; the normaliser cancels, so the oracle
+    * replays `rate = min_h(n_h^0.5) · n^-0.5` (min, not sum — order-
+    * free IEEE) plus the md5 membership lane bit-exactly. */
+  private val mixTemperature = q(
+    "q_mix_temperature",
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(POWER(CAST(n AS DOUBLE), 0.5)) AS mv FROM c),
+      |r AS (SELECT lang,
+      |        LEAST(1.0, (SELECT mv FROM m) * POWER(CAST(n AS DOUBLE), -0.5))
+      |          AS rate FROM c)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |       / 4294967296.0) < r.rate
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Mix.temperature(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        col("doc_id"), alpha = 0.5)
+      .orderBy("doc_id")
+  }
+
   def defs = Seq(asofJoin, sampleHash, trainTestSplit, sampleStratified,
     sampleWeighted, rangeProx, topkGroup, decontam, decontamCapped,
     packSeqs, chunkSliding, curate, zorderVals, packText, lmScore,
-    bloomSemi, bloomAnti, snapshotDiff, mixProportions, shuffleShards)
+    bloomSemi, bloomAnti, snapshotDiff, mixProportions, shuffleShards,
+    mixTemperature)
 }

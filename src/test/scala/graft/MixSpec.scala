@@ -50,6 +50,31 @@ class MixSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("temperature: α=1 keeps everything, α→0 flattens toward uniform") {
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // α = 1: natural proportions → every rate is 1 → identity corpus
+    assert(Mix.temperature(docs, "lang", col("doc_id"), 1.0).count() == docs.count())
+    // α = 0.5: the scarcest group keeps (near-)all rows, head groups damp
+    val t = Mix.temperature(docs, "lang", col("doc_id"), 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val scarcest = n.minBy(_._2)._1
+    assert(t(scarcest) >= (n(scarcest) * 0.93).toLong, (n, t))
+    // flattening: the head/tail ratio strictly shrinks vs natural
+    val head = n.maxBy(_._2)._1
+    val natural = n(head).toDouble / n(scarcest)
+    val mixed = t(head).toDouble / t(scarcest)
+    assert(mixed < natural && mixed >= 0.8 * math.sqrt(natural), (natural, mixed))
+    // deterministic under reruns
+    val again = Mix.temperature(docs, "lang", col("doc_id"), 0.5)
+      .agg(sum("doc_id")).head.getLong(0)
+    assert(again == t.keys.toSeq.sorted.headOption.map(_ =>
+      Mix.temperature(docs, "lang", col("doc_id"), 0.5)
+        .agg(sum("doc_id")).head.getLong(0)).get)
+    intercept[IllegalArgumentException] {
+      Mix.temperature(docs, "lang", col("doc_id"), 0.0)
+    }
+  }
+
   test("invalid targets are rejected") {
     intercept[IllegalArgumentException] {
       Mix.rates(docs, "lang", Map.empty)
