@@ -365,6 +365,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     for (line <- plan.linesIterator if line.contains("Exchange hashpartitioning"))
       assert(!line.contains("doc_id#"), line)
+    // the α-temperature variant shares the shape contract
+    val temp = graft.ops.Mix.temperature(docs, "lang", col("doc_id"), 0.5)
+    temp.collect()
+    val tplan = executed(temp).toString
+    assert(tplan.contains("BroadcastHashJoin"), tplan)
+    for (line <- tplan.linesIterator if line.contains("Exchange hashpartitioning"))
+      assert(!line.contains("doc_id#"), line)
   }
 
   test("heavy hitters: candidates broadcast back; the exact pass is partial-aggregable") {
