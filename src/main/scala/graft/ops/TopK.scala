@@ -47,8 +47,16 @@ object TopK {
     * id-asc tiebreak. Buffer is the ≤k candidate list itself. */
   final class TopKAgg(k: Int) extends Aggregator[Pair, List[Pair], Seq[Pair]] {
     override def zero: List[Pair] = Nil
-    override def reduce(buf: List[Pair], in: Pair): List[Pair] =
-      mergeK(k, buf, List(in))
+    override def reduce(buf: List[Pair], in: Pair): List[Pair] = {
+      // rejection fast path: once the buffer is full (the steady
+      // state), a candidate that does not beat the current k-th entry
+      // cannot enter — one allocation-free walk instead of an O(k)
+      // list rebuild per row
+      var n = 0; var it = buf; var kth: Pair = null
+      while (it.nonEmpty && n < k) { kth = it.head; it = it.tail; n += 1 }
+      if (n == k && !better(in, kth)) buf
+      else mergeK(k, buf, List(in))
+    }
     override def merge(a: List[Pair], b: List[Pair]): List[Pair] =
       mergeK(k, a, b)
     override def finish(r: List[Pair]): Seq[Pair] = r
