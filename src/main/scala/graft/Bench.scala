@@ -81,7 +81,11 @@ object Bench {
       "b_frequent" -> cat("q_frequent_tokens"), // Misra-Gries heavy hitters
       "b_snapshot" -> cat("q_snapshot_diff"), // churn-sized version delta
       "b_edit_pairs" -> cat("q_edit_pairs"),  // blocked fuzzy dedup
-      "b_mix" -> cat("q_mix"))                // proportion-targeted mixing
+      "b_mix" -> cat("q_mix"),                // proportion-targeted mixing
+      // the round-7 operator families at bench scale
+      "b_shuffle_shards" -> cat("q_shuffle_shards"), // seeded epoch shuffle
+      "b_mix_temp" -> cat("q_mix_temperature"),      // α-temperature mixing
+      "b_deep_arr" -> cat("q_lower_deep_arr"))       // array deep descent
   }
 
   private def runOnce(df: DataFrame): Unit =
