@@ -140,7 +140,10 @@ object Builtins {
 
   private def uniqueBy(xs: Vector[JValue], key: JValue => JValue): Vector[JValue] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
-    xs.filter(x => seen.add(key(x).render)) // keep-first (M:94-97)
+    // keep-first by val_to_key (collection.rs:77-86, array.rs:273-289)
+    // — the same display keying group_by/count_by/index_by use, under
+    // which "1" and 1 COLLIDE (render-quoting would keep them apart)
+    xs.filter(x => seen.add(keyStr(key(x))))
   }
 
   /** sort with `-key` meaning descending (SortSpec, pipeline.rs:182-205);

@@ -347,6 +347,16 @@ class JexprSpec extends AnyFunSuite {
     assert(Jetro.collect("""{"n": 5}""", "$.missing.len()") == "null")
   }
 
+  test("unique keys by display form: \"1\" and 1 collide, like group_by") {
+    // val_to_key (util.rs:215-226) strips string quoting, so every
+    // keyed op — unique/unique_by/group_by/count_by/index_by — shares
+    // one collision rule
+    assert(Jetro.collect("""[1, "1", 2, 1.0]""", "$.unique()") == "[1,2]")
+    assert(Jetro.collect(
+      """[{"k": 1, "t": "a"}, {"k": "1", "t": "b"}]""",
+      "$.unique_by(k).map(t)") == """["a"]""")
+  }
+
   test("keywords are legal object keys") {
     assert(run(store, "$.store.books[0] | {kind: title, in: price, has: 1}")
       == """{"kind":"Dune","in":9.99,"has":1}""")
