@@ -543,12 +543,20 @@ object Builtins {
       JArr((0 until math.max(a.length, b.length)).map { i =>
         JArr(Vector(if (i < a.length) a(i) else JNull, if (i < b.length) b(i) else JNull))
       }.toVector)
+    // set ops match by val_to_key like every keyed builtin
+    // (collection.rs:596-642) — hash-set membership, not O(n·m) typed
+    // scans. Dedup follows the reference's DOCUMENTED semantics
+    // (mod.rs:136-141: union/intersect without duplicates); its code
+    // keeps receiver-side duplicates — a docs/code conflict noted in
+    // SURVEY §2's divergence list.
     case "diff" =>
-      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "diff")
-      JArr(arrOnly(recv, "diff").filterNot(x => other.exists(JValue.eq(_, x))))
+      val otherKeys = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "diff")
+        .iterator.map(keyStr).toSet
+      JArr(arrOnly(recv, "diff").filterNot(x => otherKeys(keyStr(x))))
     case "intersect" =>
-      val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "intersect")
-      JArr(uniqueBy(arrOnly(recv, "intersect").filter(x => other.exists(JValue.eq(_, x))), identity))
+      val otherKeys = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "intersect")
+        .iterator.map(keyStr).toSet
+      JArr(uniqueBy(arrOnly(recv, "intersect").filter(x => otherKeys(keyStr(x))), identity))
     case "union" =>
       val other = arrOnly(evOpt(args, 0, env).getOrElse(JNull), "union")
       JArr(uniqueBy(arrOnly(recv, "union") ++ other, identity))
