@@ -88,9 +88,18 @@ object Mix {
     * cardinality: languages/sources/domains), broadcast rates, pure
     * per-row pushed-down filter; the corpus never shuffles. */
   def temperature(df: DataFrame, groupCol: String, key: Column,
-                  alpha: Double): DataFrame = {
+                  alpha: Double, maxGroups: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val counts = df.groupBy(groupCol).count().collect()
+    require(maxGroups > 0, "maxGroups must be positive")
+    // the driver fetch is one row per group — bounded by construction
+    // for the op's domain (languages/sources/domains), and ENFORCED so
+    // a degenerate group column (a per-document key) fails loudly
+    // instead of materialising the corpus's key space on the driver
+    val counts = df.groupBy(groupCol).count().limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"temperature mix: more than $maxGroups groups — α-temperature is " +
+        "a coarse-group schedule (language/source/domain), not a per-key op; " +
+        "raise maxGroups only if the rate table genuinely fits the driver")
     require(counts.nonEmpty, "temperature mix over an empty corpus")
     val m = counts.map(r => math.pow(r.getLong(1).toDouble, 1 - alpha)).min
     val rateRows = counts.toIndexedSeq.map { r =>

@@ -73,6 +73,12 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mix.temperature(docs, "lang", col("doc_id"), 0.0)
     }
+    // a degenerate group column fails loudly instead of collecting the
+    // corpus's key space on the driver
+    val e = intercept[IllegalArgumentException] {
+      Mix.temperature(docs, "doc_id", col("doc_id"), 0.5, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("more than 10 groups"), e.getMessage)
   }
 
   test("invalid targets are rejected") {
