@@ -298,7 +298,10 @@ object Builtins {
     case "sort" | "sort_by" => JArr(sorted(arrOnly(recv, "sort"), args, env))
     case "reverse" => recv match {
       case JArr(xs) => JArr(xs.reverse)
-      case JStr(s)  => JStr(s.reverse)
+      // java StringBuilder.reverse keeps surrogate pairs intact — the
+      // same codepoint-wise reversal as Rust's chars().rev()
+      // (collection.rs:67); Scala's StringOps.reverse would split them
+      case JStr(s)  => JStr(new java.lang.StringBuilder(s).reverse.toString)
       case other    => other
     }
     case "take"  => JArr(elems(recv).take(intArg(args, 0, env).toInt))

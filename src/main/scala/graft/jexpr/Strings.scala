@@ -85,7 +85,8 @@ object Strings {
         val ws = caseWords(s)
         JStr(if (ws.isEmpty) "" else ws.head + ws.tail.map(_.capitalize).mkString)
       case "pascal_case" => JStr(caseWords(s).map(_.capitalize).mkString)
-      case "reverse_str" => JStr(s.reverse)
+      case "reverse_str" => // codepoint-wise, like chars().rev() (string.rs:370)
+        JStr(new java.lang.StringBuilder(s).reverse.toString)
       case "lines"       => JArr(s.split("\n", -1).toVector.map(JStr(_)))
       case "words"       => JArr(s.split("\\s+").toVector.filter(_.nonEmpty).map(JStr(_)))
       // chars_of iterates Unicode code points (string.rs:414); chars is
