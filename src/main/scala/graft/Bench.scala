@@ -201,24 +201,46 @@ object Bench {
     // one unchanged binary measured 0.9s/1.2s/1.5s for the same query
     // (round-3/4 drift investigation), so a single slow trial must not
     // define the round's number.
-    val results = headline.map { case (name, fn) =>
+    // Per-query TRIALS, not one scalar: round 7's driver artifact
+    // recorded a phantom 2.7× regression (q_doc_pipeline 2.631 s vs
+    // 1.026 s on a same-day same-box re-run) because one co-tenant-
+    // noisy session defined the round's official number. Two defences:
+    // (a) when the med/min spread of the three trials exceeds 1.5× the
+    // session is visibly noisy — run one extra trial so a single stall
+    // can't dominate; (b) emit {min, med, max} per query alongside the
+    // headline min, so a reader of BENCH_r{N}.json can tell "this
+    // query regressed" from "this session was noisy" without a re-run.
+    val sparkResults = headline.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         runOnce(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      val sec =
-        try Seq(once(), once(), once()).min
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      val trials =
+        try {
+          var ts = Vector(once(), once(), once())
+          if (ts.sorted.apply(1) > ts.min * 1.5) ts = ts :+ once()
+          ts
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Vector(-1.0)
         }
-      name -> sec
-    } ++ cold
+      name -> trials
+    }
+    // cold queries are one-shot by definition (parse+compile+eval of a
+    // fresh query IS the measurement) — no spread entry for them
+    val results = sparkResults.map { case (n, ts) => n -> ts.min } ++ cold
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val spread = sparkResults.collect { case (k, ts) if ts.head >= 0 =>
+      val s = ts.sorted
+      "\"" + k + "\":{" +
+        f""""min":${s.head}%.3f,"med":${s((s.length - 1) / 2)}%.3f,""" +
+        f""""max":${s.last}%.3f,"trials":${s.length}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for the driver's parser: also leave the raw line
     // in a file so a logger prefix on stdout can never hide it again

@@ -34,18 +34,20 @@ object Graft {
     *   - `"document"`   — driver-side whole-document interpreter. */
   def backend(spark: SparkSession, sfDir: String, expr: String): String =
     if (lowers(spark, sfDir, expr)) "relational"
-    else if (rowwiseCompile(spark, sfDir, expr).isDefined) "rowwise"
+    else if (rowwisePlan(expr).exists(p => Tables.names.contains(p._1))) "rowwise"
     else "document"
 
   /** Pipeline stages that distribute over stream concatenation:
     * `f(rowsA ++ rowsB) == f(rowsA) ++ f(rowsB)` because each element
-    * is mapped/kept/dropped independently of every other element. Any
-    * stage that looks across elements (sort, agg, window, zip, take,
-    * index…) is excluded — those either lower relationally or go to
-    * the whole-document interpreter. */
+    * is mapped/kept/dropped independently of every other element
+    * (`explode(field)` qualifies: each row fans out to its own
+    * sub-rows, reference collection.rs:497-520). Any stage that looks
+    * across elements (sort, agg, window, zip, take, index…) is
+    * excluded — those either lower relationally or go to the
+    * whole-document interpreter. */
   private val rowwiseMethods = Set(
     "filter", "where", "find_all", "map", "flat_map", "compact",
-    "pick", "omit", "remove")
+    "pick", "omit", "remove", "explode")
 
   private def elementwiseStep(s: Expr.Step): Boolean = {
     import Expr._
@@ -73,23 +75,105 @@ object Graft {
     * mirroring the reference's per-element VM dispatch (defs.rs:74-90)
     * instead of its whole-document tape. Output order is the source
     * partition order (element-wise stages are order-independent). */
-  /** The single-table element-wise qualification check: Some(table)
-    * when every stage after `$.table` distributes over stream
-    * concatenation (shared by the batch rung and the streaming rung in
-    * StreamOps.rowwiseStream). */
-  private[graft] def rowwiseTable(expr: String): Option[String] = {
+  /** The single-table element-wise qualification check, shared by the
+    * batch rung and the streaming rung (StreamOps.rowwiseStream):
+    * `Some((table, evalExpr))` when the expression distributes over
+    * stream concatenation. `evalExpr` is the expression to evaluate per
+    * row — the original text for element-wise pipelines; for root
+    * chain-writes and `patch $` blocks that fan over one table's rows,
+    * the rewrite `(expr).table` so the per-row patched document unions
+    * back into patched table ROWS (the same table-level convention
+    * Lower.patchTable gives `patch $ {t[*]…}` relationally). */
+  private[graft] def rowwisePlan(expr: String): Option[(String, String)] = {
     val ast =
       try jexpr.Parser.parse(expr)
       catch { case _: jexpr.ParseException => return None }
     ast match {
       case Expr.Chain(Expr.Root, steps) if steps.length >= 2 =>
         steps.head match {
-          case Expr.Step.Field(table) if steps.tail.forall(elementwiseStep) =>
-            Some(table)
+          case Expr.Step.Field(table) =>
+            if (steps.tail.forall(elementwiseStep)) Some((table, expr))
+            else if (rowwiseChainWrite(steps.tail))
+              Some((table, s"($expr).$table"))
+            else None
           case _ => None
         }
+      case Expr.Patch(Expr.Root, fields) =>
+        rowwisePatchTable(fields).map(t => (t, s"($expr).$t"))
       case _ => None
     }
+  }
+
+  /** True when the post-table steps form a row-iterating chain-write
+    * (`$.t[*].price.set(@ * 2)`, `$.t{pred}.f.modify(…)`, `.delete()`,
+    * `.unset(k)`, `.merge(o)`): the first path step must fan over rows
+    * (`[*]` / `{pred}`) so each row is patched independently, the rest
+    * of the path stays WITHIN the row, and the write is the chain's
+    * last step — anything after it reads the patched whole document
+    * and would not distribute. Guards and values bind only `@` (the
+    * pre-patch leaf, PatchEval.scala:48-58); a `$` reference reads
+    * across rows and disqualifies. Mirrors the reference's rooted
+    * chain-write desugar (jetro-core chain writes, M:232-235) run as a
+    * distributed per-element patch. */
+  private def rowwiseChainWrite(steps: Vector[Expr.Step]): Boolean = {
+    import Expr._
+    if (steps.length < 2) return false
+    val (path, write) = (steps.init, steps.last)
+    val writeOk = write match {
+      case Step.Method("set" | "modify" | "unset", as) =>
+        as.length == 1 && !as.exists(a => containsRoot(a.e))
+      case Step.Method("delete", as) => as.isEmpty
+      case Step.Method("merge" | "deep_merge", as) =>
+        as.nonEmpty && !as.exists(a => containsRoot(a.e))
+      case _ => false
+    }
+    val headOk = path.head match {
+      case Step.MapShape(None, Current) => true // `[*]`
+      case Step.InlineFilter(p)         => !containsRoot(p)
+      case _                            => false
+    }
+    // within-row path steps (Interp.chainWrite's static subset — a
+    // dynamic index resolves against the root scope and would see a
+    // different document per rung)
+    def withinRow(s: Step): Boolean = s match {
+      case Step.Field(_)                     => true
+      case Step.Index(Lit(jexpr.JInt(_)))    => true
+      case Step.Descendant(Some(_))          => true
+      case Step.MapShape(None, Current)      => true
+      case Step.InlineFilter(p)              => !containsRoot(p)
+      case _                                 => false
+    }
+    writeOk && headOk && path.tail.forall(withinRow)
+  }
+
+  /** `patch $ {t[*]…: …}` whose every path fans over the SAME table's
+    * rows first: the batch applies per row independently (PatchEval
+    * folds fields left with `@` bound to the pre-batch leaf), so when
+    * the leaf expressions don't lower relationally the patch can still
+    * run distributed on the rowwise rung. */
+  private def rowwisePatchTable(
+      fields: Vector[Expr.PatchField]): Option[String] = {
+    import Expr._
+    def fieldTable(f: PatchField): Option[String] = f.path.toList match {
+      case PatchStep.Field(t) :: second :: rest =>
+        val fanOk = second match {
+          case PatchStep.Wild      => true
+          case PatchStep.WildIf(p) => !containsRoot(p)
+          case _                   => false
+        }
+        val restOk = rest.forall {
+          case PatchStep.WildIf(p) => !containsRoot(p)
+          case _                   => true
+        }
+        val leafOk =
+          !f.value.exists(containsRoot) && !f.when.exists(containsRoot)
+        if (fanOk && restOk && leafOk) Some(t) else None
+      case _ => None
+    }
+    val tables = fields.map(fieldTable)
+    if (fields.nonEmpty && tables.forall(_.isDefined) &&
+        tables.flatten.distinct.size == 1) tables.head
+    else None
   }
 
   /** Per-row interpreter projection: each row evaluated against its own
@@ -110,10 +194,12 @@ object Graft {
 
   private[graft] def rowwiseCompile(
       spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] =
-    rowwiseTable(expr).filter(Tables.names.contains).map { table =>
-      // distributed two-pass read: schema inference + parse both
-      // run as jobs over the executors, never on the driver
-      spark.read.json(rowwiseJson(Tables(spark, sfDir, table), table, expr))
+    rowwisePlan(expr).filter(p => Tables.names.contains(p._1)).map {
+      case (table, evalExpr) =>
+        // distributed two-pass read: schema inference + parse both
+        // run as jobs over the executors, never on the driver
+        spark.read.json(
+          rowwiseJson(Tables(spark, sfDir, table), table, evalExpr))
     }
 
   /** Document-mode fallback: build `{table: [rows…]}` for every table
@@ -182,8 +268,20 @@ object Graft {
       case ArrLit(es) => es.flatMap {
         case ArrElem.One(a) => walk(a); case ArrElem.Spread(a) => walk(a) }.toSet
       case GlobalCall(_, args) => args.flatMap(a => walk(a.e)).toSet
-      case Patch(t, fs) => walk(t) ++ fs.flatMap(f =>
-        f.value.toSeq.flatMap(walk) ++ f.when.toSeq.flatMap(walk))
+      case Patch(t, fs) =>
+        // `patch $ {t[*]…}` names its table in the patch PATH — collect
+        // path-head fields that are actual tables (plus any `$.x` in
+        // WildIf guards) so the document fallback materialises them
+        val pathTables = t match {
+          case Root => fs.flatMap(_.path.headOption.collect {
+            case PatchStep.Field(n) if Tables.names.contains(n) => n })
+          case _ => Vector.empty
+        }
+        walk(t) ++ pathTables ++ fs.flatMap(f =>
+          f.value.toSeq.flatMap(walk) ++ f.when.toSeq.flatMap(walk) ++
+          f.path.flatMap {
+            case PatchStep.WildIf(p) => walk(p)
+            case _                   => Set.empty[String] })
       case Cast(i, _)   => walk(i)
       case KindIs(i, _, _) => walk(i)
       case FString(ps)  => ps.flatMap {

@@ -636,20 +636,45 @@ object Lower {
     def containsName(t: DataType): Boolean = t match {
       case s: StructType    => s.fields.exists(f => f.name == name || containsName(f.dataType))
       case ArrayType(e, _)  => containsName(e)
+      // a string-keyed map's keys are dynamic — any entry MAY match at
+      // runtime, so the walk must always look inside
+      case MapType(StringType, _, _) => true
       case MapType(_, v, _) => containsName(v)
       case _                => false
     }
-    def underMapValue(t: DataType): Boolean = t match {
-      case s: StructType    => s.fields.exists(f => underMapValue(f.dataType))
-      case ArrayType(e, _)  => underMapValue(e)
-      case MapType(_, v, _) => containsName(v) || underMapValue(v)
-      case _                => false
-    }
-    if (df.schema.fields.exists(f => underMapValue(f.dataType)))
-      bail("deep descent: matches inside map values have no static walk")
     val vis = df.columns.filterNot(_.startsWith("__ord_"))
     val visSchema = StructType(df.schema.fields.filter(f => vis.contains(f.name)))
     if (!containsName(visSchema)) bail(s"deep descent: no '$name' in the plan schema")
+    // static unification of every possible match site — a string-keyed
+    // map's value is a POTENTIAL match (dynamic key), so its value type
+    // joins the unification; a conflict (e.g. `..v` over
+    // map<string,struct<v:long>>: the entry value OR the struct field
+    // could match) has no single lane type → doc mode owns it
+    def unify(a: DataType, b: DataType): DataType = {
+      // numeric lanes widen exactly as Spark's concat coercion does —
+      // the interpreter's JInt/JFloat promotion; anything else mixed
+      // has no single lane type
+      val widen = Seq[DataType](
+        ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      if (a == b) a
+      else if (widen.contains(a) && widen.contains(b))
+        widen(math.max(widen.indexOf(a), widen.indexOf(b)))
+      else bail(s"deep descent: heterogeneous match types $a vs $b")
+    }
+    def matchType(t: DataType): Option[DataType] = t match {
+      case s: StructType =>
+        val parts = s.fields.toSeq.flatMap { f =>
+          (if (f.name == name) Seq(f.dataType) else Nil) ++
+            matchType(f.dataType).toSeq
+        }
+        parts.reduceOption(unify)
+      case ArrayType(e, _) => matchType(e)
+      case MapType(StringType, v, _) =>
+        Some((Seq(v) ++ matchType(v).toSeq).reduce(unify))
+      case MapType(_, v, _) => matchType(v)
+      case _ => None
+    }
+    matchType(visSchema)
     // array of pre-order matches INSIDE value c (never null: null hits
     // filter to empty, null arrays coalesce to a typed empty)
     def matchesIn(c: Column, dt: DataType): Column = dt match {
@@ -665,6 +690,28 @@ object Lower {
         concat(parts: _*)
       case at @ ArrayType(e, _) =>
         flatten(transform(coalesce(c, array().cast(at)), x => matchesIn(x, e)))
+      case MapType(kt, v, _) =>
+        // object values behind DYNAMIC keys: walk entries in STORED
+        // order — parquet and from_json both keep map entries in parse/
+        // write order, which is exactly the interpreter's insertion-
+        // order object walk (reference exec/structural.rs:22-40; pinned
+        // by the GraftCompileSpec entry-order differential). Per entry:
+        // emit the value when the key matches, then descend into it.
+        val entriesT = ArrayType(StructType(Seq(
+          StructField("key", kt, nullable = false),
+          StructField("value", v, nullable = true))))
+        flatten(transform(
+          coalesce(map_entries(c), array().cast(entriesT)), e => {
+            val ev = e.getField("value")
+            val hit =
+              if (kt == StringType)
+                Seq(filter(array(ev),
+                  x => e.getField("key") === lit(name) && x.isNotNull))
+              else Nil // non-string keys never equal a field name
+            val rec =
+              if (containsName(v)) Seq(matchesIn(ev, v)) else Nil
+            concat(hit ++ rec: _*)
+          }))
       case other => bail(s"deep descent: cannot walk $other")
     }
     val top = visSchema.fields.toSeq.flatMap { f =>
@@ -1843,6 +1890,15 @@ object Lower {
         // (Interp.scala:36,120-123) — so col(n) would silently read an
         // ENCLOSING row column instead; force the interpreter fallback
         case None if scalarElem => bail(s"bare identifier $n over a scalar element")
+        // row scope: resolve ONLY against the frame's actual columns.
+        // A bare col(n) would let Spark's ResolveMissingReferences pull
+        // a pre-projection column back THROUGH a Project — e.g.
+        // `.map({k: c_custkey}).filter(c_custkey > 0)` filtering on the
+        // original table column where the interpreter sees JNull (the
+        // mapped element has no such field). Found by RowwiseFuzzSpec
+        // round 8: missing fields bail to the interpreter instead.
+        case None if schema.exists(!_.fieldNames.contains(n)) =>
+          bail(s"no column $n in the current frame")
         case None => col(n)
       }
 
@@ -2407,8 +2463,14 @@ object Lower {
       case "*"   => l * r
       case "/"   => l.cast("double") / r.cast("double") // jetro float division
       case "%"   => l % r
-      case "=="  => l === r
-      case "!="  => l =!= r
+      // null-SAFE equality: jetro compares null as a value (JValue.eq —
+      // `x == null` is a real test, `x != null` keeps non-null rows),
+      // while SQL `=` yields NULL and silently drops the row in filter
+      // position. EqualNullSafe matches the interpreter in both filter
+      // and projection position AND still pushes to the parquet scan
+      // (sources.EqualNullSafe). Found by RowwiseFuzzSpec round 8.
+      case "=="  => l <=> r
+      case "!="  => !(l <=> r)
       case "<"   => l < r
       case "<="  => l <= r
       case ">"   => l > r

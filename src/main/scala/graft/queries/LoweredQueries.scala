@@ -601,6 +601,61 @@ object LoweredQueries extends QueryGroup {
     graft.Graft.query(s, d, e).orderBy("id")
   }
 
+  /** `$..field` under MAP values — dynamic keys match at runtime via a
+    * map_entries walk in STORED entry order (parquet/from_json keep
+    * parse order — the interpreter's insertion-order object walk), so
+    * map-typed schemas no longer bail to doc mode. The map column is
+    * resolver-shaped (from_json over the events props JSON); the
+    * oracle replays the per-row key lookup in event order. */
+  private val deepMapL = q(
+    "q_lower_deep_map",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS value
+      |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile("$.events{event_id < 3000}.sort_by(event_id)..k", _ => ev)
+  }
+
+  /** `explode(field)` on the rowwise rung: the pipeline contains a
+    * non-lowerable builtin (`words()`) so Lower bails, but every stage
+    * — including the per-row fan-out of `explode` (reference
+    * collection.rs:497-520) — distributes over stream concatenation,
+    * so it runs as a distributed per-row interpreter map instead of
+    * the capped driver fallback. The oracle replays the tokenize +
+    * unnest semantics. */
+  private val rowwiseExplode = q(
+    "q_rowwise_explode",
+    """SELECT id, w FROM (
+      |  SELECT doc_id AS id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents WHERE lang = 'en')
+      |ORDER BY id, w""".stripMargin) { (s, d) =>
+    val e = """$.documents.filter(lang == "en")
+              |.map({id: doc_id, w: text.words()}).explode("w")""".stripMargin
+    assert(graft.Graft.backend(s, d, e) == "rowwise",
+      "expression must exercise the rowwise rung")
+    graft.Graft.query(s, d, e).orderBy("id", "w")
+  }
+
+  /** Element-wise chain-write (`$.t{pred}.f.modify(@ * 2)`, reference
+    * chain-write desugar M:232-235) on the rowwise rung: chain-writes
+    * have no relational lowering, but a row-iterating write patches
+    * each row independently, so the patched table comes back as
+    * distributed rows — non-matching rows pass through unpatched. The
+    * oracle replays the guarded in-place update over every column. */
+  private val rowwiseSetWrite = q(
+    "q_rowwise_setwrite",
+    """SELECT doc_id, lang,
+      |  CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars,
+      |  source, text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val e = """$.documents{lang == "en"}.n_chars.modify(@ * 2)"""
+    assert(graft.Graft.backend(s, d, e) == "rowwise",
+      "expression must exercise the rowwise rung")
+    graft.Graft.query(s, d, e).orderBy("doc_id")
+  }
+
   /** `trace_path()` through the compiler — `{path, value}` rows for
     * every leaf in document order (reference Deep.tracePaths): leaf
     * paths enumerate from the static schema at plan time, the `$[i]`
@@ -664,5 +719,6 @@ object LoweredQueries extends QueryGroup {
     uniqueByL, indexByL, enumerateL, chunkL, pairwiseL, windowL, zscoreL,
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
-    sortCmp, rowwiseFb, tracePathL, walkL, deepArrL)
+    sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
+    rowwiseExplode, rowwiseSetWrite, deepMapL)
 }

@@ -406,8 +406,9 @@ object StreamOps {
     * order-free streaming semantics and must be expressed with the
     * watermarked operators above. */
   def rowwiseStream(expr: String, table: String, stream: DataFrame): Option[DataFrame] =
-    graft.Graft.rowwiseTable(expr).filter(_ == table).map { t =>
-      graft.Graft.rowwiseJson(stream, t, expr).toDF("json")
+    graft.Graft.rowwisePlan(expr).filter(_._1 == table).map {
+      case (t, evalExpr) =>
+        graft.Graft.rowwiseJson(stream, t, evalExpr).toDF("json")
     }
 
   /** [[lowerStream]] then [[rowwiseStream]] — the first rung that

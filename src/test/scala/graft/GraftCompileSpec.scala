@@ -712,6 +712,56 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Graft.lowers(spark, sfDir, "$.nation..no_such_field"))
   }
 
+  test("deep descent matches dynamic map keys (stored-entry walk)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // the searched key at different entry positions, a no-match map
+    // and a null map — the walk iterates entries in STORED order
+    // (parquet/from_json parse order == the interpreter's insertion-
+    // order object walk)
+    val rows = Seq(
+      (1L, """{"a": 1, "k": 2, "z": 3}"""),
+      (2L, """{"k": 4, "b": 5}"""),
+      (3L, """{"x": 6}"""),
+      (4L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "j")
+      .select(col("id"), from_json(col("j"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("m"))
+      .coalesce(1)
+    def docSide(dfx: org.apache.spark.sql.DataFrame, e: String): Vector[JValue] = {
+      val json = dfx.toJSON.collect().mkString(",")
+      Jetro.compile(e).evalValue(JValue.parse(s"""{"t": [$json]}""")) match {
+        case jexpr.JArr(xs) => xs
+        case other          => fail(s"expected array, got ${other.kind}")
+      }
+    }
+    val eK = "$.t.sort_by(id)..k"
+    val gotK = graft.plans.Lower.compile(eK, _ => df)
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(gotK == Vector(2L, 4L))
+    assert(gotK == docSide(df, eK).map(x => JValue.asNum(x).get.toLong))
+    // pre-order across a STATIC struct hit and a DYNAMIC map hit of
+    // one unified type: struct field first (column order), then the
+    // map entry
+    val df2 = Seq((1L, """{"q": 9, "k": 7}""")).toDF("id", "j")
+      .select(col("id"), struct(lit(5L).as("k")).as("s"),
+        from_json(col("j"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("m"))
+    val got2 = graft.plans.Lower.compile(eK, _ => df2)
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(got2 == Vector(5L, 7L))
+    assert(got2 == docSide(df2, eK).map(x => JValue.asNum(x).get.toLong))
+    // a string-keyed map whose VALUE type differs from a deeper match
+    // type has no single lane type (the dynamic key could match too) —
+    // static unification bails to doc mode
+    val hetero = Seq((1L, """{"v": {"v": 1}}""")).toDF("id", "j")
+      .select(col("id"),
+        from_json(col("j"), "map<string,struct<v:bigint>>",
+        new java.util.HashMap[String, String]()).as("m"))
+    assert(graft.plans.Lower.tryCompile("$.t.sort_by(id)..v", _ => hetero).isEmpty)
+  }
+
   test("deep_shape / deep_like lower via schema paths and match") {
     val base =
       """$.nation.sort_by(-n_nationkey)

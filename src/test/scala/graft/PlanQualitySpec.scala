@@ -63,7 +63,10 @@ class PlanQualitySpec extends SparkSpec {
       t => Tables(spark, sf, t))
     val s = planString(q)
     assert(s.contains("TakeOrderedAndProject"), s)
-    assert(s.contains("EqualTo(o_orderstatus,O)"), s)
+    // jetro `==` lowers null-safe (EqualNullSafe) — still a pushed
+    // parquet source filter, matching the interpreter's null-as-value
+    // equality
+    assert(s.contains("EqualNullSafe(o_orderstatus,O)"), s)
   }
 
   test("small dimension joins broadcast") {

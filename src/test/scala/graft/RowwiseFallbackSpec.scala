@@ -64,6 +64,61 @@ class RowwiseFallbackSpec extends SparkSpec {
     assert(Graft.backend(spark, sf, e) == "relational")
   }
 
+  // ── round 8: explode / chain-writes / patch $ on the rowwise rung ──
+
+  test("explode(field) qualifies as element-wise and fans out per row") {
+    val e = """$.documents.map({k: doc_id, w: text.words()}).explode("w")"""
+    assert(Graft.backend(spark, sf, e) == "rowwise")
+    val rw = Graft.rowwiseCompile(spark, sf, e).get
+    assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, e)))
+    // genuinely fanned out: more word rows than documents
+    assert(rw.count() > graft.core.Tables(spark, sf, "documents").count())
+  }
+
+  test("row-iterating chain-write runs distributed as a per-row patch") {
+    // non-lowerable leaf (words) → bails relationally; the rewrite
+    // (expr).supplier unions per-row patched docs back into table rows
+    val e = """$.supplier{s_acctbal >= 0}.s_name.modify(@.words().len())"""
+    assert(!Graft.lowers(spark, sf, e))
+    assert(Graft.backend(spark, sf, e) == "rowwise")
+    val rw  = Graft.rowwiseCompile(spark, sf, e).get
+    val doc = Graft.docFallback(spark, sf, s"($e).supplier")
+    val got = rowsOf(rw)
+    assert(got.nonEmpty && got == rowsOf(doc))
+    // unmatched rows pass through unpatched, so every row survives
+    assert(rw.count() == 10)
+  }
+
+  test("chain-delete over matching rows is a distributed filter-out") {
+    val e = """$.supplier{s_acctbal < 0 or s_name.is_blank()}.delete()"""
+    assert(Graft.backend(spark, sf, e) == "rowwise")
+    val rw  = Graft.rowwiseCompile(spark, sf, e).get
+    assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, s"($e).supplier")))
+  }
+
+  test("patch $ over one table's rows takes the rowwise rung when leaves don't lower") {
+    val e = """patch $ { supplier[*].s_name: @.snake_case() }"""
+    assert(!Graft.lowers(spark, sf, e))
+    assert(Graft.backend(spark, sf, e) == "rowwise")
+    val rw = Graft.rowwiseCompile(spark, sf, e).get
+    assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, s"($e).supplier")))
+  }
+
+  test("non-row-iterating or trailing-read chain-writes are refused") {
+    // write must be the LAST step — a read after it sees the whole doc
+    assert(Graft.rowwiseCompile(spark, sf,
+      "$.supplier[*].s_acctbal.set(0).count()").isEmpty)
+    // path must fan over rows first — a whole-table write isn't per-row
+    assert(Graft.rowwiseCompile(spark, sf,
+      """$.supplier.s_name.set("x")""").isEmpty)
+    // a $ reference in the value reads across rows
+    assert(Graft.rowwiseCompile(spark, sf,
+      "$.supplier[*].s_acctbal.set($.region.count())").isEmpty)
+    // patch batches over two tables can't run per-row on one
+    assert(Graft.rowwiseCompile(spark, sf,
+      "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.snake_case() }").isEmpty)
+  }
+
   test("docFallback is capped by spark.graft.docFallback.maxRows") {
     val key = "spark.graft.docFallback.maxRows"
     spark.conf.set(key, "3") // supplier has 10 rows at sf0.001

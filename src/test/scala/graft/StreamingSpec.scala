@@ -87,6 +87,39 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       "$.events.sort_by(event_id).map(event_id)", "events", streamEvents).isEmpty)
   }
 
+  test("exploding chains run on the streaming rowwise rung (batch parity)") {
+    // per-event fan-out distributes over micro-batches: explode is
+    // element-wise, and the non-lowerable words() forces the rung
+    val e = """$.events{event_type == "purchase"}
+              |.map({id: event_id, w: props.words()}).explode("w")""".stripMargin
+    assert(StreamOps.lowerStream(e, "events", streamEvents).isEmpty)
+    val Some(("rowwise", js)) = StreamOps.compileStream(e, "events", streamEvents)
+    val got = runToTable(js, "t_rowwise_explode_stream")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, w STRING")).as("r"))
+      .select("r.id", "r.w")
+    val want = graft.Graft.query(spark, sf, e)
+    assert(graft.Graft.backend(spark, sf, e) == "rowwise")
+    assert(got.count() === want.count() && got.count() > want.select("id").distinct().count())
+  }
+
+  test("patching chains run on the streaming rowwise rung (batch parity)") {
+    // a row-iterating chain-write patches each event independently —
+    // stateless, so the same per-row patch runs on micro-batches
+    val e = """$.events{event_type == "purchase"}.value.modify(@ * 2)"""
+    assert(StreamOps.lowerStream(e, "events", streamEvents).isEmpty)
+    val Some(("rowwise", js)) = StreamOps.compileStream(e, "events", streamEvents)
+    val got = runToTable(js, "t_rowwise_patch_stream")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, value DOUBLE")).as("r"))
+      .select("r.event_id", "r.value")
+    val want = graft.Graft.query(spark, sf, e)
+    assert(graft.Graft.backend(spark, sf, e) == "rowwise")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("value")).head.getDouble(0)
+      === want.agg(sum("value")).head.getDouble(0) +- 1e-6)
+  }
+
   test("stateless filter/shape parity") {
     val got = runToTable(StreamOps.filterShape(streamEvents), "t_filter")
     val want = StreamOps.filterShape(batchEvents)
