@@ -391,38 +391,36 @@ object Dedup {
         import org.apache.spark.sql.types._
         val idType = base.schema("__id").dataType
         val keyed = base.where(col("__id").isNotNull)
-        val kept: Option[DataFrame] = idType match {
+        val kept: DataFrame = idType match {
           case StringType =>
             val agg = udaf(new KSmallestStrRowAgg(maxBlock))
-            Some(keyed.groupBy("__blk")
-              .agg(agg(col("__id"), col("__t")).as("__ks")))
+            keyed.groupBy("__blk")
+              .agg(agg(col("__id"), col("__t")).as("__ks"))
           case ByteType | ShortType | IntegerType | LongType =>
             val agg = udaf(new KSmallestLongRowAgg(maxBlock))
-            Some(keyed.groupBy("__blk")
-              .agg(agg(col("__id").cast("long"), col("__t")).as("__ks")))
-          case _ => None // exotic id type: windowed cap + self-join below
+            keyed.groupBy("__blk")
+              .agg(agg(col("__id").cast("long"), col("__t")).as("__ks"))
+          case other => throw new IllegalArgumentException(
+            s"editPairs maxBlock cap requires a string or integral id " +
+            s"column ($idCol is $other): the cap keeps the maxBlock " +
+            "smallest ids per block through a bounded-buffer aggregate " +
+            "keyed on the id's native order — the alternative (a " +
+            "per-block sort window) is exactly the degenerate-block " +
+            "pathology the cap exists to bound. Cast or render the id " +
+            "to string/integral, or run uncapped (maxBlock = 0).")
         }
-        kept.map { k =>
-          val ex = k
-            .select(explode(col("__ks")).as("__a"), col("__ks"))
-            .select(col("__a"), explode(col("__ks")).as("__b"))
-          pairsOf(col("__a._1").cast(idType), col("__a._2"),
-            col("__b._1").cast(idType), col("__b._2"),
-            col("__a._1") < col("__b._1"))(ex)
-        }
+        val ex = kept
+          .select(explode(col("__ks")).as("__a"), col("__ks"))
+          .select(col("__a"), explode(col("__ks")).as("__b"))
+        Some(pairsOf(col("__a._1").cast(idType), col("__a._2"),
+          col("__b._1").cast(idType), col("__b._2"),
+          col("__a._1") < col("__b._1"))(ex))
       }
     cappedPairs.getOrElse {
-      val capped =
-        if (maxBlock <= 0) base
-        else {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("__blk").orderBy("__id")
-          base.withColumn("__bpos", row_number().over(w))
-            .filter(col("__bpos") <= maxBlock).drop("__bpos")
-        }
-      val a = capped.select(col("__blk"), col("__id").as("id_a"),
+      // uncapped: plain blocked self-join — any id type with `<`
+      val a = base.select(col("__blk"), col("__id").as("id_a"),
         col("__t").as("t_a"))
-      val b = capped.select(col("__blk"), col("__id").as("id_b"),
+      val b = base.select(col("__blk"), col("__id").as("id_b"),
         col("__t").as("t_b"))
       pairsOf(col("id_a"), col("t_a"), col("id_b"), col("t_b"),
         col("id_a") < col("id_b"))(a.join(b, Seq("__blk")))

@@ -256,7 +256,6 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 8, nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents =
       if (trainIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
@@ -268,15 +267,24 @@ object Similarity {
     val assigned =
       assign(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")),
         cents, corpus)
-    // probe lists per query
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("centroid_id"))
+    // probe lists per query: top-nprobe centroids through the bounded
+    // TopK buffer (qsim desc, centroid_id-asc tiebreak — the same order
+    // the row_number idiom gave, without sorting qid×nlist rows; the
+    // buffer folds map-side so the shuffle carries ≤ nprobe candidates
+    // per query)
+    val centIdType = cents.schema("centroid_id").dataType
+    val probeAgg = udaf(new TopK.TopKAgg(nprobe))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("qsim", round(cosine(corpus, "qv", "centv"), 4))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select("qid", "qv", "centroid_id")
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        probeAgg(col("qsim").cast("double"),
+          col("centroid_id").cast("long")).as("__pk"))
+      .select(col("qid"), col("qv"), explode(col("__pk")).as("__p"))
+      .select(col("qid"), col("qv"),
+        col("__p._2").cast(centIdType).as("centroid_id"))
     val scored = probes.join(assigned, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))

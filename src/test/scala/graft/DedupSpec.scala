@@ -152,6 +152,23 @@ class DedupSpec extends SparkSpec {
     // a doc with no duplicated grams reports nothing (doc 4)
   }
 
+  test("editPairs cap requires string/integral ids; uncapped accepts any") {
+    import spark.implicits._
+    // the bounded-buffer cap is keyed on the id's native order; an id
+    // type outside string/integral must fail LOUDLY instead of falling
+    // back to the per-block sort window the cap exists to avoid
+    val ts = Seq(("2024-01-01", "alpha cat"), ("2024-01-02", "alpha bat"))
+      .toDF("d", "t").select(to_date(col("d")).as("d"), col("t"))
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.editPairs(ts, "d", "t", lit("k"),
+        maxDist = 3, maxBlock = 2)
+    }
+    assert(err.getMessage.contains("string or integral"), err.getMessage)
+    // the uncapped join path compares ids with `<` — any orderable type
+    val got = graft.ops.Dedup.editPairs(ts, "d", "t", lit("k"), maxDist = 3)
+    assert(got.count() == 1)
+  }
+
   test("editPairs: blocked fuzzy pairs match a naive Levenshtein sweep") {
     import spark.implicits._
     val rows = Seq(

@@ -143,6 +143,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("full IVF top-k plan carries no Window node") {
+    // probe ranking (top-nprobe centroids per query) and the re-rank
+    // both ride bounded TopK buffers now — the whole IVF pipeline is
+    // aggregates + joins; a Window anywhere would re-introduce a
+    // per-group sort the buffers exist to avoid
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.limit(3)
+    val df = graft.ops.Similarity.ivfTopK(
+      q, emb, "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+    df.collect()
+    assert(!executed(df).toString.contains("Window"), executed(df).toString)
+  }
+
   test("lowered total-order windows are blocked, not single-task") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
