@@ -14,7 +14,13 @@ object Expr {
   case object Root extends Expr                        // $
   case object Current extends Expr                     // @
   final case class Lit(v: JValue) extends Expr
-  final case class Ident(name: String) extends Expr    // bare name: var, else field of @
+  final case class Ident(name: String) extends Expr {  // bare name: var, else field of @
+    /** Memoised on the AST node: the bare-builtin-name check sits on
+      * the interpreter's Ident path for array/string receivers
+      * (Interp.scala eval Ident) — one Set lookup per NODE, not per
+      * evaluated row. Lazy so object-init order never cycles. */
+    lazy val isBuiltinName: Boolean = Builtins.knownNames.contains(name)
+  }
   final case class FString(parts: Vector[FPart]) extends Expr
   final case class ArrLit(elems: Vector[ArrElem]) extends Expr
   final case class ObjLit(fields: Vector[ObjField]) extends Expr

@@ -32,14 +32,15 @@ object Interp {
     case Root        => env.root
     case Current     => env.current
     case Lit(v)      => v
-    case Ident(name) =>
+    case id @ Ident(name) =>
       env.vars.getOrElse(name, {
         // bare builtin name over an ARRAY or STRING current applies the
         // zero-arg builtin — `map(len)` on strings is len(@), not a
         // field lookup (reference exec.rs:829-846 LoadIdent). Objects
-        // and numbers keep plain field semantics.
+        // and numbers keep plain field semantics. The name check is
+        // memoised per AST node (Ident.isBuiltinName).
         val asBuiltin = env.current match {
-          case JArr(_) | JStr(_) => Builtins.knownNames.contains(name)
+          case JArr(_) | JStr(_) => id.isBuiltinName
           case _                 => false
         }
         if (asBuiltin) Builtins.call(name, env.current, Vector.empty, env)

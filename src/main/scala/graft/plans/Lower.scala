@@ -1096,12 +1096,12 @@ object Lower {
       case ObjLit(fields) =>
         st.df.select(fields.map {
           case ObjField.Short(n)                  => col(n)
-          case ObjField.KV(Lit(JStr(k)), v, None) => cl.colExpr(v).as(k)
-          case ObjField.KV(Ident(k), v, None)     => cl.colExpr(v).as(k)
+          case ObjField.KV(Lit(JStr(k)), v, None) => cl.valueExpr(v).as(k)
+          case ObjField.KV(Ident(k), v, None)     => cl.valueExpr(v).as(k)
           case f => bail(s"map shape field unsupported: $f")
         } ++ ordCols: _*)
       case Ident(n) => st.df.select(col(n) +: ordCols: _*)
-      case e        => st.df.select(cl.colExpr(e).as("value") +: ordCols: _*)
+      case e        => st.df.select(cl.valueExpr(e).as("value") +: ordCols: _*)
     }
     val rebased = st.order.zipWithIndex.map { case ((_, desc), i) =>
       (Ident(s"__ord_$i"): Expr, desc)
@@ -1779,12 +1779,12 @@ object Lower {
       case ObjLit(fields) =>
         df.select(fields.map {
           case ObjField.Short(n)                   => col(n)
-          case ObjField.KV(Lit(JStr(k)), v, None)  => cl.colExpr(v).as(k)
-          case ObjField.KV(Ident(k), v, None)      => cl.colExpr(v).as(k)
+          case ObjField.KV(Lit(JStr(k)), v, None)  => cl.valueExpr(v).as(k)
+          case ObjField.KV(Ident(k), v, None)      => cl.valueExpr(v).as(k)
           case f => bail(s"map shape field unsupported: $f")
         }: _*)
       case Ident(n) => df.select(col(n))
-      case e        => df.select(cl.colExpr(e).as("value"))
+      case e        => df.select(cl.valueExpr(e).as("value"))
     }
   }
 
@@ -1941,13 +1941,13 @@ object Lower {
     case ObjLit(fields) => // nested object literal → struct column
       struct(fields.map {
         case ObjField.Short(n)                  => col(n).as(n)
-        case ObjField.KV(Lit(JStr(k)), v, None) => colExpr(v).as(k)
-        case ObjField.KV(Ident(k), v, None)     => colExpr(v).as(k)
+        case ObjField.KV(Lit(JStr(k)), v, None) => valueExpr(v).as(k)
+        case ObjField.KV(Ident(k), v, None)     => valueExpr(v).as(k)
         case f => bail(s"object literal field unsupported: $f")
       }: _*)
     case ArrLit(es) // array literal → array column (elements coerce or
         if es.forall { case ArrElem.One(_) => true; case _ => false } =>
-      array(es.map { case ArrElem.One(x) => colExpr(x)
+      array(es.map { case ArrElem.One(x) => valueExpr(x)
                      case s => bail(s"array literal element unsupported: $s")
       }: _*) // the analysis failure falls back, like every mixed lane
     case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
@@ -2065,7 +2065,9 @@ object Lower {
         None, current = Some(x), currentDt = Some(et), param = bodyParam,
         scalarElem = true)
     }
-    def apply(x: Column): Column = scope(x).colExpr(bodyExpr)
+    // the body's VALUE (map/flat_map bodies, keys): value position, so
+    // bool-valued bodies get the interpreter's two-valued semantics
+    def apply(x: Column): Column = scope(x).valueExpr(bodyExpr)
     /** Raw three-valued truthiness (null falls out in filter position). */
     def pred(x: Column): Column = {
       val s = scope(x); s.truthy(s.colExpr(bodyExpr), bodyExpr)
@@ -2284,8 +2286,14 @@ object Lower {
     case Unary("-", x)  => inferDt(x)
     case Unary("not", _) => Some(BooleanType)
     case Binary(op, l, r) => op match {
-      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "or" | "~=" | "has" =>
+      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "~=" | "has" =>
         Some(BooleanType)
+      case "or" => // value-preserving (ColLower.binop)
+        (inferDt(l), inferDt(r)) match {
+          case (Some(BooleanType), Some(BooleanType)) => Some(BooleanType)
+          case (Some(a), Some(b)) if a == b           => Some(a)
+          case _                                      => None
+        }
       case "/" => Some(DoubleType) // jetro float division
       case "+" | "-" | "*" | "%" =>
         (inferDt(l), inferDt(r)) match {
@@ -2476,7 +2484,19 @@ object Lower {
       case ">"   => l > r
       case ">="  => l >= r
       case "and" => truthy(l, lE) && truthy(r, rE)
-      case "or"  => truthy(l, lE) || truthy(r, rE)
+      case "or"  =>
+        // the interpreter's `or` is VALUE-preserving (Interp.binop: l
+        // if truthy else r, vm OrOp). Bool operands collapse to l||r —
+        // identical truthiness in filter position AND a pushable
+        // disjunction (value position wraps via valueExpr); same-kinded
+        // value operands lower to the picking form; mixed kinds have no
+        // single column type → doc mode owns them.
+        (kindOf(lE), kindOf(rE)) match {
+          case (Kind.Bool, Kind.Bool) => l || r
+          case (a, b) if a == b && a != Kind.Unknown =>
+            when(coalesce(truthy(l, lE), lit(false)), l).otherwise(r)
+          case _ => bail(s"`or` over mixed operand kinds: $lE or $rE")
+        }
       case "??"  => coalesce(l, r)
       case "~="  => // case-insensitive bidirectional substring (vm Fuzzy)
         lower(l).contains(lower(r)) || lower(r).contains(lower(l))
@@ -2510,8 +2530,14 @@ object Lower {
     case Unary("not", _)               => Kind.Bool
     case Unary("-", _)                 => Kind.Num
     case Binary(op, l, r) => op match {
-      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "or" | "~=" | "has" =>
+      case "==" | "!=" | "<" | "<=" | ">" | ">=" | "and" | "~=" | "has" =>
         Kind.Bool
+      case "or" => // value-preserving: the result carries the operands' kind
+        (kindOf(l), kindOf(r)) match {
+          case (Kind.Bool, Kind.Bool) => Kind.Bool
+          case (a, b) if a == b       => a
+          case _                      => Kind.Unknown
+        }
       case "+" | "-" | "*" | "/" | "%" =>
         if (kindOf(l) == Kind.Num && kindOf(r) == Kind.Num) Kind.Num
         else Kind.Unknown
@@ -2532,6 +2558,30 @@ object Lower {
     case GlobalCall("to_string", _) => Kind.Str
     case FString(_)                 => Kind.Str
     case _ => dtOf(e).map(dtKind).getOrElse(Kind.Unknown)
+  }
+
+  /** VALUE-position lowering: where a bool-valued expression lands in a
+    * projected column (shape values, array elements, ternary branches),
+    * the interpreter's comparisons and `and`/`or` always produce a real
+    * bool (JValue.eq / truthiness — null operands give FALSE, Interp
+    * .binop), while SQL three-valued logic yields NULL. Wrap those ops
+    * with `coalesce(_, false)` here — and ONLY here, so predicate
+    * position keeps the raw pushable comparison (Filter already treats
+    * null as false, exactly the interpreter's falsy). Bool-kinded `or`
+    * takes the value-preserving picking form (null right operand stays
+    * null, as the interpreter returns it). */
+  def valueExpr(e: Expr): Column = e match {
+    case Binary(op, _, _) if Set("<", "<=", ">", ">=", "and")(op) =>
+      coalesce(colExpr(e), lit(false))
+    case Binary("or", l, r)
+        if kindOf(l) == Kind.Bool && kindOf(r) == Kind.Bool =>
+      val lc = colExpr(l)
+      when(coalesce(lc, lit(false)), lc).otherwise(colExpr(r))
+    case IfElse(c, t, f) =>
+      when(truthy(colExpr(c), c), valueExpr(t)).otherwise(valueExpr(f))
+    case TryElse(b, d) =>
+      coalesce(graft.functions.TryOrNull(valueExpr(b)), valueExpr(d))
+    case _ => colExpr(e)
   }
 
   /** Resolve the Spark type of a field / field-chain expression against

@@ -762,6 +762,61 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.plans.Lower.tryCompile("$.t.sort_by(id)..v", _ => hetero).isEmpty)
   }
 
+  test("null operands: value-position bools and value-preserving `or` match the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // nullable fixture: missing fields are JNull to the interpreter —
+    // comparisons/and give FALSE (never null), `or` picks the first
+    // truthy VALUE (vm OrOp). toJSON omits nulls, so both backends see
+    // the same document.
+    val rows = Seq(
+      (1L, """{"a": 5, "s": "x"}"""),
+      (2L, """{"a": 0}"""),
+      (3L, """{"s": "y"}"""),
+      (4L, """{"a": -3, "s": ""}"""))
+    val df = rows.toDF("id", "j")
+      .select(col("id"),
+        from_json(col("j"), "struct<a:bigint,s:string>",
+          new java.util.HashMap[String, String]()).as("r"))
+      .select(col("id"), col("r.a").as("a"), col("r.s").as("s"))
+      .coalesce(1)
+    val e = """$.t.sort_by(id).map({id: id,
+              |  lt: a < 3, ge: a >= 0, both: a > -9 and a < 3,
+              |  pick: a or 99, spick: s or "anon",
+              |  tern: "big" if a > 2 else "small"})""".stripMargin
+    val got = graft.plans.Lower.compile(e, _ => df).toJSON.collect().toVector
+    val json = df.toJSON.collect().mkString(",")
+    val expArr = Jetro.compile(e)
+      .evalValue(JValue.parse(s"""{"t": [$json]}""")) match {
+      case jexpr.JArr(xs) => xs
+      case other          => fail(s"expected array, got ${other.kind}")
+    }
+    // read the interpreter rows back through the same JSON bridge so
+    // null-field omission normalizes identically
+    val exp = sp.read.json(
+      sp.createDataset(expArr.map(_.render))(
+        org.apache.spark.sql.Encoders.STRING))
+      .select("id", "lt", "ge", "both", "pick", "spick", "tern")
+      .toJSON.collect().toVector
+    assert(got.map(canonJson) == exp.map(canonJson), (got, exp).toString)
+    // sanity: null operands really did take the false/pick branches
+    assert(got.exists(_.contains(""""pick":99""")), got.toString)
+    assert(got.exists(_.contains(""""spick":"anon"""")), got.toString)
+    assert(got.forall(r => r.contains(""""lt":""") && r.contains(""""both":""")),
+      got.toString) // never null-omitted: comparisons are two-valued
+  }
+
+  private def canonJson(s: String): String = {
+    def canon(v: JValue): String = v match {
+      case jexpr.JObj(fs) => fs.toVector.sortBy(_._1)
+        .map { case (k, x) => s""""$k":${canon(x)}""" }.mkString("{", ",", "}")
+      case jexpr.JArr(xs) => xs.map(canon).mkString("[", ",", "]")
+      case other          => other.render
+    }
+    canon(JValue.parse(s))
+  }
+
   test("deep_shape / deep_like lower via schema paths and match") {
     val base =
       """$.nation.sort_by(-n_nationkey)
