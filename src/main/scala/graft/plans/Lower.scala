@@ -2463,8 +2463,14 @@ object Lower {
   }
 
   private def binop(op: String, lE: Expr, rE: Expr): Column = {
-    lazy val l = colExpr(lE)
-    lazy val r = colExpr(rE)
+    // operands are VALUE position: a nested bool-valued expression
+    // (e.g. `(a < b) == p`, `(a < b) ?? q`) must be two-valued BEFORE
+    // it feeds this op — the interpreter's comparisons never produce
+    // null. valueExpr falls through to colExpr for everything else, so
+    // plain `col < lit` filters stay raw and pushable. Found by
+    // NullSemanticsFuzzSpec round 8.
+    lazy val l = valueExpr(lE)
+    lazy val r = valueExpr(rE)
     op match {
       case "+"   => l + r
       case "-"   => l - r
@@ -2483,7 +2489,11 @@ object Lower {
       case "<="  => l <= r
       case ">"   => l > r
       case ">="  => l >= r
-      case "and" => truthy(l, lE) && truthy(r, rE)
+      // and/or operands stay RAW (colExpr): their truthiness sink
+      // already reads null as falsy, and wrapping them would turn a
+      // pushable conjunction like `{a > 1 and b < 2}` into
+      // coalesce(...) AND coalesce(...) — no parquet pushdown
+      case "and" => truthy(colExpr(lE), lE) && truthy(colExpr(rE), rE)
       case "or"  =>
         // the interpreter's `or` is VALUE-preserving (Interp.binop: l
         // if truthy else r, vm OrOp). Bool operands collapse to l||r —
@@ -2492,7 +2502,7 @@ object Lower {
         // value operands lower to the picking form; mixed kinds have no
         // single column type → doc mode owns them.
         (kindOf(lE), kindOf(rE)) match {
-          case (Kind.Bool, Kind.Bool) => l || r
+          case (Kind.Bool, Kind.Bool) => colExpr(lE) || colExpr(rE)
           case (a, b) if a == b && a != Kind.Unknown =>
             when(coalesce(truthy(l, lE), lit(false)), l).otherwise(r)
           case _ => bail(s"`or` over mixed operand kinds: $lE or $rE")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jexpr.{JValue, Jetro}
+
+/** Randomized null-operand differential over the VALUE-position bool
+  * surface (round 8's valueExpr): generated shapes of comparisons,
+  * `and`/`or`/`not`, `??` and ternaries over a fixture whose fields are
+  * randomly MISSING must produce exactly the interpreter's two-valued
+  * answers through the Catalyst lowering. Arithmetic over nullable
+  * lanes is deliberately excluded: the interpreter ERRORS on
+  * non-number arithmetic (vm semantics) while the relational lane
+  * nulls the cell — a documented rung-granularity divergence, not a
+  * comparison surface.
+  */
+class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var df: org.apache.spark.sql.DataFrame = _
+  private var docJson: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-null-fuzz")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // fixture: every field independently missing ~30% of rows, plus an
+    // all-present and an all-missing row
+    val rng = new scala.util.Random(FuzzSeed(814))
+    val rows = (0 until 40).map { i =>
+      def keep = rng.nextInt(10) >= 3
+      val fs = Vector(
+        Some(s""""id": $i"""),
+        if (i == 1 || (i != 2 && keep)) Some(s""""a": ${rng.nextInt(10) - 3}""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""b": ${rng.nextInt(10) - 3}""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""s": "${if (rng.nextBoolean()) "" else "w" + rng.nextInt(3)}"""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""t": "v${rng.nextInt(3)}"""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""p": ${rng.nextBoolean()}""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""q": ${rng.nextBoolean()}""") else None)
+      fs.flatten.mkString("{", ",", "}")
+    }
+    import org.apache.spark.sql.functions._
+    df = spark.read.json(
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
+      .select(col("id"), col("a"), col("b"), col("s"), col("t"),
+        col("p"), col("q"))
+      .coalesce(1)
+    docJson = df.toJSON.collect().mkString(",")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def canon(v: JValue): String = v match {
+    case jexpr.JObj(fs) => fs.toVector.sortBy(_._1)
+      .map { case (k, x) => s""""$k":${canon(x)}""" }.mkString("{", ",", "}")
+    case jexpr.JArr(xs) => xs.map(canon).mkString("[", ",", "]")
+    case other          => other.render
+  }
+
+  test("random null-heavy bool shapes: compiled == interpreted") {
+    val rng = new scala.util.Random(FuzzSeed(20260814))
+    val pool = Seq(
+      "a < b", "a <= b", "a > b", "a >= b", "a >= 3", "b < 0",
+      "a == b", "a != b", "s == t", "s != t", "a == null", "s != null",
+      "b > a and a > 0", "a < 5 and b < 5", "p and q", "p and a > 0",
+      "p or q", "a or b", "a or 99", "s or t", """s or "anon"""",
+      "not (a > 2)", "not p",
+      "a ?? b", "a ?? 0", """s ?? "none"""",
+      """"big" if a > 2 else "small"""", "b if a > 0 else a",
+      "(a < b) == p", "a > 0 if p else a < 0")
+    (0 until 60).foreach { _ =>
+      val n = 2 + rng.nextInt(3)
+      val fields = (0 until n).map(i => s"v$i: ${pool(rng.nextInt(pool.length))}")
+      val e = s"$$.t.sort_by(id).map({id: id, ${fields.mkString(", ")}})"
+      val compiled = graft.plans.Lower.tryCompile(e, _ => df)
+      assert(compiled.nonEmpty, s"should lower: $e")
+      val got = compiled.get.toJSON.collect().toVector
+        .map(s2 => canon(JValue.parse(s2)))
+      val expArr = Jetro.compile(e)
+        .evalValue(JValue.parse(s"""{"t": [$docJson]}""")) match {
+        case jexpr.JArr(xs) => xs
+        case other          => fail(s"$e: expected array, got ${other.kind}")
+      }
+      // normalize the interpreter rows through the same JSON bridge
+      // (null fields omitted on both sides)
+      val exp = spark.read.json(
+        spark.createDataset(expArr.map(_.render))(
+          org.apache.spark.sql.Encoders.STRING))
+        .toJSON.collect().toVector.map(s2 => canon(JValue.parse(s2)))
+      assert(got == exp, e)
+    }
+  }
+}
