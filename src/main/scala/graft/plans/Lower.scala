@@ -1094,12 +1094,7 @@ object Lower {
     }
     val shaped = argE(args, 0) match {
       case ObjLit(fields) =>
-        st.df.select(fields.map {
-          case ObjField.Short(n)                  => col(n)
-          case ObjField.KV(Lit(JStr(k)), v, None) => cl.valueExpr(v).as(k)
-          case ObjField.KV(Ident(k), v, None)     => cl.valueExpr(v).as(k)
-          case f => bail(s"map shape field unsupported: $f")
-        } ++ ordCols: _*)
+        st.df.select(shapeCols(st.df, cl, fields) ++ ordCols: _*)
       case Ident(n) => st.df.select(col(n) +: ordCols: _*)
       case e        => st.df.select(cl.valueExpr(e).as("value") +: ordCols: _*)
     }
@@ -1777,15 +1772,34 @@ object Lower {
     val cl = new ColLower(Some(df.schema))
     shape match {
       case ObjLit(fields) =>
-        df.select(fields.map {
-          case ObjField.Short(n)                   => col(n)
-          case ObjField.KV(Lit(JStr(k)), v, None)  => cl.valueExpr(v).as(k)
-          case ObjField.KV(Ident(k), v, None)      => cl.valueExpr(v).as(k)
-          case f => bail(s"map shape field unsupported: $f")
-        }: _*)
+        df.select(shapeCols(df, cl, fields): _*)
       case Ident(n) => df.select(col(n))
       case e        => df.select(cl.valueExpr(e).as("value"))
     }
+  }
+
+  /** Shape fields → ordered output columns. `...@` (spread of the row)
+    * inserts every visible column in schema order; a later key with
+    * the same name OVERRIDES IN PLACE, exactly the interpreter's
+    * VectorMap update (Interp.evalObjLit — original insertion position
+    * kept). One divergence, accepted: when the overridden source field
+    * is NULL in a given row the interpreter appends the key at the end
+    * of that row's object (the spread skipped the null field), while
+    * the relational schema keeps the column's position — same field
+    * SET and values, order differs only through the null-omission
+    * bridge, which every output normalisation already sorts. */
+  private def shapeCols(
+      df: DataFrame, cl: ColLower, fields: Vector[ObjField]): Seq[Column] = {
+    val cols = scala.collection.mutable.LinkedHashMap[String, Column]()
+    fields.foreach {
+      case ObjField.Short(n)                  => cols(n) = col(n)
+      case ObjField.KV(Lit(JStr(k)), v, None) => cols(k) = cl.valueExpr(v)
+      case ObjField.KV(Ident(k), v, None)     => cols(k) = cl.valueExpr(v)
+      case ObjField.Spread(Current) =>
+        df.columns.filterNot(_.startsWith("__")).foreach(n => cols(n) = col(n))
+      case f => bail(s"map shape field unsupported: $f")
+    }
+    cols.toSeq.map { case (k, c) => c.as(k) }
   }
 
   private def argE(args: Vector[Arg], i: Int): Expr =

@@ -618,6 +618,21 @@ object LoweredQueries extends QueryGroup {
     Lower.compile("$.events{event_id < 3000}.sort_by(event_id)..k", _ => ev)
   }
 
+  /** `{...@, …}` spread-of-row shapes now lower: the spread inserts
+    * every column in schema order and a later key overrides IN PLACE
+    * (the interpreter's VectorMap-update position rule) — the common
+    * "keep the row, add/patch a column" idiom stays one Catalyst
+    * projection instead of bailing to doc mode. */
+  private val spreadL = q(
+    "q_lower_spread",
+    """SELECT n_nationkey, LOWER(n_name) AS n_name, n_regionkey,
+      |  CAST(n_nationkey * 2 AS BIGINT) AS dbl
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    lower(s, d,
+      """$.nation.sort_by(n_nationkey)
+        |.map({...@, dbl: n_nationkey * 2, n_name: n_name.lower()})""".stripMargin)
+  }
+
   /** `explode(field)` on the rowwise rung: the pipeline contains a
     * non-lowerable builtin (`words()`) so Lower bails, but every stage
     * — including the per-row fan-out of `explode` (reference
@@ -720,5 +735,5 @@ object LoweredQueries extends QueryGroup {
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
-    rowwiseExplode, rowwiseSetWrite, deepMapL)
+    rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL)
 }

@@ -762,6 +762,35 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.plans.Lower.tryCompile("$.t.sort_by(id)..v", _ => hetero).isEmpty)
   }
 
+  test("spread-of-row shapes lower with in-place override (field order included)") {
+    val e = """$.nation.sort_by(n_nationkey)
+              |.map({...@, dbl: n_nationkey * 2, n_name: n_name.lower()})""".stripMargin
+    val compiled = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    // override keeps the spread position; new key appends
+    assert(compiled.columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey", "dbl"))
+    val got = compiled.collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        r.getAs[String]("n_name"), r.getAs[Number]("dbl").longValue)).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        // non-null source fields: interpreter field order matches the
+        // schema order asserted above (VectorMap in-place update)
+        assert(o.asInstanceOf[jexpr.JObj].v.keys.toSeq ==
+          Seq("n_nationkey", "n_name", "n_regionkey", "dbl"))
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "n_nationkey")).get.toLong,
+          jexpr.Interp.fieldOf(o, "n_name").asInstanceOf[jexpr.JStr].v,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "dbl")).get.toLong)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.length == 25)
+    // non-row spreads (a nested object) still bail to doc mode
+    assert(graft.plans.Lower.tryCompile(
+      "$.nation.map({...$.region[0], k: n_nationkey})",
+      t => graft.core.Tables(spark, sfDir, t)).isEmpty)
+  }
+
   test("null operands: value-position bools and value-preserving `or` match the interpreter") {
     val sp = spark
     import sp.implicits._
