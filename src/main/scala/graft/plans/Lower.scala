@@ -2522,9 +2522,42 @@ object Lower {
           case _ => bail(s"`or` over mixed operand kinds: $lE or $rE")
         }
       case "??"  => coalesce(l, r)
-      case "~="  => // case-insensitive bidirectional substring (vm Fuzzy)
-        lower(l).contains(lower(r)) || lower(r).contains(lower(l))
-      case "has" => array_contains(l, r)
+      case "~="  =>
+        // case-insensitive bidirectional substring (vm Fuzzy) over the
+        // DISPLAY form. Only statically-string operands lower — numeric
+        // display forms don't round-trip a cast (184.0 displays "184",
+        // casts "184.0"). A null operand displays as the string "null"
+        // (JValue.display(JNull), Interp.binop ~=) — pinned, so the
+        // coalesce makes the lowering exact under nulls too.
+        if (kindOf(lE) != Kind.Str || kindOf(rE) != Kind.Str)
+          bail(s"~= lowers only over string operands: $lE ~= $rE")
+        val ls = lower(coalesce(l, lit("null")))
+        val rs = lower(coalesce(r, lit("null")))
+        ls.contains(rs) || rs.contains(ls)
+      case "has" =>
+        // Builtins.membership: arrays test element equality with
+        // null-as-value semantics (so `arr has null` finds null
+        // elements); strings test substring of the item's display form
+        // ("null" for a null item — pinned); objects test key
+        // membership. dtOf picks the container form; anything untyped
+        // bails to the interpreter.
+        dtOf(lE) match {
+          case Some(_: ArrayType) => exists(l, x => x <=> r)
+          case Some(StringType) =>
+            if (kindOf(rE) != Kind.Str)
+              bail(s"string has lowers only with a string item: $rE")
+            l.contains(coalesce(r, lit("null")))
+          case Some(_: MapType) =>
+            if (kindOf(rE) != Kind.Str)
+              bail(s"map has lowers only with a string key: $rE")
+            map_contains_key(l, r)
+          case Some(st: StructType) =>
+            if (kindOf(rE) != Kind.Str)
+              bail(s"object has lowers only with a string key: $rE")
+            array_contains(
+              array(st.fieldNames.toIndexedSeq.map(lit): _*), r)
+          case _ => bail(s"has container untyped: $lE")
+        }
       case other => bail(s"operator $op")
     }
   }
@@ -2595,7 +2628,7 @@ object Lower {
     * takes the value-preserving picking form (null right operand stays
     * null, as the interpreter returns it). */
   def valueExpr(e: Expr): Column = e match {
-    case Binary(op, _, _) if Set("<", "<=", ">", ">=", "and")(op) =>
+    case Binary(op, _, _) if Set("<", "<=", ">", ">=", "and", "has")(op) =>
       coalesce(colExpr(e), lit(false))
     case Binary("or", l, r)
         if kindOf(l) == Kind.Bool && kindOf(r) == Kind.Bool =>

@@ -41,14 +41,15 @@ class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i == 1 || (i != 2 && keep)) Some(s""""s": "${if (rng.nextBoolean()) "" else "w" + rng.nextInt(3)}"""") else None,
         if (i == 1 || (i != 2 && keep)) Some(s""""t": "v${rng.nextInt(3)}"""") else None,
         if (i == 1 || (i != 2 && keep)) Some(s""""p": ${rng.nextBoolean()}""") else None,
-        if (i == 1 || (i != 2 && keep)) Some(s""""q": ${rng.nextBoolean()}""") else None)
+        if (i == 1 || (i != 2 && keep)) Some(s""""q": ${rng.nextBoolean()}""") else None,
+        if (i == 1 || (i != 2 && keep)) Some(s""""arr": [${rng.nextInt(4)}, ${if (rng.nextBoolean()) "null" else rng.nextInt(4).toString}, ${rng.nextInt(4)}]""") else None)
       fs.flatten.mkString("{", ",", "}")
     }
     import org.apache.spark.sql.functions._
     df = spark.read.json(
       spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
       .select(col("id"), col("a"), col("b"), col("s"), col("t"),
-        col("p"), col("q"))
+        col("p"), col("q"), col("arr"))
       .coalesce(1)
     docJson = df.toJSON.collect().mkString(",")
   }
@@ -72,7 +73,14 @@ class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       "not (a > 2)", "not p",
       "a ?? b", "a ?? 0", """s ?? "none"""",
       """"big" if a > 2 else "small"""", "b if a > 0 else a",
-      "(a < b) == p", "a > 0 if p else a < 0")
+      "(a < b) == p", "a > 0 if p else a < 0",
+      // round-8 `has` / `~=` exact-null surface: arrays use
+      // null-as-value element equality (`arr has null` finds null
+      // ELEMENTS), strings coerce a null operand to the display form
+      // "null" (pinned interpreter behavior)
+      "arr has a", "arr has 2", "arr has null", "arr has b",
+      "t has \"v\"", "s has \"w\"",
+      "s ~= t", "s ~= \"W0\"", "t ~= \"null\"")
     (0 until 60).foreach { _ =>
       val n = 2 + rng.nextInt(3)
       val fields = (0 until n).map(i => s"v$i: ${pool(rng.nextInt(pool.length))}")
