@@ -85,7 +85,10 @@ object Bench {
       // the round-7 operator families at bench scale
       "b_shuffle_shards" -> cat("q_shuffle_shards"), // seeded epoch shuffle
       "b_mix_temp" -> cat("q_mix_temperature"),      // α-temperature mixing
-      "b_deep_arr" -> cat("q_lower_deep_arr"))       // array deep descent
+      "b_deep_arr" -> cat("q_lower_deep_arr"),       // array deep descent
+      // the round-8 paths at bench scale
+      "b_rowwise" -> cat("q_lower_rowwise_fallback"), // struct-fed per-row rung
+      "b_deep_map" -> cat("q_lower_deep_map"))        // map-value descent
   }
 
   private def runOnce(df: DataFrame): Unit =

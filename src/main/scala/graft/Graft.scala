@@ -183,11 +183,17 @@ object Graft {
     * frame or a streaming micro-batch. */
   private[graft] def rowwiseJson(
       df: DataFrame, table: String, expr: String): org.apache.spark.sql.Dataset[String] = {
-    import org.apache.spark.sql.functions.{array, col, explode, struct, to_json}
-    // {table: [row]} — same shape docFallback builds, one row deep
-    val doc = to_json(struct(
-      array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table)))
-    df.select(explode(Jetro.jetroEvalElems(expr, doc)).as("__j"))
+    import org.apache.spark.sql.functions.{array, col, explode, struct}
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    // {table: [row]} — same shape docFallback builds, one row deep,
+    // fed to the interpreter as a STRUCT through RowBridge (no per-row
+    // to_json + JSON parse on the input side)
+    val docType = StructType(Seq(
+      StructField(table, ArrayType(df.schema), nullable = false)))
+    val doc = struct(
+      array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table))
+    df.select(
+      explode(Jetro.jetroEvalElemsStruct(expr, doc, docType)).as("__j"))
       .select(col("__j"))
       .as(org.apache.spark.sql.Encoders.STRING)
   }

@@ -109,6 +109,36 @@ object Jetro {
   def jetroEvalElems(expr: String, col: Column): Column =
     jetroEvalElemsUdf(org.apache.spark.sql.functions.lit(expr), col)
 
+  /** Struct-fed twin of [[jetroEvalElems]]: evaluate against a STRUCT
+    * document through [[RowBridge]] — identical element semantics
+    * (RowBridge mirrors the to_json writer's null-field omission,
+    * differential-tested in RowBridgeSpec), minus the input-side
+    * per-row to_json + JSON parse. The OUTPUT stays rendered JSON
+    * texts: the caller's batch schema inference needs text anyway.
+    * Powers the distributed rowwise fallback rung (graft.Graft). */
+  def jetroEvalElemsStruct(
+      expr: String, doc: Column,
+      docType: org.apache.spark.sql.types.StructType): Column = {
+    val conv = RowBridge.convert(docType)
+    val fn = new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, Array[String]] {
+      override def call(row: org.apache.spark.sql.Row): Array[String] = {
+        if (row == null) return null
+        val docV =
+          try conv(row)
+          catch { case _: RuntimeException => return null }
+        try cached(expr).evalValue(docV) match {
+          case JArr(xs) => xs.map(_.render).toArray
+          case JNull    => Array.empty[String]
+          case scalar   => Array(scalar.render)
+        } catch { case _: EvalException | _: ParseException => null }
+      }
+    }
+    org.apache.spark.sql.functions
+      .udf(fn, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      .apply(doc)
+  }
+
   def jetroEval(expr: String, col: Column): Column =
     jetroEvalUdf(org.apache.spark.sql.functions.lit(expr), col)
 
