@@ -2521,7 +2521,12 @@ object Lower {
             when(coalesce(truthy(l, lE), lit(false)), l).otherwise(r)
           case _ => bail(s"`or` over mixed operand kinds: $lE or $rE")
         }
-      case "??"  => coalesce(l, r)
+      case "??"  =>
+        // Interp.binop "??" catches EvalException on the LEFT (a
+        // division-by-zero or bad cast falls through to the default),
+        // not just null — TryOrNull absorbs the ANSI runtime error
+        // inside codegen exactly like the try/else lowering
+        coalesce(graft.functions.TryOrNull(l), r)
       case "~="  =>
         // case-insensitive bidirectional substring (vm Fuzzy) over the
         // DISPLAY form. Only statically-string operands lower — numeric

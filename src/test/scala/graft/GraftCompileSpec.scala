@@ -791,6 +791,26 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       t => graft.core.Tables(spark, sfDir, t)).isEmpty)
   }
 
+  test("?? catches evaluation errors on the left, like the interpreter") {
+    // a / 0 errors in the interpreter and is CAUGHT by ?? (Interp.binop
+    // evaluates the left under a try); the lowering must absorb the
+    // ANSI runtime error the same way, not kill the job
+    val e = """$.region.sort_by(r_regionkey)
+              |.map({k: r_regionkey, v: (r_regionkey / (r_regionkey - r_regionkey)) ?? -1})""".stripMargin
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).doubleValue)).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "v")).get)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.forall(_._2 == -1.0) && got.length == 5)
+  }
+
   test("null operands: value-position bools and value-preserving `or` match the interpreter") {
     val sp = spark
     import sp.implicits._
