@@ -549,7 +549,15 @@ object Interp {
         }
         case "-" => numOp(l, r, _ - _, _ - _)
         case "*" => numOp(l, r, _ * _, _ * _)
-        case "%" => numOp(l, r, _ % _, _ % _)
+        case "%" =>
+          // integer % 0 must be a catchable EvalException (so try/??
+          // take their default and the per-row UDFs null the row), not
+          // a raw ArithmeticException that escapes the interpreter's
+          // error contract and kills the executor task
+          (l, r) match {
+            case (JInt(_), JInt(0)) => err("modulo by zero")
+            case _ => numOp(l, r, _ % _, _ % _) // float lane: % 0 is NaN
+          }
         case "/" =>
           val b = JValue.asNum(r).getOrElse(0.0)
           if (b == 0.0) err("division by zero")

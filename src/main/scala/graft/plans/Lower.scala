@@ -2490,7 +2490,21 @@ object Lower {
       case "-"   => l - r
       case "*"   => l * r
       case "/"   => l.cast("double") / r.cast("double") // jetro float division
-      case "%"   => l % r
+      case "%"   =>
+        // lane-aware remainder: the interpreter's FLOAT lane gives NaN
+        // on a zero divisor (Java double %), while its integer lane
+        // errors — matching ANSI's REMAINDER_BY_ZERO only for the
+        // integer lane. Untypeable operands bail rather than guess.
+        (inferDt(lE), inferDt(rE)) match {
+          case (Some(a), Some(b)) if !integralDt(a) || !integralDt(b) =>
+            val rd = r.cast("double")
+            when(rd === lit(0.0), lit(Double.NaN))
+              .otherwise(l.cast("double") % rd)
+          // both integral, or untypeable (schema-free sort-key entry):
+          // the raw remainder — ANSI errors on a zero divisor, which is
+          // the interpreter's integer-lane behavior too
+          case _ => l % r
+        }
       // null-SAFE equality: jetro compares null as a value (JValue.eq —
       // `x == null` is a real test, `x != null` keeps non-null rows),
       // while SQL `=` yields NULL and silently drops the row in filter

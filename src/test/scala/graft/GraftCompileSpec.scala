@@ -811,6 +811,30 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.forall(_._2 == -1.0) && got.length == 5)
   }
 
+  test("float-lane % 0 is NaN (null on render), integer lane errors — both like the interpreter") {
+    val e = """$.region.sort_by(r_regionkey)
+              |.map({k: r_regionkey, f: (r_regionkey + 0.5) % 0, m: r_regionkey % 2})""".stripMargin
+    val df = graft.plans.Lower.compile(e, t => graft.core.Tables(spark, sfDir, t))
+    val got = df.collect().map(r =>
+      (r.getAs[Number]("k").longValue, r.getAs[Double]("f"),
+        r.getAs[Number]("m").longValue)).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "f")).get,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "m")).get.toLong)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    // the VALUE is NaN on both sides (render-level treatment differs:
+    // the interpreter prints NaN as null, Spark's JSON writer as "NaN"
+    // — both hold JFloat(NaN)/Double.NaN in the value domain)
+    assert(got.length == exp.length && got.zip(exp).forall {
+      case ((k1, f1, m1), (k2, f2, m2)) =>
+        k1 == k2 && m1 == m2 && f1.isNaN && f2.isNaN
+    }, (got, exp).toString)
+  }
+
   test("null operands: value-position bools and value-preserving `or` match the interpreter") {
     val sp = spark
     import sp.implicits._

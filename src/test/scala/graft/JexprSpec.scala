@@ -390,6 +390,22 @@ class JexprSpec extends AnyFunSuite {
     }
   }
 
+  test("arithmetic error contract: %0 and /0 are catchable EvalExceptions") {
+    // a raw ArithmeticException would escape the per-row UDFs' catch
+    // and kill the executor task; the interpreter's error contract is
+    // EvalException everywhere, so try/?? take their defaults
+    intercept[EvalException] {
+      Jetro.compile("5 % 0").evalValue(JNull)
+    }
+    intercept[EvalException] {
+      Jetro.compile("5 / 0").evalValue(JNull)
+    }
+    assert(run("{}", "try 5 % 0 else -1") == "-1")
+    assert(run("{}", "(5 % 0) ?? -1") == "-1")
+    assert(run("{}", "7 % 4") == "3")
+    assert(run("{}", "7.5 % 0") == "null") // float % 0 → NaN → renders null
+  }
+
   test("bind destructuring") {
     assert(run(store, "$.store.books[0] -> {id, price} | f\"{id}@{price}\"") == "\"b1@9.99\"")
   }
