@@ -2486,7 +2486,17 @@ object Lower {
     lazy val l = valueExpr(lE)
     lazy val r = valueExpr(rE)
     op match {
-      case "+"   => l + r
+      case "+"   =>
+        // jetro `+` concatenates strings and arrays (Interp.binop);
+        // statically-typed lanes lower to concat, numeric lanes to the
+        // arithmetic add, anything else falls through to `l + r` whose
+        // analysis failure routes to the interpreter
+        (inferDt(lE), inferDt(rE)) match {
+          case (Some(StringType), Some(StringType)) => concat(l, r)
+          case (Some(a: ArrayType), Some(b: ArrayType)) if a == b =>
+            concat(l, r)
+          case _ => l + r
+        }
       case "-"   => l - r
       case "*"   => l * r
       case "/"   => l.cast("double") / r.cast("double") // jetro float division

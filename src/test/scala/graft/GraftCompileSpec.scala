@@ -835,6 +835,31 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, (got, exp).toString)
   }
 
+  test("+ concatenates strings and arrays in the lowering, like the interpreter") {
+    val e = """$.supplier.sort_by(s_suppkey)
+              |.map({c: s_name + "-x", k: s_suppkey + 1})""".stripMargin
+    val got = graft.plans.Lower
+      .compile(e, t => graft.core.Tables(spark, sfDir, t))
+      .collect().map(r =>
+        (r.getString(0), r.getAs[Number](1).longValue)).toVector
+    val exp = docAnswer(e) match {
+      case jexpr.JArr(xs) => xs.map { o =>
+        (jexpr.Interp.fieldOf(o, "c").asInstanceOf[jexpr.JStr].v,
+          JValue.asNum(jexpr.Interp.fieldOf(o, "k")).get.toLong)
+      }
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp && got.nonEmpty)
+    // array + array (same element type) lowers to concat
+    val ea = """$.embeddings{vec_id < 3}.map({k: vec_id, w: embedding + embedding})"""
+    val rows = graft.plans.Lower
+      .compile(ea, t => graft.core.Tables(spark, sfDir, t))
+      .collect()
+    val dims = graft.core.Tables(spark, sfDir, "embeddings")
+      .selectExpr("size(embedding)").head.getInt(0)
+    assert(rows.nonEmpty && rows.forall(_.getSeq[Float](1).length == 2 * dims))
+  }
+
   test("null operands: value-position bools and value-preserving `or` match the interpreter") {
     val sp = spark
     import sp.implicits._
