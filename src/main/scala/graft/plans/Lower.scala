@@ -1949,7 +1949,7 @@ object Lower {
     case FString(parts) =>
       concat(parts.map {
         case FPart.Text(s)            => lit(s)
-        case FPart.Interp(x, None)    => displayCol(colExpr(x))
+        case FPart.Interp(x, None)    => displayExpr(x)
         case FPart.Interp(x, Some(f)) => fmtSpec(x, f)
       }: _*)
     case ObjLit(fields) => // nested object literal → struct column
@@ -1964,12 +1964,12 @@ object Lower {
       array(es.map { case ArrElem.One(x) => valueExpr(x)
                      case s => bail(s"array literal element unsupported: $s")
       }: _*) // the analysis failure falls back, like every mixed lane
-    case GlobalCall("to_string", Vector(a)) => colExpr(a.e).cast("string")
+    case GlobalCall("to_string", Vector(a)) => displayExpr(a.e)
     case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)
     case Cast(x, to) => to match {
       case "int"    => colExpr(x).cast("long")
       case "float" | "number" => colExpr(x).cast("double")
-      case "string" => colExpr(x).cast("string")
+      case "string" => displayExpr(x)
       case "bool"   => colExpr(x).cast("boolean")
       case other    => bail(s"cast to $other")
     }
@@ -2427,6 +2427,23 @@ object Lower {
 
   private def displayCol(c: Column): Column = c.cast("string")
 
+  /** The interpreter's DISPLAY form for an expression (JValue.display):
+    * floats print shortest — an integral double renders without the
+    * trailing ".0" ("9", not the "9.0" a plain string cast emits).
+    * floor-guarded so the long cast never runs on a value ANSI would
+    * overflow on. Non-float lanes are exactly the string cast. */
+  private def displayExpr(x: Expr): Column = {
+    val c = colExpr(x)
+    inferDt(x) match {
+      case Some(DoubleType) | Some(FloatType) =>
+        val d = c.cast("double")
+        when(d.isNotNull && d === floor(d) && !d.isNaN && abs(d) < lit(1e15),
+          d.cast("long").cast("string"))
+          .otherwise(d.cast("string"))
+      case _ => displayCol(c)
+    }
+  }
+
   /** f-string format specs, matching the interpreter's subset
     * (Interp.applyFmtSpec; reference vm/exec.rs:3112-3143): `.Nf`,
     * `d`, `>N`, `<N`, `^N`, `0N`. `format_string` is Java's Formatter —
@@ -2436,7 +2453,7 @@ object Lower {
     * string is already wide enough). */
   private def fmtSpec(x: Expr, f: String): Column = {
     val c = colExpr(x)
-    def disp = displayCol(c)
+    def disp = displayExpr(x)
     def padded(w: Int)(build: (Column, Column) => Column): Column = {
       val s = disp
       when(length(s) >= w, s).otherwise(build(s, length(s)))

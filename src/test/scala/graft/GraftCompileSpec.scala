@@ -835,6 +835,27 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, (got, exp).toString)
   }
 
+  test("integral doubles display shortest in f-strings/to_string (no trailing .0)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 9.0), (2L, 185.22), (3L, -0.0), (4L, 1.5e16))
+      .toDF("id", "v").coalesce(1)
+    val e = """$.t.sort_by(id).map({id: id, s: f"v={v}", c: v as string})"""
+    val got = graft.plans.Lower.compile(e, _ => df)
+      .collect().map(r => (r.getString(1), r.getString(2))).toVector
+    val json = df.toJSON.collect().mkString(",")
+    val exp = Jetro.compile(e)
+      .evalValue(JValue.parse(s"""{"t": [$json]}""")) match {
+      case jexpr.JArr(xs) => xs.map(o =>
+        (jexpr.Interp.fieldOf(o, "s").asInstanceOf[jexpr.JStr].v,
+          jexpr.Interp.fieldOf(o, "c").asInstanceOf[jexpr.JStr].v))
+      case other => fail(s"expected array, got ${other.kind}")
+    }
+    assert(got == exp, (got, exp).toString)
+    assert(got.head == (("v=9", "9")), got.toString) // not "9.0"
+  }
+
   test("+ concatenates strings and arrays in the lowering, like the interpreter") {
     val e = """$.supplier.sort_by(s_suppkey)
               |.map({c: s_name + "-x", k: s_suppkey + 1})""".stripMargin
