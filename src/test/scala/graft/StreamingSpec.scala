@@ -120,6 +120,21 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       === want.agg(sum("value")).head.getDouble(0) +- 1e-6)
   }
 
+  test("patch $ batches run on the streaming rowwise rung (batch parity)") {
+    // a non-lowerable leaf forces the per-event rowwise rung
+    val e2 = """patch $ { events[*].props: @.words().len() }"""
+    val Some(("rowwise", js)) = StreamOps.compileStream(e2, "events", streamEvents)
+    val got = runToTable(js, "t_rowwise_patchdollar_stream")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, props BIGINT")).as("r"))
+      .select("r.event_id", "r.props")
+    val want = graft.Graft.query(spark, sf, e2)
+    assert(graft.Graft.backend(spark, sf, e2) == "rowwise")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("props")).head.getLong(0)
+      === want.agg(sum("props")).head.getLong(0))
+  }
+
   test("stateless filter/shape parity") {
     val got = runToTable(StreamOps.filterShape(streamEvents), "t_filter")
     val want = StreamOps.filterShape(batchEvents)
