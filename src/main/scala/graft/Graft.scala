@@ -60,6 +60,17 @@ object Graft {
       case Step.InlineFilter(p) => !containsRoot(p)
       case Step.MapShape(p, sh) =>
         !p.exists(containsRoot) && !containsRoot(sh)
+      // deep descent walks the receiver array's ELEMENTS in order
+      // (Deep.descend arrays recurse per element; `..` drops the
+      // receiver itself) — pure concatenation of per-element matches
+      case Step.Descendant(_) => true
+      // ..shape/..like candidates are OBJECTS only, so the receiver
+      // array node can never match — per-element again. `..find` is
+      // NOT here: its predicate ranges over ALL nodes including the
+      // receiver array, which differs between the singleton and the
+      // full stream.
+      case Step.DeepMethod("shape" | "deep_shape" | "like" | "deep_like", args) =>
+        !args.exists(a => containsRoot(a.e))
       case Step.Optional => true
       case _             => false
     }

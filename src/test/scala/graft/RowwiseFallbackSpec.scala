@@ -104,6 +104,24 @@ class RowwiseFallbackSpec extends SparkSpec {
     assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, s"($e).supplier")))
   }
 
+  test("deep descent and ..shape/..like distribute on the rowwise rung") {
+    // non-lowerable nesting (snake_case) → bails relationally; the
+    // descent walks each row's own nodes, so it distributes
+    val e1 = """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case()}})..v"""
+    assert(Graft.backend(spark, sf, e1) == "rowwise")
+    assert(rowsOf(Graft.rowwiseCompile(spark, sf, e1).get) ==
+      rowsOf(Graft.docFallback(spark, sf, e1)))
+    val e2 = """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case(), tag: "x"}})
+               |..shape({v, tag})""".stripMargin
+    assert(Graft.backend(spark, sf, e2) == "rowwise")
+    assert(rowsOf(Graft.rowwiseCompile(spark, sf, e2).get) ==
+      rowsOf(Graft.docFallback(spark, sf, e2)))
+    // ..find's predicate ranges over ALL nodes including the receiver
+    // array itself — not per-row; refused
+    assert(Graft.rowwisePlan(
+      """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case()}})..find(v != null)""").isEmpty)
+  }
+
   test("non-row-iterating or trailing-read chain-writes are refused") {
     // write must be the LAST step — a read after it sees the whole doc
     assert(Graft.rowwiseCompile(spark, sf,
