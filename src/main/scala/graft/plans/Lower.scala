@@ -2516,7 +2516,17 @@ object Lower {
         }
       case "-"   => l - r
       case "*"   => l * r
-      case "/"   => l.cast("double") / r.cast("double") // jetro float division
+      case "/"   =>
+        // reference Div (vm/exec.rs:866-874): operands coerce via
+        // as_f64().unwrap_or(0.0) — a null NUMERATOR divides as 0.0 —
+        // and a zero (or null→0.0) DENOMINATOR is a hard "division by
+        // zero" error. raise_error matches the interpreter's loud
+        // error (try/else and ?? absorb it via TryOrNull); plain null
+        // propagation and IEEE Infinity would both silently diverge.
+        val rd = coalesce(r.cast("double"), lit(0.0))
+        when(rd === lit(0.0),
+          raise_error(lit("division by zero")).cast("double"))
+          .otherwise(coalesce(l.cast("double"), lit(0.0)) / rd)
       case "%"   =>
         // lane-aware remainder: the interpreter's FLOAT lane gives NaN
         // on a zero divisor (Java double %), while its integer lane
