@@ -676,18 +676,22 @@ object Lower {
     }
     matchType(visSchema)
     // array of pre-order matches INSIDE value c (never null: null hits
-    // filter to empty, null arrays coalesce to a typed empty)
+    // filter to empty, null arrays coalesce to a typed empty).
+    // EMISSION ORDER: Deep.descend emits a level's name-hit FIRST
+    // (fs.get(n)), THEN descends all values in stored order — so every
+    // object level hoists its hit ahead of ALL sibling descents, never
+    // interleaving hit/rec per field (that diverged for a schema like
+    // [s: struct<k:…>, k: …], yielding [s.k, row.k] instead of the
+    // interpreter's [row.k, s.k]).
     def matchesIn(c: Column, dt: DataType): Column = dt match {
       case s: StructType =>
-        val parts = s.fields.toSeq.flatMap { f =>
-          val fc = c.getField(f.name)
-          val hit =
-            if (f.name == name) Seq(filter(array(fc), x => x.isNotNull)) else Nil
-          val rec =
-            if (containsName(f.dataType)) Seq(matchesIn(fc, f.dataType)) else Nil
-          hit ++ rec
+        val hits = s.fields.toSeq.filter(_.name == name).map { f =>
+          filter(array(c.getField(f.name)), x => x.isNotNull)
         }
-        concat(parts: _*)
+        val recs = s.fields.toSeq.filter(f => containsName(f.dataType)).map { f =>
+          matchesIn(c.getField(f.name), f.dataType)
+        }
+        concat(hits ++ recs: _*)
       case at @ ArrayType(e, _) =>
         flatten(transform(coalesce(c, array().cast(at)), x => matchesIn(x, e)))
       case MapType(kt, v, _) =>
@@ -695,33 +699,34 @@ object Lower {
         // order — parquet and from_json both keep map entries in parse/
         // write order, which is exactly the interpreter's insertion-
         // order object walk (reference exec/structural.rs:22-40; pinned
-        // by the GraftCompileSpec entry-order differential). Per entry:
-        // emit the value when the key matches, then descend into it.
+        // by the GraftCompileSpec entry-order differential). The level's
+        // key-hit (at most one — object keys are unique) hoists ahead of
+        // every per-entry descent, matching Deep.descend's fs.get(n)-
+        // before-valuesIterator order.
         val entriesT = ArrayType(StructType(Seq(
           StructField("key", kt, nullable = false),
           StructField("value", v, nullable = true))))
-        flatten(transform(
-          coalesce(map_entries(c), array().cast(entriesT)), e => {
-            val ev = e.getField("value")
-            val hit =
-              if (kt == StringType)
-                Seq(filter(array(ev),
-                  x => e.getField("key") === lit(name) && x.isNotNull))
-              else Nil // non-string keys never equal a field name
-            val rec =
-              if (containsName(v)) Seq(matchesIn(ev, v)) else Nil
-            concat(hit ++ rec: _*)
-          }))
+        val entries = coalesce(map_entries(c), array().cast(entriesT))
+        val hits =
+          if (kt == StringType)
+            Seq(flatten(transform(entries, e =>
+              filter(array(e.getField("value")),
+                x => e.getField("key") === lit(name) && x.isNotNull))))
+          else Nil // non-string keys never equal a field name
+        val recs =
+          if (containsName(v))
+            Seq(flatten(transform(entries, e => matchesIn(e.getField("value"), v))))
+          else Nil
+        concat(hits ++ recs: _*)
       case other => bail(s"deep descent: cannot walk $other")
     }
-    val top = visSchema.fields.toSeq.flatMap { f =>
-      val hit =
-        if (f.name == name) Seq(filter(array(col(f.name)), x => x.isNotNull)) else Nil
-      val rec =
-        if (containsName(f.dataType)) Seq(matchesIn(col(f.name), f.dataType)) else Nil
-      hit ++ rec
+    val topHits = visSchema.fields.toSeq.filter(_.name == name).map { f =>
+      filter(array(col(f.name)), x => x.isNotNull)
     }
-    explodePreOrder(st, concat(top: _*))
+    val topRecs = visSchema.fields.toSeq.filter(f => containsName(f.dataType)).map { f =>
+      matchesIn(col(f.name), f.dataType)
+    }
+    explodePreOrder(st, concat(topHits ++ topRecs: _*))
   }
 
   /** Flatten a per-row pre-order match array into the chain's row
@@ -1965,7 +1970,14 @@ object Lower {
                      case s => bail(s"array literal element unsupported: $s")
       }: _*) // the analysis failure falls back, like every mixed lane
     case GlobalCall("to_string", Vector(a)) => displayExpr(a.e)
-    case GlobalCall("coalesce", args) => coalesce(args.map(a => colExpr(a.e)): _*)
+    case GlobalCall("coalesce", args) =>
+      // Interp's coalesce (Interp.scala:649) picks the first non-JNull
+      // and absorbs per-arg EvalExceptions to JNull — so each arg
+      // lowers in VALUE position (a comparison over null operands is
+      // JBool(false), non-null, and WINS — SQL's three-valued null
+      // would skip it) wrapped in TryOrNull (an erroring arg falls
+      // through instead of killing the job).
+      coalesce(args.map(a => graft.functions.TryOrNull(valueExpr(a.e))): _*)
     case Cast(x, to) => to match {
       case "int"    => colExpr(x).cast("long")
       case "float" | "number" => colExpr(x).cast("double")
@@ -2608,10 +2620,22 @@ object Lower {
               bail(s"map has lowers only with a string key: $rE")
             map_contains_key(l, r)
           case Some(st: StructType) =>
-            if (kindOf(rE) != Kind.Str)
-              bail(s"object has lowers only with a string key: $rE")
-            array_contains(
-              array(st.fieldNames.toIndexedSeq.map(lit): _*), r)
+            // the interpreter tests key membership over the null-field-
+            // OMITTING bridge document (RowBridge/to_json drop null
+            // fields), so a struct `has k` is true iff the receiver is
+            // non-null AND the named field's VALUE is non-null — a
+            // static array_contains over schema names would return true
+            // for null receivers/fields. isNotNull is two-valued and a
+            // null receiver propagates getField→null→false, so the one
+            // expression covers both. Dynamic keys would need a per-key
+            // CASE over the schema; the interpreter owns those.
+            rE match {
+              case Lit(JStr(k)) =>
+                if (st.fieldNames.contains(k)) l.getField(k).isNotNull
+                else lit(false)
+              case _ =>
+                bail(s"object has with dynamic key over struct receiver: $rE")
+            }
           case _ => bail(s"has container untyped: $lE")
         }
       case other => bail(s"operator $op")

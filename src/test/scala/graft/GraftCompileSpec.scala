@@ -762,6 +762,39 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.plans.Lower.tryCompile("$.t.sort_by(id)..v", _ => hetero).isEmpty)
   }
 
+  test("deep descent hoists a level's name-hit ahead of sibling descents") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def docSide(dfx: org.apache.spark.sql.DataFrame, e: String): Vector[Long] = {
+      val json = dfx.toJSON.collect().mkString(",")
+      Jetro.compile(e).evalValue(JValue.parse(s"""{"t": [$json]}""")) match {
+        case jexpr.JArr(xs) => xs.map(x => JValue.asNum(x).get.toLong)
+        case other          => fail(s"expected array, got ${other.kind}")
+      }
+    }
+    // Deep.descend emits a level's matched field FIRST (fs.get(n)),
+    // THEN descends all values — so with the matched key AFTER a
+    // nested-match-bearing column the row's own k still leads:
+    // [row.k, s.k], never the schema-interleaved [s.k, row.k]
+    val df = Seq((1L, 7L)).toDF("id", "k")
+      .select(col("id"), struct(lit(5L).as("k")).as("s"), col("k"))
+    val e = "$.t.sort_by(id)..k"
+    val got = graft.plans.Lower.compile(e, _ => df)
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(got == Vector(7L, 5L))
+    assert(got == docSide(df, e))
+    // same hoisting one level down: inside struct<a:struct<k>, k> the
+    // inner level's own k leads its sibling descent
+    val df2 = Seq((1L, 3L, 9L)).toDF("id", "ak", "nk")
+      .select(col("id"),
+        struct(struct(col("ak").as("k")).as("a"), col("nk").as("k")).as("n"))
+    val got2 = graft.plans.Lower.compile(e, _ => df2)
+      .collect().map(_.getAs[Number](0).longValue).toVector
+    assert(got2 == Vector(9L, 3L))
+    assert(got2 == docSide(df2, e))
+  }
+
   test("spread-of-row shapes lower with in-place override (field order included)") {
     val e = """$.nation.sort_by(n_nationkey)
               |.map({...@, dbl: n_nationkey * 2, n_name: n_name.lower()})""".stripMargin

@@ -42,14 +42,23 @@ class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i == 1 || (i != 2 && keep)) Some(s""""t": "v${rng.nextInt(3)}"""") else None,
         if (i == 1 || (i != 2 && keep)) Some(s""""p": ${rng.nextBoolean()}""") else None,
         if (i == 1 || (i != 2 && keep)) Some(s""""q": ${rng.nextBoolean()}""") else None,
-        if (i == 1 || (i != 2 && keep)) Some(s""""arr": [${rng.nextInt(4)}, ${if (rng.nextBoolean()) "null" else rng.nextInt(4).toString}, ${rng.nextInt(4)}]""") else None)
+        if (i == 1 || (i != 2 && keep)) Some(s""""arr": [${rng.nextInt(4)}, ${if (rng.nextBoolean()) "null" else rng.nextInt(4).toString}, ${rng.nextInt(4)}]""") else None,
+        // struct receiver whose fields are independently missing — the
+        // `has` lowering must honor the null-omitting bridge (a null
+        // field is NOT a member) and a null receiver
+        if (i == 1 || (i != 2 && keep))
+          Some(s""""o": {${Vector(
+            if (keep) Some(s""""k": ${rng.nextInt(5)}""") else None,
+            if (keep) Some(s""""w": "x${rng.nextInt(3)}"""") else None
+          ).flatten.mkString(",")}}""")
+        else None)
       fs.flatten.mkString("{", ",", "}")
     }
     import org.apache.spark.sql.functions._
     df = spark.read.json(
       spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
       .select(col("id"), col("a"), col("b"), col("s"), col("t"),
-        col("p"), col("q"), col("arr"))
+        col("p"), col("q"), col("arr"), col("o"))
       .coalesce(1)
     docJson = df.toJSON.collect().mkString(",")
   }
@@ -89,7 +98,16 @@ class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // division: a null numerator divides as 0.0 (reference Div
       // coerces via unwrap_or(0.0)); an erroring left of ?? takes the
       // default on both backends (EvalException / absorbed raise)
-      "a / 2", "(a / (b - b)) ?? -1", "(a / b) ?? -99")
+      "a / 2", "(a / (b - b)) ?? -1", "(a / b) ?? -99",
+      // round-9 struct `has`: key membership over the null-omitting
+      // bridge — a null receiver or null field value is NOT a member
+      """o has "k"""", """o has "w"""", """o has "zz"""",
+      """(o has "k") == p""", """not (o has "k")""",
+      // round-9 coalesce(): first non-null wins with VALUE-position
+      // args (a null-operand comparison is false, non-null, and WINS)
+      // and per-arg errors absorbed
+      "coalesce(a, b, -1)", "coalesce(s, t)", "coalesce(a < b, true)",
+      "coalesce(a > 2, p, false)", "coalesce(a / (b - b), b, -5)")
     (0 until 60).foreach { _ =>
       val n = 2 + rng.nextInt(3)
       val fields = (0 until n).map(i => s"v$i: ${pool(rng.nextInt(pool.length))}")
