@@ -207,29 +207,52 @@ object Bench {
     // Per-query TRIALS, not one scalar: round 7's driver artifact
     // recorded a phantom 2.7× regression (q_doc_pipeline 2.631 s vs
     // 1.026 s on a same-day same-box re-run) because one co-tenant-
-    // noisy session defined the round's official number. Two defences:
-    // (a) when the med/min spread of the three trials exceeds 1.5× the
-    // session is visibly noisy — run one extra trial so a single stall
-    // can't dominate; (b) emit {min, med, max} per query alongside the
-    // headline min, so a reader of BENCH_r{N}.json can tell "this
-    // query regressed" from "this session was noisy" without a re-run.
-    val sparkResults = headline.map { case (name, fn) =>
-      def once(): Double = {
+    // noisy session defined the round's official number. Three defences:
+    // (a) trials are INTERLEAVED round-robin across the whole query
+    // list (pass 1 all queries, pass 2, pass 3) instead of consecutive
+    // per query — round 8's driver artifact recorded b_curate at
+    // 2.219 s (same-box reruns: 0.396/0.490 s) because a sustained
+    // co-tenant stall covered that one query's whole consecutive trial
+    // window; spread passes minutes apart land a localized stall on
+    // DIFFERENT queries each pass, so per-query min survives it;
+    // (b) when the med/min spread still exceeds 1.5× the query gets an
+    // extra pass-4 trial so a single stall can't dominate; (c) emit
+    // {min, med, max} per query alongside the headline min, so a
+    // reader of BENCH_r{N}.json can tell "this query regressed" from
+    // "this session was noisy" without a re-run.
+    // An optional CLI regex (local iteration only — the driver passes
+    // none) restricts the set.
+    val picked = args.headOption match {
+      case Some(re) => headline.filter { case (n, _) => n.matches(re) }
+      case None     => headline
+    }
+    val failed = scala.collection.mutable.Set[String]()
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] =
+      try {
         val t0 = System.nanoTime()
         runOnce(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name; None
       }
-      val trials =
-        try {
-          var ts = Vector(once(), once(), once())
-          if (ts.sorted.apply(1) > ts.min * 1.5) ts = ts :+ once()
-          ts
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Vector(-1.0)
-        }
-      name -> trials
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      picked.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    (1 to 3).foreach { _ =>
+      picked.foreach { case (name, fn) =>
+        if (!failed(name)) once(name, fn).foreach(t => acc(name) :+= t)
+      }
     }
+    // pass 4: only the still-noisy queries (med > 1.5× min)
+    picked.foreach { case (name, fn) =>
+      val ts = acc(name)
+      if (!failed(name) && ts.nonEmpty && ts.sorted.apply((ts.length - 1) / 2) > ts.min * 1.5)
+        once(name, fn).foreach(t => acc(name) :+= t)
+    }
+    val sparkResults: Seq[(String, Vector[Double])] =
+      picked.map { case (name, _) =>
+        name -> (if (failed(name) || acc(name).isEmpty) Vector(-1.0) else acc(name))
+      }
     // cold queries are one-shot by definition (parse+compile+eval of a
     // fresh query IS the measurement) — no spread entry for them
     val results = sparkResults.map { case (n, ts) => n -> ts.min } ++ cold

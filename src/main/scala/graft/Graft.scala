@@ -187,11 +187,52 @@ object Graft {
     else None
   }
 
+  /** Per-query observability counters for the per-row rungs: `evaluated`
+    * counts interpreter invocations (rows fed to the per-row UDF),
+    * `errored` counts rows silently DROPPED by the per-row error tier
+    * (SCALE.md: an EvalException nulls the row and the explode drops
+    * it — a malformed row must not kill a 100 TB job, but the dropped
+    * mass must be observable). One pair per session, registered as
+    * named Spark accumulators (visible in the UI) and logged at query
+    * end whenever the dropped count grew. */
+  final class RowwiseCounters private[Graft] (
+      val evaluated: org.apache.spark.util.LongAccumulator,
+      val errored: org.apache.spark.util.LongAccumulator)
+
+  private val countersBySession =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, RowwiseCounters]
+
+  /** The session's rowwise counters (created on first use). `errored`
+    * staying 0 is the healthy steady state; any growth is logged after
+    * the query that caused it. */
+  def rowwiseCounters(spark: SparkSession): RowwiseCounters =
+    countersBySession.computeIfAbsent(spark, { s =>
+      val ev = s.sparkContext.longAccumulator("graft.rowwise.evaluatedRows")
+      val er = s.sparkContext.longAccumulator("graft.rowwise.erroredRows")
+      val lastLogged = new java.util.concurrent.atomic.AtomicLong(0L)
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private def report(): Unit = {
+          val v = er.value
+          val prev = lastLogged.getAndSet(v)
+          if (v > prev)
+            org.slf4j.LoggerFactory.getLogger("graft.Graft").warn(
+              s"rowwise rung dropped ${v - prev} malformed row(s) " +
+                s"(total $v) — see graft.rowwise.erroredRows")
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = report()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = report()
+      })
+      new RowwiseCounters(ev, er)
+    })
+
   /** Per-row interpreter projection: each row evaluated against its own
     * singleton `{table: [row]}` document on the executors, per-row
     * contributions flattened with `explode`, results as JSON strings.
     * Stateless and shuffle-free, so it runs identically on a bounded
-    * frame or a streaming micro-batch. */
+    * frame or a streaming micro-batch. Interpreter invocations and
+    * error-dropped rows tick the session's [[rowwiseCounters]]. */
   private[graft] def rowwiseJson(
       df: DataFrame, table: String, expr: String): org.apache.spark.sql.Dataset[String] = {
     import org.apache.spark.sql.functions.{array, col, explode, struct}
@@ -203,20 +244,51 @@ object Graft {
       StructField(table, ArrayType(df.schema), nullable = false)))
     val doc = struct(
       array(struct(df.columns.map(col).toIndexedSeq: _*)).as(table))
+    val counters = rowwiseCounters(df.sparkSession)
     df.select(
-      explode(Jetro.jetroEvalElemsStruct(expr, doc, docType)).as("__j"))
+      explode(Jetro.jetroEvalElemsStruct(expr, doc, docType,
+        Some(counters.evaluated), Some(counters.errored))).as("__j"))
       .select(col("__j"))
       .as(org.apache.spark.sql.Encoders.STRING)
   }
+
+  // The single live rowwise string-cache generation: rowwiseCompile
+  // persists the interpreter output so schema inference (the one
+  // interpreter pass) also materialises the strings the parse pass
+  // reads. Keeping only the LATEST generation bounds cache footprint;
+  // eviction is always safe because the parse carries an EXPLICIT
+  // schema — a recompute is ONE interpreter pass, never inference+parse.
+  private val liveRowwiseCache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Dataset[String]](null)
+
+  private def admitRowwiseCache(ds: org.apache.spark.sql.Dataset[String]): Unit = {
+    val prev = liveRowwiseCache.getAndSet(ds)
+    if (prev != null && (prev ne ds)) prev.unpersist(blocking = false)
+  }
+
+  /** Drop the retained rowwise string cache (e.g. between benchmark
+    * sweeps). Queries already compiled stay correct — they reparse with
+    * their explicit schema in one interpreter pass. */
+  def clearRowwiseCache(): Unit = admitRowwiseCache(null)
 
   private[graft] def rowwiseCompile(
       spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] =
     rowwisePlan(expr).filter(p => Tables.names.contains(p._1)).map {
       case (table, evalExpr) =>
-        // distributed two-pass read: schema inference + parse both
-        // run as jobs over the executors, never on the driver
-        spark.read.json(
-          rowwiseJson(Tables(spark, sfDir, table), table, evalExpr))
+        // ONE distributed interpreter pass, not two: schema inference
+        // over spark.read.json is a full scan of the UDF output, and
+        // the parse is a second — so persist the string dataset
+        // (MEMORY_AND_DISK: at scale the spill is the price of not
+        // re-running the interpreter), let inference materialise it,
+        // and parse the CACHE with the inferred schema made EXPLICIT.
+        // PERMISSIVE (default) mode keeps scalar-stream behavior
+        // byte-identical to the inference path (bare scalars land in
+        // _corrupt_record, exactly as docFallback's read.json does).
+        val ds = rowwiseJson(Tables(spark, sfDir, table), table, evalExpr)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        admitRowwiseCache(ds)
+        val schema = spark.read.json(ds).schema
+        spark.read.schema(schema).json(ds)
     }
 
   /** Document-mode fallback: build `{table: [rows…]}` for every table

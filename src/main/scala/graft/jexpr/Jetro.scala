@@ -118,19 +118,28 @@ object Jetro {
     * Powers the distributed rowwise fallback rung (graft.Graft). */
   def jetroEvalElemsStruct(
       expr: String, doc: Column,
-      docType: org.apache.spark.sql.types.StructType): Column = {
+      docType: org.apache.spark.sql.types.StructType,
+      evaluated: Option[org.apache.spark.util.LongAccumulator] = None,
+      errored: Option[org.apache.spark.util.LongAccumulator] = None): Column = {
     val conv = RowBridge.convert(docType)
     val fn = new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, Array[String]] {
       override def call(row: org.apache.spark.sql.Row): Array[String] = {
         if (row == null) return null
+        evaluated.foreach(_.add(1L))
         val docV =
           try conv(row)
-          catch { case _: RuntimeException => return null }
+          catch { case _: RuntimeException => errored.foreach(_.add(1L)); return null }
         try cached(expr).evalValue(docV) match {
           case JArr(xs) => xs.map(_.render).toArray
           case JNull    => Array.empty[String]
           case scalar   => Array(scalar.render)
-        } catch { case _: EvalException | _: ParseException => null }
+        } catch {
+          case _: EvalException | _: ParseException =>
+            // a malformed row must not kill a 100 TB job (SCALE.md
+            // per-row tier): null the row — the caller's explode drops
+            // it — but COUNT the drop so the mass is observable
+            errored.foreach(_.add(1L)); null
+        }
       }
     }
     org.apache.spark.sql.functions

@@ -450,4 +450,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(lineage.contains("FileScanRDD"), lineage)
     assert(!lineage.contains("ParallelCollectionRDD"), lineage)
   }
+
+  test("rowwise rung runs the interpreter ONCE per row (no inference double pass)") {
+    // schema inference used to re-execute the per-row interpreter over
+    // the whole table before the real parse pass; now the string output
+    // persists through inference and the parse reads the cache with an
+    // explicit schema. The evaluatedRows accumulator counts interpreter
+    // invocations directly: compile + full materialization must cost
+    // exactly |table| evaluations, not 2×.
+    val c = Graft.rowwiseCounters(spark)
+    val e = """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, nw: s_name.words().len()})"""
+    val before = c.evaluated.value
+    val rw = Graft.rowwiseCompile(spark, sf, e).get // inference pass
+    rw.collect()                                    // parse pass (cached)
+    val n = Tables(spark, sf, "supplier").count()
+    assert(c.evaluated.value - before == n,
+      s"interpreter ran ${c.evaluated.value - before} times for $n rows")
+    // and a SECOND materialization still reads the cache, not the UDF
+    rw.collect()
+    assert(c.evaluated.value - before == n)
+  }
 }

@@ -155,4 +155,23 @@ class RowwiseFallbackSpec extends SparkSpec {
     assert(Graft.backend(spark, sf, e) == "document")
     assert(Graft.query(spark, sf, e).count() == 5)
   }
+
+  test("per-row eval errors drop the row AND tick graft.rowwise.erroredRows") {
+    // the SCALE.md per-row tier: an EvalException nulls the row and the
+    // explode drops it — but the dropped mass must be OBSERVABLE.
+    // Division by a zero denominator errors loudly in the interpreter
+    // (reference-exact), so every supplier row is dropped and counted.
+    val c = Graft.rowwiseCounters(spark)
+    val before = c.errored.value
+    val e = "$.supplier.map({k: s_suppkey, x: 10 / (s_acctbal - s_acctbal)})"
+    val rw = Graft.rowwiseCompile(spark, sf, e).get
+    assert(rw.count() == 0)
+    val n = graft.core.Tables(spark, sf, "supplier").count()
+    assert(c.errored.value - before == n,
+      s"expected $n dropped rows counted, got ${c.errored.value - before}")
+    // a healthy query leaves the counter untouched
+    val mid = c.errored.value
+    Graft.rowwiseCompile(spark, sf, rowwiseExpr).get.collect()
+    assert(c.errored.value == mid)
+  }
 }
