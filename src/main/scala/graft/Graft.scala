@@ -64,6 +64,17 @@ object Graft {
       // (Deep.descend arrays recurse per element; `..` drops the
       // receiver itself) — pure concatenation of per-element matches
       case Step.Descendant(_) => true
+      // walk/walk_pre/rec apply their lambda to the RECEIVER node too
+      // (reference walk_apply transforms the root, rec_apply fixpoints
+      // the whole value — array.rs:693-755), and the receiver is the
+      // full stream array in doc mode but a singleton here. They
+      // qualify only when the lambda provably takes the identity
+      // branch on ARRAY nodes — a kind-guarded transform
+      // `T(x) if x is <non-array kind> [and …] else x` — so the root
+      // application is identity on both shapes and what remains is the
+      // per-element recursion, which concatenates.
+      case Step.Method("walk" | "walk_pre" | "rec", args) =>
+        args.length == 1 && arrayIdentityGuarded(args(0).e)
       // ..shape/..like candidates are OBJECTS only, so the receiver
       // array node can never match — per-element again. `..find` is
       // NOT here: its predicate ranges over ALL nodes including the
@@ -387,6 +398,34 @@ object Graft {
       case _                        => Set.empty
     }
     walk(e)
+  }
+
+  /** True when a walk/walk_pre/rec transform argument provably maps
+    * ARRAY nodes to themselves: a one-param lambda (or `@`-form body)
+    * shaped `T if <param> is <kind≠array> [and …] else <param>`. The
+    * kind guard must be the FIRST conjunct (so an array short-circuits
+    * to the else branch before any further test), the else branch must
+    * be the bare parameter, and nothing may read `$` (cross-row). */
+  private def arrayIdentityGuarded(e: Expr): Boolean = {
+    import Expr._
+    def paramRef(x: Expr, p: Option[String]): Boolean = (x, p) match {
+      case (Current, None)        => true
+      case (Ident(n), Some(q))    => n == q
+      case _                      => false
+    }
+    def nonArrayGuard(cond: Expr, p: Option[String]): Boolean = cond match {
+      case KindIs(x, k, false) if k != "array" && k != "lambda" =>
+        paramRef(x, p)
+      case Binary("and", l, r) => nonArrayGuard(l, p) && !containsRoot(r)
+      case _ => false
+    }
+    e match {
+      case Lambda(Vector(p), IfElse(c, t, Ident(p2))) if p2 == p =>
+        nonArrayGuard(c, Some(p)) && !containsRoot(t) && !containsRoot(c)
+      case IfElse(c, t, Current) =>
+        nonArrayGuard(c, None) && !containsRoot(t) && !containsRoot(c)
+      case _ => false
+    }
   }
 
   /** Any `$` (Root) reference anywhere in the expression tree. */

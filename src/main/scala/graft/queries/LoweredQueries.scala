@@ -728,6 +728,46 @@ object LoweredQueries extends QueryGroup {
         |.walk(lambda x: x.lower() if x is string else x)""".stripMargin)
   }
 
+  /** Top-level `walk(fn)` on the ROWWISE rung: the conjunctive guard
+    * (`x is string and x != ""`) bails the relational walk lowering
+    * (exact-KindIs-only), but the guard still provably maps ARRAY
+    * nodes to themselves — the reference applies the lambda to the
+    * receiver too (walk_apply root, array.rs:693-737), and a non-array
+    * kind guard makes that application identity on both the full
+    * stream and the per-row singleton, so the walk distributes. The
+    * oracle replays the guarded upper-casing per string leaf. */
+  private val rowwiseWalk = q(
+    "q_rowwise_walk",
+    """SELECT doc_id AS id,
+      |  CASE WHEN lang <> '' THEN upper(lang) ELSE lang END AS lg,
+      |  CASE WHEN source <> '' THEN upper(source) ELSE source END AS src
+      |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+    val e = """$.documents.map({id: doc_id, lg: lang, src: source})
+              |.walk(lambda x: x.upper() if x is string and x != "" else x)""".stripMargin
+    assert(graft.Graft.backend(s, d, e) == "rowwise",
+      "expression must exercise the rowwise rung")
+    graft.Graft.query(s, d, e).orderBy("id")
+  }
+
+  /** `rec(fn)` (bounded fixpoint, reference rec_apply array.rs:752-755)
+    * on the ROWWISE rung: rec has no relational lowering by design (a
+    * fixpoint has no static plan), but inside an element-wise map body
+    * it runs per row on the executors — here iterated integer
+    * subtraction until the guard releases. The oracle replays the
+    * fixpoint's closed form (r = 94 + ((c - 101) % 7) for c > 100). */
+  private val rowwiseRec = q(
+    "q_rowwise_rec",
+    """SELECT doc_id AS id,
+      |  CAST(CASE WHEN n_chars > 100 THEN 94 + ((n_chars - 101) % 7)
+      |       ELSE n_chars END AS BIGINT) AS r
+      |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+    val e = """$.documents.map({id: doc_id,
+              |  r: n_chars.rec(@ - 7 if @ is number and @ > 100 else @)})""".stripMargin
+    assert(graft.Graft.backend(s, d, e) == "rowwise",
+      "expression must exercise the rowwise rung")
+    graft.Graft.query(s, d, e).orderBy("id")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
@@ -735,5 +775,6 @@ object LoweredQueries extends QueryGroup {
     groupCollectL, partitionL, deepL, deepShapeL, deepLikeL,
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
-    rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL)
+    rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
+    rowwiseWalk, rowwiseRec)
 }

@@ -156,6 +156,46 @@ class RowwiseFallbackSpec extends SparkSpec {
     assert(Graft.query(spark, sf, e).count() == 5)
   }
 
+  test("walk/walk_pre/rec qualify only with an array-identity kind guard") {
+    // reference walk_apply/rec_apply transform the RECEIVER too
+    // (array.rs:693-755) — the full stream in doc mode, a singleton
+    // here — so only lambdas provably identity on arrays distribute
+    val guarded =
+      """$.supplier.map({k: s_suppkey, n: s_name})
+        |.walk(lambda x: x.upper() if x is string and x != "" else x)""".stripMargin
+    assert(Graft.rowwisePlan(guarded).isDefined)
+    assert(rowsOf(Graft.rowwiseCompile(spark, sf, guarded).get) ==
+      rowsOf(Graft.docFallback(spark, sf, guarded)))
+    val pre = guarded.replace(".walk(", ".walk_pre(")
+    assert(Graft.rowwisePlan(pre).isDefined)
+    assert(rowsOf(Graft.rowwiseCompile(spark, sf, pre).get) ==
+      rowsOf(Graft.docFallback(spark, sf, pre)))
+    // guarded rec at top level: identity on the stream — but the
+    // QUALIFICATION is what distributes; result matches doc mode
+    val recTop =
+      """$.supplier.map({k: s_suppkey, b: s_acctbal})
+        |.rec(@ - 9 if @ is number and @ > 100 else @)""".stripMargin
+    assert(Graft.rowwisePlan(recTop).isDefined)
+    assert(rowsOf(Graft.rowwiseCompile(spark, sf, recTop).get) ==
+      rowsOf(Graft.docFallback(spark, sf, recTop)))
+    // refused: no guard (the lambda would see the whole stream array)
+    assert(Graft.rowwisePlan(
+      "$.supplier.map({k: s_suppkey}).walk(lambda x: x)").isEmpty)
+    // refused: an array guard transforms the receiver itself
+    assert(Graft.rowwisePlan(
+      "$.supplier.map({k: s_suppkey}).walk(lambda x: x.reverse() if x is array else x)").isEmpty)
+    // refused: kind guard not the FIRST conjunct
+    assert(Graft.rowwisePlan(
+      """$.supplier.map({k: s_suppkey, n: s_name})
+        |.walk(lambda x: x.upper() if x != "" and x is string else x)""".stripMargin).isEmpty)
+    // refused: else branch is not the bare parameter
+    assert(Graft.rowwisePlan(
+      "$.supplier.map({k: s_suppkey}).walk(lambda x: x.upper() if x is string else 0)").isEmpty)
+    // refused: a $ reference reads across rows
+    assert(Graft.rowwisePlan(
+      "$.supplier.map({k: s_suppkey}).walk(lambda x: $.region.count() if x is number else x)").isEmpty)
+  }
+
   test("per-row eval errors drop the row AND tick graft.rowwise.erroredRows") {
     // the SCALE.md per-row tier: an EvalException nulls the row and the
     // explode drops it — but the dropped mass must be OBSERVABLE.

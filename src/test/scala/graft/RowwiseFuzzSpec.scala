@@ -78,12 +78,19 @@ class RowwiseFuzzSpec extends SparkSpec {
         case 4 => s".pick(${"\"c_custkey\", \"c_mktsegment\""})"
         case _ => s".omit(${"\"c_name\", \"c_acctbal\""})"
       }
-      val post = rng.nextInt(4) match {
+      val post = rng.nextInt(6) match {
         case 0 => ""
         case 1 if shape.contains("w:") => """.explode("w")"""
         case 1 => s".find_all(c_custkey >= 0)"
         case 2 => ".compact()"
-        case _ => s"{k != null}" // post-shape inline filter
+        case 3 => s"{k != null}" // post-shape inline filter
+        // round-9: top-level walk/walk_pre/rec with an array-identity
+        // kind guard — the receiver (stream vs singleton) application
+        // is identity, so the per-element recursion distributes
+        case 4 =>
+          val m = if (rng.nextBoolean()) "walk" else "walk_pre"
+          s""".$m(lambda x: x.upper() if x is string and x != "zz" else x)"""
+        case _ => ".rec(@ - 11 if @ is number and @ > 50 else @)"
       }
       // post stages referencing k only make sense after a k-shape
       val e0 = s"$$.customer$filterStage$shape"
