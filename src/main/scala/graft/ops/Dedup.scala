@@ -349,7 +349,18 @@ object Dedup {
     * difference bound (|len a − len b| ≤ maxDist is necessary) pushes
     * into the join filter, and the distance itself uses Spark's
     * early-abandon 3-arg `levenshtein(a, b, threshold)` (−1 past the
-    * threshold, so the scan stops at maxDist+1 edits). */
+    * threshold, so the scan stops at maxDist+1 edits).
+    *
+    * Id-type CONTRACT (since round 7): with `maxBlock > 0` the id
+    * column must be string or integral — the cap keeps the maxBlock
+    * smallest ids per block through a bounded-buffer aggregate keyed
+    * on the id's native order, and there is deliberately NO windowed
+    * fallback for other types (a per-block sort window is the
+    * degenerate-block pathology the cap exists to bound). Exotic ids
+    * (decimal, date, …) raise IllegalArgumentException with this
+    * guidance: render the id to string/integral yourself — an explicit
+    * cast keeps the "smallest ids" tie-break visible — or run
+    * uncapped (`maxBlock = 0`), where any id type with `<` works. */
   def editPairs(
       df: DataFrame, idCol: String, textCol: String,
       block: Column, maxDist: Int, minDist: Int = 0,

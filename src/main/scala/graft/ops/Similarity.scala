@@ -184,15 +184,88 @@ object Similarity {
     rerank(scored, k)
   }
 
+  /** Engine-portable twin of [[lshTopK]]: hyperplane weights derive
+    * from md5 (`w(j,d) = (u60(md5("pl:j:d")[0,15)) % 2001) - 1000`) and
+    * the sign test runs on an INTEGER dot product over 1e4-quantized
+    * lanes — both replayable verbatim in DuckDB, so bucketing and
+    * candidate-set formation are cross-engine hash-verified end to end
+    * (the [[graft.queries.Num]] fixed-point argument applied to LSH).
+    * Production speed stays with [[lshTopK]]'s gaussian planes +
+    * codegen signature; this is the verification lane. */
+  def lshTopKPortable(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int,
+      bits: Int = 16, bands: Int = 8): DataFrame = {
+    require(bits % bands == 0)
+    val r = bits / bands
+    val w = md5Planes(dim, bits)
+    def bucketArr(vec: Column): Column = {
+      val qv = transform(vec, x => round(x.cast("double") * 10000).cast("long"))
+      array((0 until bands).map { b =>
+        (0 until r).map { i =>
+          val j = b * r + i
+          val dot = aggregate(
+            zip_with(qv, typedLit(w(j).toSeq), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x)
+          when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
+    }
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .select(col(id), col(vec),
+          posexplode(bucketArr(col(vec))).as(Seq("band", "bucket")))
+    val qb = banded(queries, "qid", "qv")
+    val cb = banded(corpus, "cid", "cv")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+    val scored = cand
+      .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))
+      .select("qid", "cid", "sim")
+    rerank(scored, k)
+  }
+
+  /** md5-derived integer hyperplanes: DuckDB replays each weight as
+    * `(('0x' || substr(md5('pl:'||j||':'||d),1,15))::UBIGINT % 2001)
+    * - 1000`; 15 hex chars = 60 bits, so the value fits a signed long
+    * on both engines. */
+  private def md5Planes(dim: Int, bits: Int): Array[Array[Long]] =
+    Array.tabulate(bits) { j =>
+      Array.tabulate(dim) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pl:$j:$d".getBytes("UTF-8"))
+        val hex = h.map("%02x".format(_)).mkString.substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+      }
+    }
+
   /** Shared ANN re-rank: exact top-k per query over the scored
     * candidate set via the bounded [[TopK.TopKAgg]] buffer (sim desc,
     * cid asc tie-break — the same order the old per-qid row_number
     * window imposed, without its per-query sort: map-side combine caps
     * every buffer at k before the one shuffle on qid). Candidate ids
     * surface as LONG (the aggregator's id lane). */
-  private def rerank(scored: DataFrame, k: Int): DataFrame =
+  private def rerank(scored: DataFrame, k: Int): DataFrame = {
+    // the candidate set per query is unbounded (corpus-sized for brute
+    // force), so the re-rank MUST ride the bounded long-id k-buffer —
+    // a type-generic collect_list here would pin whole candidate sets
+    // in aggregation state. That makes integral corpus ids a hard,
+    // loud contract (editPairs maxBlock rationale): map string ids to
+    // a long surrogate before calling. Centroid ids (IVF probe stage)
+    // stay type-generic — their per-group state is bounded by nlist.
+    import org.apache.spark.sql.types._
+    val integral = scored.schema("cid").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    require(integral,
+      s"ANN re-rank rides a bounded long-id top-k buffer; corpus id type " +
+        s"${scored.schema("cid").dataType} is not integral — map ids to a " +
+        "long surrogate key before calling")
     TopK.perGroup(scored, Seq("qid"), "sim", "cid", k)
       .select(col("qid"), col("cid"), col("sim"), col("rank").as("rk"))
+  }
 
   /** Lloyd-iteration k-means centroids, DataFrame-native: seed with the
     * first `nlist` corpus vectors (deterministic), then `iters` rounds
@@ -262,29 +335,53 @@ object Similarity {
       else corpus
         .orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    // assign: argmax cosine against broadcast centroids — a map-side
-    // foldable aggregate, not a window (see [[assign]])
+    ivfSearch(queries, corpus, idCol, vecCol, k, nprobe, cents)
+  }
+
+  /** Engine-portable twin of [[ivfTopK]]: the untrained quantizer's
+    * centroid pick is seeded from an md5 lane (`ORDER BY
+    * md5(CAST(id AS VARCHAR))`) DuckDB replays verbatim, so centroid
+    * selection, assignment, probe-list formation and the final re-rank
+    * are all cross-engine hash-verified. Same search body as the
+    * production path. */
+  def ivfTopKPortable(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = corpus
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    ivfSearch(queries, corpus, idCol, vecCol, k, nprobe, cents)
+  }
+
+  /** The IVF search body: assign corpus vectors to their nearest
+    * centroid (map-side-foldable argmax, see [[assign]]), build
+    * per-query probe lists, score candidates in the probed clusters,
+    * exact re-rank. The probe stage folds `collect_list` capped by the
+    * BOUNDED nlist centroid set and sorts the ≤ nlist-element array
+    * in place — no window, no cast of `centroid_id` through a long
+    * surrogate (any orderable id type works, incl. string ids from a
+    * caller-trained quantizer); ranking is (qsim desc, centroid_id
+    * asc), the same order the old row_number idiom gave. */
+  private def ivfSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      cents: DataFrame): DataFrame = {
     val assigned =
       assign(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")),
         cents, corpus)
-    // probe lists per query: top-nprobe centroids through the bounded
-    // TopK buffer (qsim desc, centroid_id-asc tiebreak — the same order
-    // the row_number idiom gave, without sorting qid×nlist rows; the
-    // buffer folds map-side so the shuffle carries ≤ nprobe candidates
-    // per query)
-    val centIdType = cents.schema("centroid_id").dataType
-    val probeAgg = udaf(new TopK.TopKAgg(nprobe))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("qsim", round(cosine(corpus, "qv", "centv"), 4))
       .groupBy("qid")
       .agg(first(col("qv")).as("qv"),
-        probeAgg(col("qsim").cast("double"),
-          col("centroid_id").cast("long")).as("__pk"))
+        slice(array_sort(collect_list(struct(
+          (-col("qsim")).as("nsim"), col("centroid_id")))), 1, nprobe)
+          .as("__pk"))
       .select(col("qid"), col("qv"), explode(col("__pk")).as("__p"))
-      .select(col("qid"), col("qv"),
-        col("__p._2").cast(centIdType).as("centroid_id"))
+      .select(col("qid"), col("qv"), col("__p.centroid_id").as("centroid_id"))
     val scored = probes.join(assigned, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", round(cosine(corpus, "qv", "cv"), 4))

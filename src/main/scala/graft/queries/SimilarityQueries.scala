@@ -86,6 +86,110 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("qid", "rk")
   }
 
+  /** The ENTIRE LSH ANN pipeline, engine-portably: md5-derived integer
+    * hyperplanes, integer sign-bit dot over 1e4-quantized lanes, band
+    * buckets, candidate join, exact double cosine re-rank — each stage
+    * replayed verbatim by the DuckDB oracle and hash-compared. With
+    * this twin only the gaussian-plane PRODUCTION variant (q_ann_lsh)
+    * stays rows-only, covered by its measured recall floor. */
+  private val lshTopKMd5 = q(
+    "q_ann_lsh_md5",
+    """WITH w AS (
+      |  SELECT j, d,
+      |    CAST(('0x' || substr(md5('pl:' || j || ':' || d), 1, 15))::UBIGINT
+      |         % 2001 AS BIGINT) - 1000 AS wv
+      |  FROM generate_series(0, 15) s1(j), generate_series(0, 63) s2(d)),
+      |qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT qv.vec_id, w.j, SUM(qv.q[w.d + 1] * w.wv) AS s
+      |  FROM qv, w GROUP BY 1, 2),
+      |buck AS (
+      |  SELECT vec_id, j // 4 AS band,
+      |    SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END * (1 << (j % 4))) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      |  FROM buck a JOIN buck b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+      |p AS (
+      |  SELECT c.qid, c.cid,
+      |    ROUND(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))
+      |      / (sqrt(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))), 4) AS sim
+      |  FROM cand c
+      |  JOIN embeddings qe ON qe.vec_id = c.qid
+      |  JOIN embeddings ce ON ce.vec_id = c.cid,
+      |  generate_series(1, 64) t(i)
+      |  GROUP BY c.qid, c.cid)
+      |SELECT qid, cid, sim, rk FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      |  FROM p)
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopKPortable(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      dim = 64, k = 3, bits = 16, bands = 4)
+      .orderBy("qid", "rk")
+  }
+
+  /** The ENTIRE IVF ANN pipeline, engine-portably: centroid pick
+    * seeded from an md5 lane, nearest-centroid assignment (rounded
+    * cosine, highest-id tie), top-nprobe probe lists (qsim desc, id
+    * asc), probed-cluster scoring, exact re-rank — replayed
+    * stage-for-stage by the DuckDB oracle. Only the floating-point
+    * ranking of the PRODUCTION variants (q_ann_lsh / q_ann_ivf)
+    * remains rows-only. */
+  private val ivfTopKMd5 = q(
+    "q_ann_ivf_md5",
+    """WITH cents AS (
+      |  SELECT vec_id AS centroid_id, embedding AS centv
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |asim AS (
+      |  SELECT e.vec_id AS cid, c.centroid_id,
+      |    ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE))
+      |      / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(c.centv[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE)))), 4) AS csim
+      |  FROM embeddings e, cents c, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT cid, centroid_id FROM (
+      |    SELECT cid, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, centroid_id DESC) AS rn
+      |    FROM asim) WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, centroid_id FROM (
+      |    SELECT cid AS qid, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, centroid_id ASC) AS rn
+      |    FROM asim WHERE cid < 5) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT p.qid, a.cid FROM probes p JOIN assigned a USING (centroid_id)
+      |  WHERE p.qid <> a.cid),
+      |p AS (
+      |  SELECT c.qid, c.cid,
+      |    ROUND(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))
+      |      / (sqrt(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))), 4) AS sim
+      |  FROM cand c
+      |  JOIN embeddings qe ON qe.vec_id = c.qid
+      |  JOIN embeddings ce ON ce.vec_id = c.cid,
+      |  generate_series(1, 64) t(i)
+      |  GROUP BY c.qid, c.cid)
+      |SELECT qid, cid, sim, rk FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      |  FROM p)
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKPortable(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+      .orderBy("qid", "rk")
+  }
+
   /** Multimodal plumbing: synthesized binary payloads → byte length
     * oracle (the decode stage itself is stubbed, see Multimodal). */
   private val multimodalBytes = q(
@@ -176,6 +280,6 @@ object SimilarityQueries extends QueryGroup {
   }
 
   def defs = Seq(
-    cosineTopK, nearDup, lshTopK, ivfTopK, multimodalBytes, frames,
-    centroid, embedNorm)
+    cosineTopK, nearDup, lshTopK, ivfTopK, lshTopKMd5, ivfTopKMd5,
+    multimodalBytes, frames, centroid, embedNorm)
 }

@@ -67,6 +67,39 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.forall(_ <= 3))
   }
 
+  test("IVF probe stage is id-type-generic; rerank contract errors loudly on string ids") {
+    // the probe stage once cast centroid_id to long for the TopK
+    // aggregator — a silent ANSI cast trap for string ids from a
+    // caller-trained quantizer; the collect_list probe fold is
+    // type-generic. The final re-rank's bounded buffer genuinely
+    // needs a long id lane, so non-integral CORPUS ids now fail with
+    // an explanatory contract error instead of a runtime cast error.
+    val sEmb = emb.select(
+      concat(lit("v"), lpad(col("vec_id").cast("string"), 4, "0")).as("vec_id"),
+      col("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(
+        sEmb.filter(col("vec_id") < "v0005"), sEmb, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 3).collect()
+    }
+    assert(err.getMessage.contains("long surrogate"), err.getMessage)
+  }
+
+  test("portable md5-lane ANN twins rank like their production variants") {
+    // the md5 twins are the cross-engine verification lane: same
+    // output shape, valid pairs, k-bounded, query ids from the query set
+    val lsh = Similarity.lshTopKPortable(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      dim = 64, k = 3, bits = 16, bands = 4).collect()
+    assert(lsh.nonEmpty && lsh.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    assert(lsh.forall(r => r.getLong(0) < 5 && r.getLong(0) != r.getLong(1)))
+    val ivf = Similarity.ivfTopKPortable(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3).collect()
+    assert(ivf.nonEmpty && ivf.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    assert(ivf.forall(r => r.getLong(0) < 5 && r.getLong(0) != r.getLong(1)))
+  }
+
   test("trained IVF centroids are valid vectors and improve over seeds") {
     val corpus = emb.filter(col("vec_id") < 200)
     val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
