@@ -2535,10 +2535,24 @@ object Lower {
         // zero" error. raise_error matches the interpreter's loud
         // error (try/else and ?? absorb it via TryOrNull); plain null
         // propagation and IEEE Infinity would both silently diverge.
+        //
+        // The 0.0 coercion applies only to VALUE nulls. A null coming
+        // out of an arithmetic SUB-expression (`(a + b) / 2` with null
+        // a) means the interpreter errored BEFORE the division — numOp
+        // raises on non-numbers — so coercing it would silently turn a
+        // loud per-row error into 0.0 (and `?? d` would keep the 0.0
+        // instead of taking the default). Those nulls raise instead.
+        // Found by the round-9 arithmetic-tier fuzzer.
         val rd = coalesce(r.cast("double"), lit(0.0))
+        val ln =
+          if (nullMeansArithError(lE))
+            when(l.isNull,
+              raise_error(lit("arithmetic on non-numbers")).cast("double"))
+              .otherwise(l.cast("double"))
+          else coalesce(l.cast("double"), lit(0.0))
         when(rd === lit(0.0),
           raise_error(lit("division by zero")).cast("double"))
-          .otherwise(coalesce(l.cast("double"), lit(0.0)) / rd)
+          .otherwise(ln / rd)
       case "%"   =>
         // lane-aware remainder: the interpreter's FLOAT lane gives NaN
         // on a zero divisor (Java double %), while its integer lane
@@ -2640,6 +2654,19 @@ object Lower {
         }
       case other => bail(s"operator $op")
     }
+  }
+
+  /** True when a SQL null produced by this expression's lowering can
+    * only mean the INTERPRETER raised (numOp "arithmetic on
+    * non-numbers" / unary-minus on a non-number) rather than a value
+    * null: direct arithmetic forms whose lowering null-propagates where
+    * the interpreter errors. Value-null producers (field refs, `??`,
+    * try/else, ternaries) stay false — their null is a real JNull the
+    * reference coerces. */
+  private def nullMeansArithError(e: Expr): Boolean = e match {
+    case Binary("+" | "-" | "*" | "%", _, _) => true
+    case Unary("-", _)                       => true
+    case _                                   => false
   }
 
   /** jetro truthiness (vm truthy): null/false → false, numbers ≠ 0,

@@ -130,4 +130,111 @@ class NullSemanticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == exp, e)
     }
   }
+
+  /** The three-tier arithmetic error-granularity contract (SCALE.md):
+    * the INTERPRETER errors loudly on null/non-number arithmetic, the
+    * ROWWISE rung nulls-and-counts the row, the LOWERING nulls the
+    * CELL — with division reference-exact in every lane (null VALUE
+    * numerator → 0.0; zero/null denominator → loud error; a null out
+    * of an arithmetic SUB-expression means the interpreter already
+    * raised, so the lowering raises there too instead of coercing).
+    * Expected per-row outcomes come from the interpreter itself over
+    * singleton docs, so the test is a differential, not a model. */
+  test("arithmetic tier boundary: loud doc / counted rowwise drop / cell-null lowering") {
+    import graft.jexpr.{EvalException, Jetro => J}
+    val rng = new scala.util.Random(FuzzSeed(9092026))
+    val rowJsons = df.toJSON.collect().toVector
+    val fullDocJson = s"""{"t": [${rowJsons.mkString(",")}]}"""
+
+    def perRow(expr: String): Vector[Either[String, JValue]] =
+      rowJsons.map { rj =>
+        try J.compile(s"$$.t.map({v: ($expr)})")
+          .evalValue(JValue.parse(s"""{"t": [$rj]}""")) match {
+          case jexpr.JArr(Vector(jexpr.JObj(fs))) =>
+            Right(fs.getOrElse("v", jexpr.JNull))
+          case other => Left(s"unexpected shape ${other.kind}")
+        } catch { case e: EvalException => Left(e.getMessage) }
+      }
+
+    def ids: Vector[Long] = rowJsons.map(rj =>
+      JValue.asNum(JValue.parse(rj).asInstanceOf[jexpr.JObj].v("id")).get.toLong)
+
+    /** normalize a set of {"id","v"} JSON rows through the same bridge
+      * both engines use, then canon-compare. */
+    def normalize(rows: Vector[String]): Vector[String] =
+      spark.read.json(
+        spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING))
+        .toJSON.collect().toVector.map(s2 => canon(JValue.parse(s2))).sorted
+
+    val atomsNum = Seq("a", "b", "id", "2", "3")
+    val opsAdd = Seq("+", "-", "*")
+    def addExpr(): String = {
+      val a1 = atomsNum(rng.nextInt(atomsNum.length))
+      val a2 = atomsNum(rng.nextInt(atomsNum.length))
+      if (rng.nextBoolean()) s"$a1 ${opsAdd(rng.nextInt(3))} $a2"
+      else {
+        val a3 = atomsNum(rng.nextInt(atomsNum.length))
+        s"($a1 ${opsAdd(rng.nextInt(3))} $a2) ${opsAdd(rng.nextInt(3))} $a3"
+      }
+    }
+    var cases = 0
+    (0 until 40).foreach { _ =>
+      val shapes = Seq(
+        addExpr(),                                   // pool A: + - * (null hazards only)
+        s"${if (rng.nextBoolean()) addExpr() else atomsNum(rng.nextInt(5))} / " +
+          s"${if (rng.nextInt(4) == 0) s"(b - b)" else atomsNum(rng.nextInt(5))}", // pool B: division
+        s"(${addExpr()}) % ${atomsNum(rng.nextInt(5))}") // pool C: integer remainder
+      shapes.foreach { e =>
+        cases += 1
+        val pr = perRow(e)
+        val succJson = ids.zip(pr).collect { case (id, Right(v)) =>
+          s"""{"id":$id,"v":${v.render}}"""
+        }
+        // tier 1 — document interpreter: loud iff ANY row errors
+        val docThrew =
+          try { J.compile(s"$$.t.map({id: id, v: ($e)})")
+            .evalValue(JValue.parse(fullDocJson)); false }
+          catch { case _: EvalException => true }
+        assert(docThrew == pr.exists(_.isLeft), s"doc loudness for: $e")
+        // tier 2 — rowwise rung: errored rows DROPPED and COUNTED.
+        // Persist around read.json exactly as rowwiseCompile does —
+        // the raw two-pass read would run the interpreter (and count
+        // every drop) TWICE.
+        val c = Graft.rowwiseCounters(spark)
+        val before = c.errored.value
+        val ds = Graft.rowwiseJson(df, "t", s"$$.t.map({id: id, v: ($e)})").persist()
+        val rw = spark.read.json(ds)
+        val rwRows = rw.toJSON.collect().toVector.map(s2 => canon(JValue.parse(s2))).sorted
+        ds.unpersist(blocking = false)
+        assert(c.errored.value - before == pr.count(_.isLeft),
+          s"rowwise drop count for: $e")
+        assert(rwRows == normalize(succJson), s"rowwise survivors for: $e")
+        // tier 3 — lowering: cell-null on errored rows; zero-division
+        // and errored-subexpression division raise loudly instead
+        graft.plans.Lower.tryCompile(
+          s"$$.t.sort_by(id).map({id: id, v: ($e)})", _ => df).foreach { cdf =>
+          val ran =
+            try Some(cdf.toJSON.collect().toVector
+              .map(s2 => canon(JValue.parse(s2))).sorted)
+            catch { case scala.util.control.NonFatal(_) => None }
+          ran match {
+            case Some(got) =>
+              // ran to completion: no zero-division row may exist, and
+              // cells are null exactly on the interpreter's error rows
+              assert(!pr.exists(_.left.exists(_.contains("by zero"))),
+                s"zero-division must raise compiled: $e")
+              val expJson = ids.zip(pr).map {
+                case (id, Right(v)) => s"""{"id":$id,"v":${v.render}}"""
+                case (id, Left(_))  => s"""{"id":$id}"""
+              }
+              assert(got == normalize(expJson), s"compiled cells for: $e")
+            case None =>
+              assert(pr.exists(_.isLeft),
+                s"compiled raised with no interpreter error row: $e")
+          }
+        }
+      }
+    }
+    assert(cases >= 100, s"only $cases generated")
+  }
 }
