@@ -103,6 +103,58 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got.count() === want.count() && got.count() > want.select("id").distinct().count())
   }
 
+  test("guarded walk chains run on the streaming rowwise rung (batch parity)") {
+    // round-9 qualification: a kind-guarded walk distributes over
+    // micro-batches exactly like batch rows; the conjunctive guard
+    // bails the relational lowering so the rowwise rung must carry it
+    val e = """$.events{event_type == "purchase"}
+              |.map({id: event_id, t: event_type})
+              |.walk(lambda x: x.upper() if x is string and x != "" else x)""".stripMargin
+    assert(StreamOps.lowerStream(e, "events", streamEvents).isEmpty)
+    val Some(("rowwise", js)) = StreamOps.compileStream(e, "events", streamEvents)
+    val got = runToTable(js, "t_walk_stream")
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, t STRING")).as("r"))
+      .select("r.id", "r.t")
+    val want = graft.Graft.query(spark, sf, e)
+    assert(graft.Graft.backend(spark, sf, e) == "rowwise")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.filter(col("t") === "PURCHASE").count() === got.count())
+  }
+
+  test("map-value deep descent lowers on streams (batch parity)") {
+    // round-8 batch lowering (q_lower_deep_map): `..k` walks map
+    // entries in stored order via map_entries HOFs — stateless
+    // expressions, so the same plan must lower and run on a stream
+    def shaped(df: DataFrame) = df.select(col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    val e = "$.events{event_id < 3000}..k"
+    val lowered = StreamOps.lowerStream(e, "events", shaped(streamEvents))
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_deep_map_stream")
+    val want = graft.plans.Lower.compile(e, _ => shaped(batchEvents))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("value")).head.getLong(0)
+      === want.agg(sum("value")).head.getLong(0))
+  }
+
+  test("spread-of-row shapes lower on streams (batch parity)") {
+    // round-8 batch lowering (q_lower_spread): `{...@, k: v}` inserts
+    // every row column in schema order with in-place override — one
+    // stateless projection, so streams take it unchanged
+    val e = """$.events{event_type == "purchase"}
+              |.map({...@, dbl: value * 2, event_type: event_type.lower()})""".stripMargin
+    val lowered = StreamOps.lowerStream(e, "events", streamEvents)
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_spread_stream")
+    val want = graft.plans.Lower.compile(e, _ => batchEvents)
+    assert(got.columns.toSeq == want.columns.toSeq) // spread order + override in place
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("dbl")).head.getDouble(0)
+      === want.agg(sum("dbl")).head.getDouble(0) +- 1e-6)
+  }
+
   test("patching chains run on the streaming rowwise rung (batch parity)") {
     // a row-iterating chain-write patches each event independently —
     // stateless, so the same per-row patch runs on micro-batches
