@@ -274,7 +274,14 @@ object Graft {
 
   private def admitRowwiseCache(ds: org.apache.spark.sql.Dataset[String]): Unit = {
     val prev = liveRowwiseCache.getAndSet(ds)
-    if (prev != null && (prev ne ds)) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne ds))
+      // the previous generation may belong to a SparkSession that has
+      // since stopped (its blocks died with the context) — eviction is
+      // best-effort bookkeeping, never worth failing the new query over
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped)
+          prev.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Drop the retained rowwise string cache (e.g. between benchmark

@@ -164,16 +164,24 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ..shape needs CANDIDATE structs of one unified type (mixed
       // shapes bail to doc mode by contract), so its pool keeps every
       // object {v}; the scalar-match ops keep the deeper mixed nest
-      val (shape, op) = rng.nextInt(3) match {
+      val (shape, op) = rng.nextInt(4) match {
         case 0 =>
           (s"map({id: c_custkey, a: {v: $k1, deep: {v: $k2}}, kids: [{v: $k3}, {v: $k4}]})",
             "..v")
         case 1 =>
           (s"map({id: c_custkey, a: {v: $k1}, kids: [{v: $k2}, {v: $k3}]})",
             "..shape({v}).map(v)")
-        case _ =>
+        case 2 =>
           (s"map({id: c_custkey, a: {v: $k1, deep: {v: $k2}}, kids: [{v: $k3}, {v: $k4}]})",
             s".walk(lambda x: x.${if (rng.nextBoolean()) "upper" else "lower"}() if x is string else x)..v")
+        case _ =>
+          // the matched name ALSO a row-level column, placed AFTER a
+          // nested match-bearing sibling: Deep.descend hoists the
+          // level's hit ahead of every sibling descent, so the row's
+          // own v leads [row.v, a.v, kids…] — the round-9 emission-
+          // order fix; a per-field interleave would emit [a.v, row.v…]
+          (s"map({id: c_custkey, a: {v: $k1, deep: {v: $k2}}, v: $k3})",
+            "..v")
       }
       val e = s"$$.customer$pred.sort_by(c_custkey).$shape$op"
       val compiled = graft.plans.Lower.tryCompile(
