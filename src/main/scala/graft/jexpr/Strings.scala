@@ -65,20 +65,32 @@ object Strings {
     name match {
       case "upper"       => JStr(s.toUpperCase)
       case "lower"       => JStr(s.toLowerCase)
-      // capitalize lowercases the remainder (string.rs:172-183)
-      case "capitalize"  => JStr(if (s.isEmpty) s else s.head.toUpper +: s.tail.toLowerCase)
+      // capitalize lowercases the remainder; the first CODE POINT takes
+      // its full uppercase mapping, which can be multi-char — Rust
+      // char::to_uppercase pushes every mapped char (string.rs:172-183,
+      // "ß" → "SS")
+      case "capitalize" =>
+        if (s.isEmpty) JStr(s)
+        else {
+          val n = Character.charCount(s.codePointAt(0))
+          JStr(s.substring(0, n).toUpperCase + s.substring(n).toLowerCase)
+        }
       case "title_case" => // whitespace-preserving char walk (string.rs:188-208)
         val out = new StringBuilder(s.length)
         var atStart = true
         s.foreach { c =>
-          if (c.isWhitespace) { out.append(c); atStart = true }
+          if (isWs(c)) { out.append(c); atStart = true }
           else if (atStart) { out.append(c.toUpper); atStart = false }
           else out.append(c.toLower)
         }
         JStr(out.toString)
-      case "trim"        => JStr(s.trim)
-      case "trim_left" | "lstrip"  => JStr(s.dropWhile(_.isWhitespace))
-      case "trim_right" | "rstrip" => JStr(s.reverse.dropWhile(_.isWhitespace).reverse)
+      // Rust str::trim strips the Unicode White_Space set (string.rs:
+      // 152-168) — neither Java's String.trim (≤ 0x20 only) nor
+      // Character.isWhitespace (adds 0x1C-0x1F, misses NBSP/NEL) is
+      // that set, so both lanes share the explicit predicate
+      case "trim"        => JStr(trimWs(s, left = true, right = true))
+      case "trim_left" | "lstrip"  => JStr(trimWs(s, left = true, right = false))
+      case "trim_right" | "rstrip" => JStr(trimWs(s, left = false, right = true))
       case "snake_case"  => JStr(caseWords(s).mkString("_"))
       case "kebab_case"  => JStr(caseWords(s).mkString("-"))
       case "camel_case"  =>
@@ -87,8 +99,10 @@ object Strings {
       case "pascal_case" => JStr(caseWords(s).map(_.capitalize).mkString)
       case "reverse_str" => // codepoint-wise, like chars().rev() (string.rs:370)
         JStr(new java.lang.StringBuilder(s).reverse.toString)
-      case "lines"       => JArr(s.split("\n", -1).toVector.map(JStr(_)))
-      case "words"       => JArr(s.split("\\s+").toVector.filter(_.nonEmpty).map(JStr(_)))
+      case "lines"       => JArr(rustLines(s).map(JStr(_)))
+      // Rust split_whitespace — Unicode White_Space separators, empties
+      // dropped (string.rs:388-398); \\s would be the ASCII class only
+      case "words"       => JArr(splitWs(s).map(JStr(_)))
       // chars_of iterates Unicode code points (string.rs:414); chars is
       // per-UTF-16-char — identical for BMP text, kept separate for parity.
       case "chars"       => JArr(s.map(c => JStr(c.toString)).toVector)
@@ -96,7 +110,7 @@ object Strings {
         JArr(s.codePoints().toArray.toVector.map(cp => JStr(new String(Character.toChars(cp)))))
       case "bytes"       => JArr(s.getBytes("UTF-8").toVector.map(b => JInt((b & 0xff).toLong)))
       case "byte_len"    => JInt(s.getBytes("UTF-8").length.toLong)
-      case "is_blank"    => JBool(s.trim.isEmpty)
+      case "is_blank"    => JBool(s.forall(c => isWs(c))) // all-ws, "" true (mod.rs:2059)
       // ascii-digits only (mod.rs:2060-2062), NOT a float test
       case "is_numeric"  => JBool(s.nonEmpty && s.forall(c => c >= '0' && c <= '9'))
       case "is_alpha"    => JBool(s.nonEmpty && s.forall(_.isLetter))
@@ -104,14 +118,16 @@ object Strings {
       case "to_number" => // Int when integral, else Float (mod.rs:2067-2075)
         s.toLongOption.map(JInt(_))
           .orElse(s.toDoubleOption.map(JFloat(_))).getOrElse(JNull)
-      case "parse_float" => s.trim.toDoubleOption.map(JFloat(_)).getOrElse(JNull)
-      case "parse_int"   => s.trim.toLongOption.map(JInt(_)).getOrElse(JNull)
+      case "parse_float" =>
+        trimWs(s, left = true, right = true).toDoubleOption.map(JFloat(_)).getOrElse(JNull)
+      case "parse_int"   =>
+        trimWs(s, left = true, right = true).toLongOption.map(JInt(_)).getOrElse(JNull)
       case "to_bool" => s match { // strict (mod.rs:2076-2080)
         case "true"  => JBool(true)
         case "false" => JBool(false)
         case _       => JNull
       }
-      case "parse_bool" => s.trim.toLowerCase match { // lenient (string.rs:526-532)
+      case "parse_bool" => trimWs(s, left = true, right = true).toLowerCase match { // lenient (string.rs:526-532)
         case "true" | "yes" | "1" | "on"   => JBool(true)
         case "false" | "no" | "0" | "off"  => JBool(false)
         case _                             => JNull
@@ -135,11 +151,12 @@ object Strings {
       case "pad_right"   => pad(s, args, left = false)
       case "center" =>
         val w = intA(args, 0).toInt
-        val fill = if (args.length > 1) strA(args, 1).headOption.getOrElse(' ') else ' '
-        if (s.length >= w) JStr(s)
+        val fill = fillOf(args)
+        val n = s.codePointCount(0, s.length)
+        if (n >= w) JStr(s)
         else {
-          val total = w - s.length; val l = total / 2
-          JStr(fill.toString * l + s + fill.toString * (total - l))
+          val total = w - n; val l = total / 2
+          JStr(fill * l + s + fill * (total - l))
         }
       case "starts_with"  => JBool(s.startsWith(strA(args, 0)))
       case "ends_with"    => JBool(s.endsWith(strA(args, 0)))
@@ -147,10 +164,16 @@ object Strings {
         case JArr(xs) => // array form: null on miss (O:collection.rs:470)
           val i = xs.indexWhere(JValue.eq(_, argA(args, 0)))
           if (i < 0) JNull else JInt(i.toLong)
-        case _ => // string form: -1 on miss (mod.rs:2113-2122)
-          JInt(s.indexOf(strA(args, 0)).toLong)
+        case _ => // string form: -1 on miss; the hit position converts
+          // to a CODE POINT index (mod.rs:2113-2122 counts chars of the
+          // prefix before the byte offset) — Java's raw indexOf would
+          // report UTF-16 units and overcount past astral chars
+          val i = s.indexOf(strA(args, 0))
+          JInt(if (i < 0) -1L else s.codePointCount(0, i).toLong)
       }
-      case "last_index_of" => JInt(s.lastIndexOf(strA(args, 0)).toLong)
+      case "last_index_of" =>
+        val i = s.lastIndexOf(strA(args, 0))
+        JInt(if (i < 0) -1L else s.codePointCount(0, i).toLong)
       case "replace"      => JStr(replaceFirstLiteral(s, strA(args, 0), strA(args, 1)))
       case "replace_all"  => JStr(s.replace(strA(args, 0), strA(args, 1)))
       case "strip_prefix" => JStr(if (s.startsWith(strA(args, 0))) s.drop(strA(args, 0).length) else s)
@@ -159,15 +182,19 @@ object Strings {
         Interp.sliceOf(recv, Some(intA(args, 0)), if (args.length > 1) Some(intA(args, 1)) else None)
       case "split" =>
         val sep = strA(args, 0)
-        if (sep.isEmpty) JArr(s.map(c => JStr(c.toString)).toVector)
+        // Rust str::split with an empty pattern yields boundary empties
+        // around each CODE POINT: "ab" → ["","a","b",""], "" → ["",""]
+        if (sep.isEmpty)
+          JArr((JStr("") +: s.codePoints().toArray.toVector
+            .map(cp => JStr(new String(Character.toChars(cp))))) :+ JStr(""))
         else JArr(splitLiteral(s, sep).map(JStr(_)))
       case "indent" =>
         val n = intA(args, 0).toInt
         JStr(rustLines(s).map(l => " " * n + l).mkString("\n"))
       case "dedent" => // min leading-whitespace margin (string.rs:301-319)
         val ls = rustLines(s)
-        val margin = ls.filter(_.trim.nonEmpty)
-          .map(l => l.length - l.dropWhile(_.isWhitespace).length)
+        val margin = ls.filter(l => !l.forall(c => isWs(c)))
+          .map(l => l.length - l.dropWhile(c => isWs(c)).length)
           .minOption.getOrElse(0)
         JStr(ls.map(l => if (l.length >= margin) l.drop(margin) else l).mkString("\n"))
       case "contains_any" => argA(args, 0) match {
@@ -221,14 +248,56 @@ object Strings {
     }
   }
 
+  /** Width and fill count CODE POINTS (string.rs:569-590 measures
+    * chars().count() and fills with a char) — Java's String.length
+    * would over-count astral text and under-pad it. */
   private def pad(s: String, args: Vector[JValue], left: Boolean): JValue = {
     val w = intA(args, 0).toInt
-    val fill = if (args.length > 1) strA(args, 1).headOption.getOrElse(' ') else ' '
-    if (s.length >= w) JStr(s)
+    val fill = fillOf(args)
+    val n = s.codePointCount(0, s.length)
+    if (n >= w) JStr(s)
     else {
-      val padding = fill.toString * (w - s.length)
+      val padding = fill * (w - n)
       JStr(if (left) padding + s else s + padding)
     }
+  }
+
+  /** First code point of the fill argument (a Rust `char`); space when
+    * absent or empty. */
+  private def fillOf(args: Vector[JValue]): String =
+    if (args.length > 1) {
+      val f = strA(args, 1)
+      if (f.isEmpty) " "
+      else f.substring(0, Character.charCount(f.codePointAt(0)))
+    } else " "
+
+  /** Unicode White_Space (Rust char::is_whitespace): 09-0D, 20, 85, A0,
+    * 1680, 2000-200A, 2028, 2029, 202F, 205F, 3000. All BMP, so a
+    * char-level test is exact. */
+  private[jexpr] def isWs(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0D) || cp == 0x20 || cp == 0x85 || cp == 0xA0 ||
+    cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 ||
+    cp == 0x2029 || cp == 0x202F || cp == 0x205F || cp == 0x3000
+
+  private def trimWs(s: String, left: Boolean, right: Boolean): String = {
+    var i = 0
+    var j = s.length
+    while (left && i < j && isWs(s.charAt(i))) i += 1
+    while (right && j > i && isWs(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
+  /** Rust str::split_whitespace: White_Space runs separate, empties
+    * dropped. */
+  private def splitWs(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (isWs(c)) { if (cur.nonEmpty) { out += cur.toString; cur.clear() } }
+      else cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
   }
 
   /** Word splitter for case conversions: splits on whitespace, `_`, `-`,
@@ -240,7 +309,7 @@ object Strings {
     val cur = new StringBuilder
     var prevLower = false
     s.foreach { c =>
-      if (c.isWhitespace || c == '_' || c == '-') {
+      if (isWs(c) || c == '_' || c == '-') {
         if (cur.nonEmpty) { out += cur.toString.toLowerCase; cur.clear() }
         prevLower = false
       } else {
@@ -254,10 +323,20 @@ object Strings {
   }
 
   /** Rust `str::lines()` semantics: a trailing newline terminates the
-    * last line rather than opening an empty one. */
+    * last line rather than opening an empty one ("" has no lines), and
+    * a `\r` directly before each `\n` terminator is stripped — but NOT
+    * from an unterminated final line. */
   private def rustLines(s: String): Vector[String] = {
-    val parts = s.split("\n", -1).toVector
-    if (parts.length > 1 && parts.last.isEmpty) parts.dropRight(1) else parts
+    val parts = s.split("\n", -1)
+    val terminated = parts.length - 1 // every part but the last had a \n
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < terminated) {
+      out += parts(k).stripSuffix("\r")
+      k += 1
+    }
+    if (parts(terminated).nonEmpty) out += parts(terminated)
+    out.result()
   }
 
   private def replaceFirstLiteral(s: String, from: String, to: String): String = {

@@ -1939,6 +1939,11 @@ object Lower {
     case Chain(Root, steps) if rootStruct.isDefined =>
       val (rc, rt) = rootStruct.get
       fieldChain(rc, Some(rt), steps)
+    // method/step chains over a COMPUTED receiver — ("x" + name).upper(),
+    // (a ?? b).trim() — walk the same steps from the lowered base column;
+    // inferDt supplies the static lane so the string-only/array dispatch
+    // guards apply exactly as they do for column-rooted chains
+    case Chain(base, steps) => fieldChain(colExpr(base), inferDt(base), steps)
     case Unary("-", x)   => negate(colExpr(x))
     // `not` is null-sensitive: jetro not(falsy-null) = true, but SQL
     // NOT null = null — force two-valued before negating
@@ -2064,7 +2069,11 @@ object Lower {
     "pad_right", "to_base64", "from_base64", "re_match",
     "re_replace_all", "parse_int", "parse_float", "to_number",
     "index_of", "matches", "replace", "strip_prefix", "strip_suffix",
-    "is_numeric", "is_alpha", "is_ascii")
+    "is_numeric", "is_alpha", "is_ascii",
+    "lines", "chars_of", "url_encode", "url_decode", "html_escape",
+    "html_unescape", "center", "last_index_of", "to_bool", "parse_bool",
+    "contains_any", "contains_all", "scan", "re_split",
+    "re_match_first", "re_match_all")
 
   /** Array-pipeline methods with an exact columnar lowering. Names that
     * double as string builtins (`len`, `reverse`, `includes`, …)
@@ -2371,10 +2380,21 @@ object Lower {
     name match {
       case "upper"       => upper(c)
       case "lower"       => lower(c)
-      case "trim"        => trim(c)
-      case "trim_left" | "lstrip"  => ltrim(c)
-      case "trim_right" | "rstrip" => rtrim(c)
-      case "capitalize"  => initcap(c)
+      // the trim family strips the Unicode White_Space set (Rust
+      // str::trim, string.rs:152-168) — Spark's trim/ltrim/rtrim strip
+      // the 0x20 space ONLY and would silently keep tabs/newlines.
+      // \p{IsWhite_Space} is that exact property in Java regex.
+      case "trim"        =>
+        regexp_replace(c, "^[\\p{IsWhite_Space}]+|[\\p{IsWhite_Space}]+$", "")
+      case "trim_left" | "lstrip"  =>
+        regexp_replace(c, "^[\\p{IsWhite_Space}]+", "")
+      case "trim_right" | "rstrip" =>
+        regexp_replace(c, "[\\p{IsWhite_Space}]+$", "")
+      // NOT initcap — that capitalizes every word; the reference
+      // uppercases the first code point and lowercases the REST of the
+      // whole string (string.rs:172-183, "hello world" → "Hello world")
+      case "capitalize"  =>
+        concat(upper(substring(c, 1, 1)), lower(substring(c, 2, Int.MaxValue)))
       case "reverse_str" => reverse(c)
       case "len" | "length" => length(c).cast("long")
       // UTF-8 byte count, NOT character count (Strings.scala:86) —
@@ -2388,9 +2408,32 @@ object Lower {
       case "starts_with" => c.startsWith(a0)
       case "ends_with"   => c.endsWith(a0)
       case "includes" | "contains" => c.contains(a0)
-      case "replace_all" => call_function("replace", c, a0, a0OrSecond(args))
+      case "replace_all" =>
+        // Spark's replace() no-ops on an empty needle, but the
+        // reference (Rust str::replace, string.rs:100-115) inserts the
+        // replacement at every char boundary INCLUDING both ends —
+        // exactly Java regex's empty-pattern replaceAll
+        (argE(args, 0) match {
+          case Lit(JStr("")) => Some(strLit(args, 1, ""))
+          case _             => None
+        }) match {
+          case Some(rep) =>
+            regexp_replace(c, "", java.util.regex.Matcher.quoteReplacement(rep))
+          case None => call_function("replace", c, a0, a0OrSecond(args))
+        }
       case "split"       =>
-        split(c, java.util.regex.Pattern.quote(strLit(args, 0, "")))
+        val sep = strLit(args, 0, "")
+        if (sep.isEmpty) {
+          // Rust str::split("") yields boundary empties around each CODE
+          // POINT ("ab" → ["","a","b",""], "" → ["",""]). Spark's split
+          // is surrogate-UNSAFE on empty-match patterns (it cuts pairs
+          // into two replacement '?' chars — probed on "a𝄞b"), so
+          // extract each code point as a regex match instead and add the
+          // boundary empties explicitly
+          concat(array(lit("")),
+            regexp_extract_all(c, lit("(?s)."), lit(0)),
+            array(lit("")))
+        } else split(c, java.util.regex.Pattern.quote(sep))
       case "repeat"      => repeat(c, intLit(args, 0).toInt)
       case "pad_left" | "pad_right" =>
         // interpreter pad (Strings.scala:212-219): unchanged whenever
@@ -2398,39 +2441,159 @@ object Lower {
         // and pads with the FIRST char of the fill (Spark repeats the
         // whole fill string)
         val w = intLit(args, 0).toInt
-        val fill = strLit(args, 1, " ").headOption.getOrElse(' ').toString
+        val f0 = strLit(args, 1, " ")
+        val fill = // first CODE POINT of the fill (a Rust char)
+          if (f0.isEmpty) " "
+          else f0.substring(0, Character.charCount(f0.codePointAt(0)))
         val padded = if (name == "pad_left") lpad(c, w, fill) else rpad(c, w, fill)
         when(length(c) >= w, c).otherwise(padded)
       case "to_base64"   => base64(c.cast("binary"))
-      case "from_base64" => unbase64(c).cast("string")
+      // TryOrNull: the interpreter yields null on undecodable /
+      // unparseable input (Strings.scala), but Spark 4's ANSI mode makes
+      // the bare cast/decode a runtime ERROR — absorb it to the
+      // documented null
+      case "from_base64" =>
+        graft.functions.TryOrNull(unbase64(c).cast("string"))
       case "re_match"    => c.rlike(strLit(args, 0, ""))
       case "re_replace_all" => regexp_replace(c, strLit(args, 0, ""), strLit(args, 1, ""))
-      case "parse_int"   => c.cast("long")
-      case "parse_float" | "to_number" => c.cast("double")
+      case "parse_int"   => graft.functions.TryOrNull(c.cast("long"))
+      case "parse_float" | "to_number" =>
+        graft.functions.TryOrNull(c.cast("double"))
       case "index_of"    => // 0-based, -1 on miss (mod.rs:2113-2122)
         (locate(strLit(args, 0, ""), c) - 1).cast("long")
       case "matches"     => // LITERAL containment, not regex (string.rs)
         c.contains(a0)
+      // Spark locate/substr/length positions count CODE POINTS; a Java
+      // String .length counts UTF-16 units — splice with codePointCount
+      // or astral-plane needles cut at the wrong offset
       case "replace"     => // FIRST occurrence only (replace_all is the global form)
         val find = strLit(args, 0, "")
         val rep = strLit(args, 1, "")
-        if (find.isEmpty) c
+        // empty needle: replacen(s, "", rep, 1) PREPENDS the
+        // replacement (the first empty match is at position 0)
+        if (find.isEmpty) concat(lit(rep), c)
         else {
           val loc = locate(find, c)
+          val findCps = find.codePointCount(0, find.length)
           when(loc > 0, concat(
             c.substr(lit(1), loc - 1),
             lit(rep),
-            c.substr(loc + find.length, length(c)))).otherwise(c)
+            c.substr(loc + findCps, length(c)))).otherwise(c)
         }
       case "strip_prefix" =>
         val p = strLit(args, 0, "")
-        when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+        when(c.startsWith(p),
+          c.substr(lit(p.codePointCount(0, p.length) + 1), length(c))).otherwise(c)
       case "strip_suffix" =>
         val p = strLit(args, 0, "")
-        when(c.endsWith(p), c.substr(lit(1), length(c) - p.length)).otherwise(c)
+        when(c.endsWith(p),
+          c.substr(lit(1), length(c) - p.codePointCount(0, p.length))).otherwise(c)
       case "is_numeric"  => c.rlike("^[0-9]+$") // ascii digits only (mod.rs:2060-2062)
       case "is_alpha"    => c.rlike("^\\p{L}+$")
       case "is_ascii"    => c.rlike("^[\\x00-\\x7F]*$")
+      case "lines"       =>
+        // Rust str::lines (string.rs:380-386): normalize each \r\n
+        // terminator to \n, split, then drop the one trailing empty a
+        // terminated final line leaves ("" → []); an unterminated final
+        // line keeps a bare \r
+        val arr = split(regexp_replace(c, "\r\n", "\n"),
+          java.util.regex.Pattern.quote("\n"))
+        when(element_at(arr, -1) === "", slice(arr, lit(1), size(arr) - 1))
+          .otherwise(arr)
+      case "chars_of"    => // per code point (string.rs:414)
+        regexp_extract_all(c, lit("(?s)."), lit(0))
+      case "url_encode"  => call_function("url_encode", c)
+      case "url_decode"  => // undecodable %-seq → interpreter null, not
+        // Spark's raise (both sides are java.net.URLDecoder semantics)
+        graft.functions.TryOrNull(call_function("url_decode", c))
+      case "html_escape" => // replacement order mirrors Strings.scala
+        Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+            "\"" -> "&quot;", "'" -> "&#39;")
+          .foldLeft(c) { case (acc, (f, t)) =>
+            call_function("replace", acc, lit(f), lit(t)) }
+      case "html_unescape" =>
+        Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+            "&quot;" -> "\"", "&#39;" -> "'")
+          .foldLeft(c) { case (acc, (f, t)) =>
+            call_function("replace", acc, lit(f), lit(t)) }
+      case "center" =>
+        val w = intLit(args, 0).toInt
+        val f0 = strLit(args, 1, " ")
+        val fill =
+          if (f0.isEmpty) " "
+          else f0.substring(0, Character.charCount(f0.codePointAt(0)))
+        val total = lit(w) - length(c)
+        val left = (total / lit(2)).cast("int")
+        when(length(c) >= w, c).otherwise(concat(
+          call_function("repeat", lit(fill), left), c,
+          call_function("repeat", lit(fill), (total - left).cast("int"))))
+      case "last_index_of" =>
+        // rfind via the reversed lanes: the FIRST hit of the reversed
+        // needle in the reversed string is the LAST hit in the
+        // original; positions are code points on both sides
+        // (mod.rs:2111-2122 counts chars before the byte offset)
+        val find = strLit(args, 0, "")
+        val fCps = find.codePointCount(0, find.length)
+        val revFind = new java.lang.StringBuilder(find).reverse.toString
+        val loc = locate(revFind, reverse(c))
+        when(loc === 0, lit(-1L))
+          .otherwise((length(c) - (loc - 1) - fCps).cast("long"))
+      case "to_bool" => // strict (mod.rs:2076-2080)
+        when(c === "true", lit(true)).when(c === "false", lit(false))
+          .otherwise(lit(null).cast("boolean"))
+      case "parse_bool" => // lenient (string.rs:526-532)
+        val t = lower(regexp_replace(c,
+          "^[\\p{IsWhite_Space}]+|[\\p{IsWhite_Space}]+$", ""))
+        when(t.isin("true", "yes", "1", "on"), lit(true))
+          .when(t.isin("false", "no", "0", "off"), lit(false))
+          .otherwise(lit(null).cast("boolean"))
+      case "contains_any" | "contains_all" =>
+        val needles: Option[Vector[JValue]] = argE(args, 0) match {
+          case Lit(JArr(xs)) => Some(xs)
+          case ArrLit(es) => // parsed array literal of literal elements
+            val ls = es.collect { case ArrElem.One(Lit(v)) => v }
+            if (ls.length == es.length) Some(ls.toVector) else None
+          case Lit(v) => Some(Vector(v)) // single-needle form
+          case _      => None
+        }
+        needles match {
+          case Some(xs) =>
+            val tests = xs.map { x =>
+              c.contains(lit(x match { // Strings.s0: raw for strings,
+                case JStr(s) => s     // display form otherwise
+                case v       => JValue.display(v)
+              }))
+            }
+            if (tests.isEmpty) lit(name == "contains_all") // vacuous truth
+            else if (name == "contains_any") tests.reduce(_ || _)
+            else tests.reduce(_ && _)
+          case None => bail(s"$name over non-literal needles")
+        }
+      case "scan" => // non-overlapping LITERAL occurrence list
+        // (string.rs:630): the needle repeated count times, where count
+        // falls out of the length delta of a replace-all
+        val p = strLit(args, 0, "")
+        // no-otherwise `when`: a null receiver stays null, not []
+        if (p.isEmpty) when(c.isNotNull, array().cast("array<string>"))
+        else {
+          val pCps = p.codePointCount(0, p.length)
+          val cnt = ((length(c) -
+            length(call_function("replace", c, lit(p), lit("")))) /
+            lit(pCps)).cast("int")
+          array_repeat(lit(p), cnt)
+        }
+      case "re_split" =>
+        // same java.util.regex dialect both sides; Spark's split keeps
+        // trailing empties (limit -1) exactly like Pattern.split(s, -1).
+        // (Zero-width patterns over astral text hit Spark's surrogate-
+        // unsafe empty-match path — same caveat as split(""), which is
+        // why split("") lowers via regexp_extract_all instead.)
+        split(c, strLit(args, 0, ""))
+      case "re_match_first" => // first full match, null when none
+        val p = strLit(args, 0, "")
+        when(c.rlike(p), regexp_extract(c, p, 0))
+          .otherwise(lit(null).cast("string"))
+      case "re_match_all" => regexp_extract_all(c, lit(strLit(args, 0, "")), lit(0))
       case other => bail(s"no relational scalar fn .$other()")
     }
   }
@@ -2543,6 +2706,12 @@ object Lower {
         // loud per-row error into 0.0 (and `?? d` would keep the 0.0
         // instead of taking the default). Those nulls raise instead.
         // Found by the round-9 arithmetic-tier fuzzer.
+        //
+        // Reachability caveat (seed-204 sweep): nested under another
+        // arithmetic op (`a + b / id`), Spark's null-short-circuiting
+        // Add.eval can skip this whole branch on a row whose sibling
+        // operand is null — that row then takes the documented
+        // cell-null tier instead of the loud raise (SCALE.md).
         val rd = coalesce(r.cast("double"), lit(0.0))
         val ln =
           if (nullMeansArithError(lE))
@@ -2807,15 +2976,21 @@ object Lower {
     case "upper" | "lower" | "trim" | "trim_left" | "lstrip" | "trim_right" |
          "rstrip" | "capitalize" | "reverse_str" | "replace_all" |
          "re_replace_all" | "repeat" | "pad_left" | "pad_right" |
-         "to_base64" | "from_base64" => Some(StringType)
-    case "len" | "length" | "byte_len" | "parse_int" => Some(LongType)
+         "to_base64" | "from_base64" | "url_encode" | "url_decode" |
+         "html_escape" | "html_unescape" | "center" |
+         "re_match_first" => Some(StringType)
+    case "len" | "length" | "byte_len" | "parse_int" |
+         "last_index_of" => Some(LongType)
     case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>
       Some(DoubleType)
     case "starts_with" | "ends_with" | "includes" | "contains" | "re_match" |
-         "matches" | "is_numeric" | "is_alpha" | "is_ascii" =>
+         "matches" | "is_numeric" | "is_alpha" | "is_ascii" | "to_bool" |
+         "parse_bool" | "contains_any" | "contains_all" =>
       Some(BooleanType)
     case "index_of" => Some(LongType)
     case "replace" | "strip_prefix" | "strip_suffix" => Some(StringType)
+    case "lines" | "chars_of" | "scan" | "re_split" | "re_match_all" =>
+      Some(ArrayType(StringType))
     case _ => None
   }
 
