@@ -175,7 +175,19 @@ object Strings {
         val i = s.lastIndexOf(strA(args, 0))
         JInt(if (i < 0) -1L else s.codePointCount(0, i).toLong)
       case "replace"      => JStr(replaceFirstLiteral(s, strA(args, 0), strA(args, 1)))
-      case "replace_all"  => JStr(s.replace(strA(args, 0), strA(args, 1)))
+      case "replace_all" =>
+        val f = strA(args, 0); val t = strA(args, 1)
+        // Rust str::replace with an empty needle inserts the replacement
+        // at every CODE POINT boundary including both ends ("" → rep;
+        // string.rs:100-115 replace over char boundaries). Java's
+        // String.replace("") inserts per UTF-16 unit — it would split
+        // surrogate pairs on astral text.
+        if (f.isEmpty) {
+          val cps = s.codePoints().toArray
+          JStr(if (cps.isEmpty) t
+               else cps.map(cp => new String(Character.toChars(cp)))
+                 .mkString(t, t, t))
+        } else JStr(s.replace(f, t))
       case "strip_prefix" => JStr(if (s.startsWith(strA(args, 0))) s.drop(strA(args, 0).length) else s)
       case "strip_suffix" => JStr(if (s.endsWith(strA(args, 0))) s.dropRight(strA(args, 0).length) else s)
       case "slice" =>

@@ -2334,6 +2334,12 @@ object Lower {
         (inferDt(l), inferDt(r)) match {
           case (Some(a), Some(b)) if integralDt(a) && integralDt(b) => Some(LongType)
           case (Some(a), Some(b)) if numericDt(a) && numericDt(b)   => Some(DoubleType)
+          // `+` is also string/array concat (colExpr's concat lanes) —
+          // without this, a NESTED concat ((lit + col) + lit) loses its
+          // lane and the outer + falls to the numeric add
+          case (Some(StringType), Some(StringType)) if op == "+"    => Some(StringType)
+          case (Some(a: ArrayType), Some(b: ArrayType))
+            if op == "+" && a == b                                  => Some(a)
           case _                                                    => None
         }
       case "??" =>
@@ -2411,14 +2417,20 @@ object Lower {
       case "replace_all" =>
         // Spark's replace() no-ops on an empty needle, but the
         // reference (Rust str::replace, string.rs:100-115) inserts the
-        // replacement at every char boundary INCLUDING both ends —
-        // exactly Java regex's empty-pattern replaceAll
+        // replacement at every CODE POINT boundary INCLUDING both ends
+        // ("" → rep alone). Java regex's empty-pattern replaceAll is
+        // NOT that — it matches between surrogate halves too (probed) —
+        // so splice the code-point list from regexp_extract_all (Java
+        // regex `.` IS code-point atomic) with the replacement.
         (argE(args, 0) match {
           case Lit(JStr("")) => Some(strLit(args, 1, ""))
           case _             => None
         }) match {
           case Some(rep) =>
-            regexp_replace(c, "", java.util.regex.Matcher.quoteReplacement(rep))
+            when(length(c) === 0, lit(rep)).otherwise(
+              concat(lit(rep),
+                array_join(regexp_extract_all(c, lit("(?s)."), lit(0)), rep),
+                lit(rep)))
           case None => call_function("replace", c, a0, a0OrSecond(args))
         }
       case "split"       =>

@@ -768,6 +768,82 @@ object LoweredQueries extends QueryGroup {
     graft.Graft.query(s, d, e).orderBy("id")
   }
 
+  /** Round-9 string-builtin surface, scalar tier: Unicode-White_Space
+    * trim over constructed whitespace, whole-string capitalize, center,
+    * code-point last_index_of, strict to_bool vs lenient parse_bool,
+    * ANSI-absorbed parse_int/parse_float, ordered html_escape fold
+    * (reference builtins/ops/string.rs; all differentially fuzz-pinned
+    * by StringFuzzSpec, here also DuckDB-verified). The receiver
+    * literals embed REAL tab characters — the jetro parser reads string
+    * bodies raw. */
+  private val strEdge = q(
+    "q_lower_str_edge",
+    """SELECT p_partkey AS k,
+      |  regexp_replace(chr(9) || ' ' || p_name || ' ' || chr(9), '^[\s]+|[\s]+$', '', 'g') AS tr,
+      |  UPPER(p_name[1]) || LOWER(p_name[2:]) AS cap,
+      |  CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
+      |       ELSE repeat('*', (12 - LENGTH(p_brand)) // 2) || p_brand ||
+      |            repeat('*', (12 - LENGTH(p_brand)) - (12 - LENGTH(p_brand)) // 2)
+      |  END AS ctr,
+      |  CAST(CASE WHEN strpos(reverse(p_name), 'd') = 0 THEN -1
+      |       ELSE LENGTH(p_name) - strpos(reverse(p_name), 'd') END AS BIGINT) AS lio,
+      |  CASE WHEN p_partkey % 3 = 0 THEN true ELSE CAST(NULL AS BOOLEAN) END AS tb,
+      |  CASE WHEN p_partkey % 2 = 0 THEN true ELSE false END AS pb,
+      |  CASE WHEN p_partkey % 2 = 0 THEN 42 ELSE CAST(NULL AS BIGINT) END AS pi,
+      |  CASE WHEN p_partkey % 3 = 0 THEN 150.0 ELSE CAST(NULL AS DOUBLE) END AS pf,
+      |  replace(replace(replace(replace(replace('<' || p_name || '&>',
+      |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&#39;') AS hesc
+      |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.part{p_partkey < 300}.sort_by(p_partkey).map({\n" +
+      "  k: p_partkey,\n" +
+      "  tr: (\"\t \" + p_name + \" \t\").trim(),\n" +
+      "  cap: p_name.capitalize(),\n" +
+      "  ctr: p_brand.center(12, \"*\"),\n" +
+      "  lio: p_name.last_index_of(\"d\"),\n" +
+      "  tb: (\"true\" if p_partkey % 3 == 0 else \"x\").to_bool(),\n" +
+      "  pb: (\" ON \" if p_partkey % 2 == 0 else \"no\").parse_bool(),\n" +
+      "  pi: (\" 42 \" if p_partkey % 2 == 0 else \"4 2\").parse_int(),\n" +
+      "  pf: (\"1.5e2\" if p_partkey % 3 == 0 else \"x\").parse_float(),\n" +
+      "  hesc: (\"<\" + p_name + \"&>\").html_escape()})")
+  }
+
+  /** Round-9 string-builtin surface, array tier: non-overlapping
+    * literal scan, regex split/first/all in the RE2∩Java dialect,
+    * literal-needle contains_any/contains_all, per-code-point chars_of,
+    * and Rust str::lines (\r\n normalized, one trailing empty dropped)
+    * over a receiver with REAL embedded newline/CR chars. */
+  private val strArr = q(
+    "q_lower_str_arr",
+    """SELECT doc_id AS k,
+      |  COALESCE(array_to_string(regexp_extract_all(text, 'the'), '|'), '') AS sc,
+      |  array_to_string(regexp_split_to_array(text, ' '), '|') AS rs,
+      |  CASE WHEN regexp_matches(text, 's[a-z]+') THEN regexp_extract(text, 's[a-z]+', 0)
+      |       ELSE CAST(NULL AS VARCHAR) END AS rm1,
+      |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*k'), '|'), '') AS rma,
+      |  (contains(text, 'spark') OR contains(text, 'hash')) AS ca,
+      |  (contains(text, 'the') AND contains(text, 'scan')) AS cal,
+      |  array_to_string(regexp_extract_all(lang, '(?s).'), '|') AS ch,
+      |  array_to_string(string_split(regexp_replace('l1' || chr(10) || 'l2' || chr(13) || chr(10) || lang,
+      |    chr(13) || chr(10), chr(10), 'g'), chr(10)), '|') AS ln
+      |FROM documents WHERE doc_id < 200 ORDER BY k""".stripMargin) { (s, d) =>
+    val df = lower(s, d,
+      "$.documents{doc_id < 200}.sort_by(doc_id).map({\n" +
+      "  k: doc_id,\n" +
+      "  sc: text.scan(\"the\"),\n" +
+      "  rs: text.re_split(\" \"),\n" +
+      "  rm1: text.re_match_first(\"s[a-z]+\"),\n" +
+      "  rma: text.re_match_all(\"[a-z]*k\"),\n" +
+      "  ca: text.contains_any([\"spark\", \"hash\"]),\n" +
+      "  cal: text.contains_all([\"the\", \"scan\"]),\n" +
+      "  ch: lang.chars_of(),\n" +
+      "  ln: (\"l1\nl2\r\n\" + lang).lines()})")
+    // the checker compares scalar columns only — display the array
+    // columns through the same '|' join as the oracle's array_to_string
+    Seq("sc", "rs", "rma", "ch", "ln").foldLeft(df) { (acc, n) =>
+      acc.withColumn(n, array_join(col(n), "|")) }
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
@@ -776,5 +852,5 @@ object LoweredQueries extends QueryGroup {
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
-    rowwiseWalk, rowwiseRec)
+    rowwiseWalk, rowwiseRec, strEdge, strArr)
 }

@@ -163,6 +163,28 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ran == 140)
   }
 
+  test("replace_all empty needle: code-point boundaries, both ends, \"\" → rep") {
+    // Rust str::replace("") inserts at CHAR (code point) boundaries —
+    // "a𝄞b" → "-a-𝄞-b-" with the surrogate pair intact, "" → "-".
+    // Java String.replace/replaceAll("") insert per UTF-16 unit and
+    // would split the pair (probed); both lanes must take the
+    // code-point path.
+    val e = """$.region.sort_by(r_regionkey).map({id: r_regionkey,
+              |  a: ("a𝄞b" + r_name.repeat(0)).replace_all("", "-"),
+              |  b: r_name.repeat(0).replace_all("", "-"),
+              |  c: ("ab" + r_name.repeat(0)).replace_all("", "--")})""".stripMargin
+    val compiled = graft.plans.Lower.tryCompile(
+      e, t => graft.core.Tables(spark, sfDir, t))
+    assert(compiled.nonEmpty, s"should lower: $e")
+    val r = compiled.get.collect().head
+    assert(r.getString(1) == "-a-𝄞-b-", s"got ${r.getString(1)}")
+    assert(r.getString(2) == "-")
+    assert(r.getString(3) == "--a--b--")
+    val jr = docEval(e).asInstanceOf[jexpr.JArr].v.head.asInstanceOf[jexpr.JObj].v
+    assert(jr("a") == jexpr.JStr("-a-𝄞-b-")
+      && jr("b") == jexpr.JStr("-") && jr("c") == jexpr.JStr("--a--b--"))
+  }
+
   test("parse_int / parse_float / to_number: null on unparseable, exact on valid") {
     // hand-pinned: ANSI casts must be absorbed to the interpreter's
     // null (strict i64 — "12.5" is NOT an int), not raised
