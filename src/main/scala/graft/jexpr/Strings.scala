@@ -95,8 +95,8 @@ object Strings {
       case "kebab_case"  => JStr(caseWords(s).mkString("-"))
       case "camel_case"  =>
         val ws = caseWords(s)
-        JStr(if (ws.isEmpty) "" else ws.head + ws.tail.map(_.capitalize).mkString)
-      case "pascal_case" => JStr(caseWords(s).map(_.capitalize).mkString)
+        JStr(if (ws.isEmpty) "" else ws.head + ws.tail.map(upperFirst).mkString)
+      case "pascal_case" => JStr(caseWords(s).map(upperFirst).mkString)
       case "reverse_str" => // codepoint-wise, like chars().rev() (string.rs:370)
         JStr(new java.lang.StringBuilder(s).reverse.toString)
       case "lines"       => JArr(rustLines(s).map(JStr(_)))
@@ -316,6 +316,18 @@ object Strings {
     * and lower→Upper camel boundaries; lowercases each word. Digits do
     * NOT arm a camel boundary (helpers.rs:9-34: prev_lower tracks
     * is_lowercase only — "v2Engine" is one word). */
+  /** upper_first_into (reference helpers.rs:37-45): the first CODE
+    * POINT takes its full uppercase mapping (can grow, "ß" → "SS"),
+    * rest verbatim — NOT Scala's String.capitalize, which maps the
+    * first UTF-16 unit only and misses astral case pairs and
+    * multi-char growth. */
+  private def upperFirst(w: String): String =
+    if (w.isEmpty) w
+    else {
+      val n = Character.charCount(w.codePointAt(0))
+      w.substring(0, n).toUpperCase + w.substring(n)
+    }
+
   private def caseWords(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder

@@ -2073,7 +2073,9 @@ object Lower {
     "lines", "chars_of", "url_encode", "url_decode", "html_escape",
     "html_unescape", "center", "last_index_of", "to_bool", "parse_bool",
     "contains_any", "contains_all", "scan", "re_split",
-    "re_match_first", "re_match_all")
+    "re_match_first", "re_match_all",
+    "snake_case", "kebab_case", "camel_case", "pascal_case",
+    "indent", "dedent")
 
   /** Array-pipeline methods with an exact columnar lowering. Names that
     * double as string builtins (`len`, `reverse`, `includes`, …)
@@ -2503,15 +2505,37 @@ object Lower {
       case "is_numeric"  => c.rlike("^[0-9]+$") // ascii digits only (mod.rs:2060-2062)
       case "is_alpha"    => c.rlike("^\\p{L}+$")
       case "is_ascii"    => c.rlike("^[\\x00-\\x7F]*$")
-      case "lines"       =>
-        // Rust str::lines (string.rs:380-386): normalize each \r\n
-        // terminator to \n, split, then drop the one trailing empty a
-        // terminated final line leaves ("" → []); an unterminated final
-        // line keeps a bare \r
-        val arr = split(regexp_replace(c, "\r\n", "\n"),
-          java.util.regex.Pattern.quote("\n"))
-        when(element_at(arr, -1) === "", slice(arr, lit(1), size(arr) - 1))
-          .otherwise(arr)
+      case "lines"       => linesOf(c)
+      case "snake_case"  => caseWordsJoin(c, "_")
+      case "kebab_case"  => caseWordsJoin(c, "-")
+      case "camel_case" =>
+        // head word verbatim (already lowercase), tail words
+        // first-code-point-uppercased (helpers.rs upper_first_into)
+        val ws = split(caseWordsJoin(c, "_"),
+          java.util.regex.Pattern.quote("_"))
+        array_join(transform(ws,
+          (w, i) => when(i === 0, w).otherwise(upperFirstCol(w))), "")
+      case "pascal_case" =>
+        array_join(transform(split(caseWordsJoin(c, "_"),
+          java.util.regex.Pattern.quote("_")), upperFirstCol _), "")
+      case "indent" => // prepend n spaces to every line (Strings.scala)
+        val n = intLit(args, 0).toInt
+        array_join(transform(linesOf(c),
+          l => concat(lit(" " * math.max(n, 0)), l)), "\n")
+      case "dedent" =>
+        // min leading-whitespace margin over non-blank lines, dropped
+        // from every line long enough (string.rs:301-319; positions in
+        // code points — identical to the interpreter's UTF-16 count
+        // whenever the margin is real whitespace, which is BMP)
+        val ls = linesOf(c)
+        val margins = transform(
+          filter(ls, l => !l.rlike("^[\\p{IsWhite_Space}]*$")),
+          l => length(l) -
+            length(regexp_replace(l, "^[\\p{IsWhite_Space}]+", "")))
+        val margin = coalesce(array_min(margins), lit(0))
+        array_join(transform(ls, l =>
+          when(length(l) >= margin,
+            l.substr(margin + lit(1), length(l))).otherwise(l)), "\n")
       case "chars_of"    => // per code point (string.rs:414)
         regexp_extract_all(c, lit("(?s)."), lit(0))
       case "url_encode"  => call_function("url_encode", c)
@@ -2609,6 +2633,40 @@ object Lower {
       case other => bail(s"no relational scalar fn .$other()")
     }
   }
+
+  /** Rust str::lines (string.rs:380-386): normalize each \r\n
+    * terminator to \n, split, then drop the one trailing empty a
+    * terminated final line leaves ("" → []); an unterminated final
+    * line keeps a bare \r. */
+  private def linesOf(c: Column): Column = {
+    val arr = split(regexp_replace(c, "\r\n", "\n"),
+      java.util.regex.Pattern.quote("\n"))
+    when(element_at(arr, -1) === "", slice(arr, lit(1), size(arr) - 1))
+      .otherwise(arr)
+  }
+
+  /** caseWords (reference helpers.rs:9-34 split_words_lower) as a pure
+    * regex pipeline: mark each lower→Upper camel boundary (the
+    * javaLowerCase/javaUpperCase properties ARE Character.isLower/
+    * UpperCase, the predicates the interpreter walks with), collapse
+    * every run of separators (Unicode whitespace, `_`, `-`) to `sep`,
+    * strip boundary separators (caseWords drops empty tokens), then
+    * lowercase. Digits never arm a boundary — the mark requires a
+    * lowercase LETTER-cased char on the left, exactly like prev_lower. */
+  private def caseWordsJoin(c: Column, sep: String): Column = {
+    val rep = java.util.regex.Matcher.quoteReplacement(sep)
+    val marked = regexp_replace(c,
+      "(\\p{javaLowerCase})(\\p{javaUpperCase})", "$1" + rep + "$2")
+    val collapsed = regexp_replace(marked, "[\\p{IsWhite_Space}_-]+", rep)
+    val esc = java.util.regex.Pattern.quote(sep)
+    lower(regexp_replace(collapsed,
+      "^(?:" + esc + ")+|(?:" + esc + ")+$", ""))
+  }
+
+  /** upper_first_into (helpers.rs:37-45): first CODE POINT takes its
+    * full uppercase mapping (can grow, "ß" → "SS"), rest verbatim. */
+  private def upperFirstCol(w: Column): Column =
+    concat(upper(w.substr(lit(1), lit(1))), w.substr(lit(2), length(w)))
 
   private def a0OrSecond(args: Vector[Arg]): Column = colExpr(argE(args, 1))
 
@@ -2990,7 +3048,8 @@ object Lower {
          "re_replace_all" | "repeat" | "pad_left" | "pad_right" |
          "to_base64" | "from_base64" | "url_encode" | "url_decode" |
          "html_escape" | "html_unescape" | "center" |
-         "re_match_first" => Some(StringType)
+         "re_match_first" | "snake_case" | "kebab_case" | "camel_case" |
+         "pascal_case" | "indent" | "dedent" => Some(StringType)
     case "len" | "length" | "byte_len" | "parse_int" |
          "last_index_of" => Some(LongType)
     case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>

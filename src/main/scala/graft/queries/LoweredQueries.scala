@@ -844,6 +844,53 @@ object LoweredQueries extends QueryGroup {
       acc.withColumn(n, array_join(col(n), "|")) }
   }
 
+  /** Round-9 caseWords family + line ops, lowered: snake/kebab/camel/
+    * pascal_case ride a regex pipeline (camel-boundary mark → separator
+    * collapse → strip → lower; reference helpers.rs:9-34), camel/pascal
+    * re-capitalize per word with an indexed transform; indent/dedent
+    * ride the lines() machinery with an aggregate-min margin. DuckDB
+    * replays the same pipeline with RE2 + list lambdas (ASCII data —
+    * the Unicode-property edges are StringFuzzSpec's job). */
+  private val strCase = q(
+    "q_lower_str_case",
+    """WITH s AS (
+      |  SELECT p_partkey, p_name || ' XMLHttpRequest_v2Beta theQuick-Fox' AS raw,
+      |    '  a' || chr(10) || '   ' || p_name || chr(10) || chr(10) || ' x' AS ml
+      |  FROM part WHERE p_partkey < 300),
+      |sn AS (
+      |  SELECT p_partkey, ml,
+      |    lower(regexp_replace(regexp_replace(regexp_replace(raw,
+      |      '([a-z])([A-Z])', '\1_\2', 'g'), '[\s_-]+', '_', 'g'),
+      |      '^_+|_+$', '', 'g')) AS snake
+      |  FROM s),
+      |w AS (SELECT p_partkey, ml, snake, str_split(snake, '_') AS ws,
+      |        string_split(ml, chr(10)) AS ls FROM sn),
+      |g AS (SELECT *, COALESCE(list_min(list_transform(list_filter(ls,
+      |        x -> NOT regexp_matches(x, '^[\s]*$')),
+      |        x -> length(x) - length(regexp_replace(x, '^[\s]+', '')))), 0) AS margin
+      |      FROM w)
+      |SELECT p_partkey AS k, snake AS sn,
+      |  replace(snake, '_', '-') AS kb,
+      |  ws[1] || COALESCE(list_aggregate(list_transform(ws[2:],
+      |    x -> upper(x[1]) || x[2:]), 'string_agg', ''), '') AS cm,
+      |  COALESCE(list_aggregate(list_transform(ws,
+      |    x -> upper(x[1]) || x[2:]), 'string_agg', ''), '') AS ps,
+      |  list_aggregate(list_transform(ls, x -> '  ' || x), 'string_agg', chr(10)) AS ind,
+      |  list_aggregate(list_transform(ls,
+      |    x -> CASE WHEN length(x) >= margin THEN x[margin+1:] ELSE x END),
+      |    'string_agg', chr(10)) AS ded
+      |FROM g ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.part{p_partkey < 300}.sort_by(p_partkey).map({\n" +
+      "  k: p_partkey,\n" +
+      "  sn: (p_name + \" XMLHttpRequest_v2Beta theQuick-Fox\").snake_case(),\n" +
+      "  kb: (p_name + \" XMLHttpRequest_v2Beta theQuick-Fox\").kebab_case(),\n" +
+      "  cm: (p_name + \" XMLHttpRequest_v2Beta theQuick-Fox\").camel_case(),\n" +
+      "  ps: (p_name + \" XMLHttpRequest_v2Beta theQuick-Fox\").pascal_case(),\n" +
+      "  ind: (\"  a\n   \" + p_name + \"\n\n x\").indent(2),\n" +
+      "  ded: (\"  a\n   \" + p_name + \"\n\n x\").dedent()})")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
@@ -852,5 +899,5 @@ object LoweredQueries extends QueryGroup {
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
-    rowwiseWalk, rowwiseRec, strEdge, strArr)
+    rowwiseWalk, rowwiseRec, strEdge, strArr, strCase)
 }

@@ -49,7 +49,7 @@ class RowwiseFallbackSpec extends SparkSpec {
 
   test("cross-element stages refuse the rowwise backend") {
     // sort_by over a non-lowerable key: neither relational nor row-wise
-    val e = """$.supplier.sort_by(s_name.snake_case()).map({k: s_suppkey})"""
+    val e = """$.supplier.sort_by(s_name.title_case()).map({k: s_suppkey})"""
     assert(Graft.backend(spark, sf, e) == "document")
   }
 
@@ -97,7 +97,7 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("patch $ over one table's rows takes the rowwise rung when leaves don't lower") {
-    val e = """patch $ { supplier[*].s_name: @.snake_case() }"""
+    val e = """patch $ { supplier[*].s_name: @.title_case() }"""
     assert(!Graft.lowers(spark, sf, e))
     assert(Graft.backend(spark, sf, e) == "rowwise")
     val rw = Graft.rowwiseCompile(spark, sf, e).get
@@ -105,13 +105,13 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("deep descent and ..shape/..like distribute on the rowwise rung") {
-    // non-lowerable nesting (snake_case) → bails relationally; the
+    // non-lowerable nesting (title_case) → bails relationally; the
     // descent walks each row's own nodes, so it distributes
-    val e1 = """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case()}})..v"""
+    val e1 = """$.supplier.map({k: s_suppkey, a: {v: s_name.title_case()}})..v"""
     assert(Graft.backend(spark, sf, e1) == "rowwise")
     assert(rowsOf(Graft.rowwiseCompile(spark, sf, e1).get) ==
       rowsOf(Graft.docFallback(spark, sf, e1)))
-    val e2 = """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case(), tag: "x"}})
+    val e2 = """$.supplier.map({k: s_suppkey, a: {v: s_name.title_case(), tag: "x"}})
                |..shape({v, tag})""".stripMargin
     assert(Graft.backend(spark, sf, e2) == "rowwise")
     assert(rowsOf(Graft.rowwiseCompile(spark, sf, e2).get) ==
@@ -119,7 +119,7 @@ class RowwiseFallbackSpec extends SparkSpec {
     // ..find's predicate ranges over ALL nodes including the receiver
     // array itself — not per-row; refused
     assert(Graft.rowwisePlan(
-      """$.supplier.map({k: s_suppkey, a: {v: s_name.snake_case()}})..find(v != null)""").isEmpty)
+      """$.supplier.map({k: s_suppkey, a: {v: s_name.title_case()}})..find(v != null)""").isEmpty)
   }
 
   test("non-row-iterating or trailing-read chain-writes are refused") {
@@ -134,14 +134,14 @@ class RowwiseFallbackSpec extends SparkSpec {
       "$.supplier[*].s_acctbal.set($.region.count())").isEmpty)
     // patch batches over two tables can't run per-row on one
     assert(Graft.rowwiseCompile(spark, sf,
-      "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.snake_case() }").isEmpty)
+      "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.title_case() }").isEmpty)
   }
 
   test("docFallback is capped by spark.graft.docFallback.maxRows") {
     val key = "spark.graft.docFallback.maxRows"
     spark.conf.set(key, "3") // supplier has 10 rows at sf0.001
     try {
-      val e = """$.supplier.sort_by(s_name.snake_case()).map({k: s_suppkey})"""
+      val e = """$.supplier.sort_by(s_name.title_case()).map({k: s_suppkey})"""
       val err = intercept[IllegalStateException] {
         Graft.query(spark, sf, e).collect()
       }
@@ -151,7 +151,7 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("under the cap the document fallback still answers") {
-    val e = """$.region.sort_by(r_name.snake_case()).map({k: r_regionkey})"""
+    val e = """$.region.sort_by(r_name.title_case()).map({k: r_regionkey})"""
     assert(Graft.backend(spark, sf, e) == "document")
     assert(Graft.query(spark, sf, e).count() == 5)
   }

@@ -73,7 +73,7 @@ class RowwiseFuzzSpec extends SparkSpec {
       val shape = rng.nextInt(6) match {
         case 0 => ".map({k: c_custkey, seg: c_mktsegment})"
         case 1 => ".map({k: c_custkey, u: c_name.upper(), b: c_acctbal * 2})"
-        case 2 => ".map({k: c_custkey, s: c_name.snake_case()})" // no lowering
+        case 2 => ".map({k: c_custkey, s: c_name.title_case()})" // no lowering
         case 3 => ".map({k: c_custkey, w: c_mktsegment.words()})" // array lane
         case 4 => s".pick(${"\"c_custkey\", \"c_mktsegment\""})"
         case _ => s".omit(${"\"c_name\", \"c_acctbal\""})"
@@ -109,7 +109,7 @@ class RowwiseFuzzSpec extends SparkSpec {
       val e = rng.nextInt(7) match {
         case 0 => s"$$.customer$fan.c_acctbal.set(${rng.nextInt(100)})"
         case 1 => s"$$.customer$fan.c_acctbal.modify(@ * 2 + ${rng.nextInt(5)})"
-        case 2 => s"$$.customer$fan.c_name.modify(@.snake_case())"
+        case 2 => s"$$.customer$fan.c_name.modify(@.title_case())"
         case 3 => s"$$.customer$fan.c_mktsegment.delete()"
         case 4 => s"""$$.customer$fan.unset("c_nationkey")"""
         case 5 => s"$$.customer$fan.merge({flag: ${rng.nextInt(2)}})"

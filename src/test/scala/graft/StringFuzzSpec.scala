@@ -59,7 +59,9 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val edges = Seq(
     "", " ", "  hi  ", "\thi\n", "a,b,,c", "Hello World", "hello WORLD",
     "héllo", "a𝄞b", "ßx", "x y",
-    "l1\nl2\r\nl3", "123", " 42 ", "12.5", "-7", "*spec.()[]")
+    "l1\nl2\r\nl3", "123", " 42 ", "12.5", "-7", "*spec.()[]",
+    "fooBarBaz", "parse_HTTP-Response", "_aB_", "v2EngineX",
+    "  a\n    b\n\n c", "   \n  x\n    y\n")
 
   // Literal args for parameterized ops (quoted into the source).
   private val litArgs = Seq("", "l", "o", " ", "ab", "é",
@@ -74,7 +76,7 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     def arg = litArgs(rng.nextInt(litArgs.length))
     def re = regexes(rng.nextInt(regexes.length))
 
-    def strOp(): String = rng.nextInt(24) match {
+    def strOp(): String = rng.nextInt(29) match {
       case 0  => ".upper()"
       case 1  => ".lower()"
       case 2  => ".capitalize()"
@@ -98,6 +100,12 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 20 => ".url_encode()"
       case 21 => ".url_encode().url_decode()"
       case 22 => s".re_match_first(${q(re)})"
+      case 23 => ".snake_case()"
+      case 24 => ".kebab_case()"
+      case 25 => ".camel_case()"
+      case 26 => ".pascal_case()"
+      case 27 => s".indent(${rng.nextInt(4)})"
+      case 28 => ".dedent()"
       case _  => ".trim_left()"
     }
     def terminal(): String = rng.nextInt(20) match {
