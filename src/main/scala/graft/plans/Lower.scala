@@ -2075,7 +2075,8 @@ object Lower {
     "contains_any", "contains_all", "scan", "re_split",
     "re_match_first", "re_match_all",
     "snake_case", "kebab_case", "camel_case", "pascal_case",
-    "indent", "dedent")
+    "indent", "dedent",
+    "title_case", "words", "is_blank", "bytes")
 
   /** Array-pipeline methods with an exact columnar lowering. Names that
     * double as string builtins (`len`, `reverse`, `includes`, …)
@@ -2085,7 +2086,15 @@ object Lower {
     "count", "len", "length", "sum", "avg", "mean", "min", "max",
     "first", "last", "nth", "take", "skip", "drop", "unique", "distinct",
     "reverse", "any", "exists", "all", "includes", "contains", "join",
-    "sort", "sort_by")
+    "sort", "sort_by",
+    "collect", "append", "prepend", "flatten", "slice", "remove",
+    "index", "index_of", "indices_of", "find_first", "find_one",
+    "take_while", "takewhile", "drop_while", "dropwhile",
+    "window", "chunk", "batch", "pairwise", "enumerate", "partition",
+    "zip", "zip_longest", "diff", "intersect", "union",
+    "lag", "lead", "diff_window", "pct_change", "zscore",
+    "cum_max", "cum_min", "cummax", "cummin",
+    "rolling_sum", "rolling_avg", "rolling_min", "rolling_max")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -2299,8 +2308,318 @@ object Lower {
           (coalesce(array_join(c, sep), lit("")), Some(StringType))
         case other => bail(s"join lowered only for string lanes, got ${other.simpleString}")
       }
+
+      // ── element pushes / splices (O:collection.rs:379-404, D:850) ──
+      case "collect" => (nz(c), someArr) // array → id, null → [] (M:98-99)
+      case "append" | "prepend" =>
+        // arrOnly reads null as [], then pushes the evaluated arg — a
+        // MISSING arg pushes null (Builtins:267-270). The pushed value
+        // must share the lane's kind (same type, or integral/fractional
+        // widening); a cross-kind push makes a heterogeneous array the
+        // static lane cannot hold.
+        val (av, u) =
+          if (args.isEmpty) (lit(null).cast(at.elementType), at.elementType)
+          else {
+            val e = argE(args, 0)
+            val ad = inferDt(e).getOrElse(bail(s"$name arg type unknown"))
+            val w = unifySameKind(at.elementType, ad)
+              .getOrElse(bail(s"$name ${ad.simpleString} into ${at.elementType.simpleString} lane"))
+            (colExpr(e).cast(w), w)
+          }
+        val base = castArr(nz(c), u)
+        (if (name == "append") concat(base, array(av))
+         else concat(array(av), base),
+          Some(ArrayType(u, containsNull = true)))
+      case "flatten" =>
+        // splice one nesting level per depth (default 1); depth beyond
+        // the statically-known nesting is identity — the interpreter
+        // keeps non-array elements in place (D:850-862). Spark's
+        // flatten nulls the WHOLE result when an element is null
+        // (probed), but the interpreter keeps the null as an element —
+        // substitute [null] before splicing.
+        var d = if (args.isEmpty) 1L else intLit(args, 0)
+        var cur = c; var dt: DataType = at
+        var go = true
+        while (d > 0 && go) dt match {
+          case ArrayType(inner: ArrayType, _) =>
+            cur = flatten(transform(cur,
+              x => coalesce(x, array(lit(null).cast(inner.elementType)))))
+            dt = inner.copy(containsNull = true); d -= 1
+          case _ => go = false
+        }
+        (cur, Some(dt))
+      case "slice" => // clamp semantics shared with `[a:b]` (Interp.sliceOf)
+        (sliceArr(c, Some(intLit(args, 0)),
+          if (args.length > 1) Some(intLit(args, 1)) else None), someArr)
+      case "remove" => // value form filters by JValue.eq; lambda by truthiness
+        if (args.isEmpty) bail("remove requires an argument")
+        argE(args, 0) match {
+          case Lambda(_, _) =>
+            (filter(nz(c), x => !body(0).predStrict(x)), someArr)
+          case e =>
+            val eq = eqBy(at.elementType, e)
+            (filter(nz(c), x => !eq(x)), someArr)
+        }
+
+      // ── positional search (O:collection.rs:470-495, D:975) ──
+      case "index" | "index_of" => // first index by JValue.eq, null on miss
+        val eq = eqTargetBy(at.elementType, args)
+        val hits = filter(
+          transform(nz(c), (x, i) => when(eq(x), i)), _.isNotNull)
+        (get(hits, lit(0)).cast("long"), Some(LongType))
+      case "indices_of" =>
+        val eq = eqTargetBy(at.elementType, args)
+        (filter(transform(nz(c), (x, i) => when(eq(x), i.cast("long"))),
+          _.isNotNull), Some(ArrayType(LongType)))
+      case "find_first" | "find_one" => // filter → first element, null when none
+        (get(filter(nz(c), x => body(0).pred(x)), lit(0)),
+          Some(at.elementType))
+
+      // ── prefix cuts (D:421-481): truthiness is two-valued ──
+      case "take_while" | "takewhile" | "drop_while" | "dropwhile" =>
+        val b = body(0)
+        val a = nz(c)
+        // 0-based index of the first non-truthy element, null if all pass
+        val cut = get(filter(
+          transform(a, (x, i) => when(!b.predStrict(x), i)), _.isNotNull),
+          lit(0))
+        if (name.startsWith("take")) (slice(a, lit(1), coalesce(cut, size(a))), someArr)
+        else (when(cut.isNull, emptyOf(at))
+          .otherwise(slice(a, cut + 1, size(a) - cut)), someArr)
+
+      // ── reshapes (§2.5 array forms) ──
+      case "window" => // sliding windows of n; [] when n<=0 or short input
+        val n = intLit(args, 0).toInt
+        val out = ArrayType(at.copy(containsNull = true))
+        if (n <= 0) (emptyOf(out), Some(out))
+        else {
+          val a = nz(c)
+          (when(size(a) < n, emptyOf(out)).otherwise(
+            transform(sequence(lit(1), size(a) - (n - 1)),
+              i => slice(a, i, lit(n)))), Some(out))
+        }
+      case "chunk" | "batch" => // non-overlapping groups of n; n<=0 errs loudly
+        val n = intLit(args, 0).toInt
+        if (n <= 0) bail("chunk size must be positive (interpreter errors)")
+        val a = nz(c)
+        val out = ArrayType(at.copy(containsNull = true))
+        // Column./ is double division — keep the chunk count integral
+        val nChunks = floor((size(a) + (n - 1)) / n).cast("int")
+        (when(size(a) === 0, emptyOf(out)).otherwise(
+          transform(sequence(lit(1), nChunks),
+            i => slice(a, (i - 1) * n + 1, lit(n)))), Some(out))
+      case "pairwise" => // adjacent [a, b] pairs
+        val a = nz(c)
+        val out = ArrayType(ArrayType(at.elementType, containsNull = true))
+        (when(size(a) < 2, emptyOf(out)).otherwise(
+          transform(sequence(lit(1), size(a) - 1),
+            i => array(get(a, i - 1), get(a, i)))), Some(out))
+      case "enumerate" => // {index, value} rows (reference defs.rs)
+        val st = StructType(Seq(StructField("index", LongType, nullable = false),
+          StructField("value", at.elementType)))
+        (transform(nz(c), (x, i) =>
+          struct(i.cast("long").as("index"), x.as("value"))),
+          Some(ArrayType(st)))
+      case "partition" => // {"true": [...], "false": [...]} buckets
+        val b = body(0)
+        val outT = at.copy(containsNull = true)
+        (struct(
+          filter(nz(c), x => b.predStrict(x)).as("true"),
+          filter(nz(c), x => !b.predStrict(x)).as("false")),
+          Some(StructType(Seq(StructField("true", outT), StructField("false", outT)))))
+
+      // ── zips (O:collection.rs zip/zip_longest) ──
+      case "zip" | "zip_longest" =>
+        val (ob, u) =
+          if (args.isEmpty) (emptyOf(at), at.elementType)
+          else {
+            val e = argE(args, 0)
+            inferDt(e) match {
+              case Some(o: ArrayType) =>
+                val w = unifySameKind(at.elementType, o.elementType)
+                  .getOrElse(bail(s"$name pairs mix ${at.elementType.simpleString} and ${o.elementType.simpleString}"))
+                (coalesce(colExpr(e), emptyOf(o)), w)
+              case Some(o) => bail(s"$name over non-array arg ${o.simpleString}")
+              case None    => bail(s"$name arg type unknown")
+            }
+          }
+        val ua = ArrayType(u, containsNull = true)
+        val na = castArr(nz(c), u); val nb = castArr(ob, u)
+        val m = if (name == "zip") least(size(na), size(nb))
+                else greatest(size(na), size(nb))
+        val out = ArrayType(ua)
+        (when(m === 0, emptyOf(out)).otherwise(
+          transform(sequence(lit(1), m),
+            i => array(get(na, i - 1), get(nb, i - 1)))), Some(out))
+
+      // ── set ops by val_to_key (collection.rs:596-642): hash-set
+      // membership on the DISPLAY string — "null" the string and a null
+      // element deliberately collide, like the interpreter. diff keeps
+      // receiver-side duplicates; intersect/union dedup keep-first. ──
+      case "diff" | "intersect" | "union" =>
+        if (!atomicElem(at.elementType))
+          bail(s"$name over ${at.elementType.simpleString} lane (val_to_key)")
+        val na = nz(c)
+        val (other, otherDt): (Column, DataType) =
+          if (args.isEmpty) (emptyOf(at), at.elementType)
+          else {
+            val e = argE(args, 0)
+            inferDt(e) match {
+              case Some(o: ArrayType) if atomicElem(o.elementType) =>
+                (coalesce(colExpr(e), emptyOf(o)), o.elementType)
+              case Some(o) => bail(s"$name arg must be an atomic-element array, got ${o.simpleString}")
+              case None    => bail(s"$name arg type unknown")
+            }
+          }
+        val ed = at.elementType
+        def keys(a: Column): Column = transform(a, keyOf(_, otherDt))
+        name match {
+          case "diff" =>
+            val bk = keys(other)
+            (filter(na, x => !array_contains(bk, keyOf(x, ed))), someArr)
+          case "intersect" =>
+            val bk = keys(other)
+            (dedupByKey(filter(na, x => array_contains(bk, keyOf(x, ed))), ed), someArr)
+          case _ => // union concatenates, so the lanes must share a kind
+            val u = unifySameKind(ed, otherDt)
+              .getOrElse(bail("union pairs mixed-kind lanes"))
+            (dedupByKey(concat(castArr(na, u), castArr(other, u)), u),
+              Some(ArrayType(u, containsNull = true)))
+        }
+
+      // ── numeric sequence analytics (§2.5 array forms): the
+      // interpreter's nums() lane — every element Some(double) or None,
+      // non-numeric errors (statically excluded here); results are
+      // always float (numArr) ──
+      case "lag" | "lead" | "diff_window" | "pct_change" | "zscore" |
+           "cum_max" | "cum_min" | "cummax" | "cummin" |
+           "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
+        if (!numericDt(at.elementType))
+          bail(s"$name over non-numeric lane ${at.elementType.simpleString}")
+        (numSeqOp(name, transform(nz(c), _.cast("double")), args),
+          Some(ArrayType(DoubleType)))
+
       case other => bail(s"no columnar array lowering for .$other()")
     }
+  }
+
+  /** The interpreter's numeric window family over a double lane
+    * (Builtins:470-513, rolling:791-806). All shift/scan shapes are
+    * linear (slice/concat or an aggregate scan); rolling_* is O(n·w)
+    * like the interpreter's sliding fold. */
+  private def numSeqOp(name: String, xs: Column, args: Vector[Arg]): Column = {
+    val nullD = lit(null).cast("double")
+    val emptyD = array().cast("array<double>")
+    def prevOf(acc: Column) = get(acc, size(acc) - 1) // empty → null (probed)
+    name match {
+      case "lag" | "lead" =>
+        val n = if (args.isEmpty) 1 else intLit(args, 0).toInt
+        // a negative shift indexes out of bounds in the interpreter —
+        // a loud error, so it stays there
+        if (n < 0) bail(s"$name with negative shift errors loudly")
+        val pads = array_repeat(nullD, least(lit(n), size(xs)).cast("int"))
+        val kept = greatest(size(xs) - n, lit(0))
+        if (name == "lag") concat(pads, slice(xs, lit(1), kept))
+        else concat(slice(xs, lit(n + 1), kept), pads)
+      case "diff_window" =>
+        // zip_with pads the empty xs against prev=[null] (probed), so
+        // guard the empty receiver explicitly
+        val prev = concat(array(nullD), slice(xs, lit(1), greatest(size(xs) - 1, lit(0))))
+        when(size(xs) === 0, emptyD).otherwise(
+          zip_with(xs, prev, (x, p) => x - p)) // first / null gaps → null
+      case "pct_change" =>
+        val prev = concat(array(nullD), slice(xs, lit(1), greatest(size(xs) - 1, lit(0))))
+        when(size(xs) === 0, emptyD).otherwise(
+          zip_with(xs, prev, (x, p) => when(p =!= 0.0, (x - p) / p)))
+      case "cum_max" | "cummax" | "cum_min" | "cummin" =>
+        val wantMax = name == "cum_max" || name == "cummax"
+        // scan: best-so-far carries over null elements; greatest/least
+        // skip the null best before the first observation (probed)
+        aggregate(xs, emptyD, (acc, x) => concat(acc, array(
+          when(x.isNull, prevOf(acc)).otherwise(
+            if (wantMax) greatest(prevOf(acc), x) else least(prevOf(acc), x)))))
+      case "zscore" =>
+        val nn = filter(xs, _.isNotNull)
+        val n = size(nn)
+        val mean = aggregate(nn, lit(0.0), _ + _) / n
+        val sd = sqrt(aggregate(nn, lit(0.0), (a, y) => a + (y - mean) * (y - mean)) / n)
+        when(n === 0, transform(xs, _ => nullD)).otherwise(
+          transform(xs, x => when(x.isNull, nullD)
+            .otherwise(when(sd === 0.0, lit(0.0)).otherwise((x - mean) / sd))))
+      case _ => // rolling_{sum,avg,min,max}
+        val n = intLit(args, 0).toInt
+        if (n <= 0) bail("rolling window size must be positive (interpreter errors)")
+        transform(xs, (_, i) => when(i >= n - 1, {
+          val w = filter(slice(xs, i - (n - 2), lit(n)), _.isNotNull)
+          when(size(w) > 0, name match {
+            case "rolling_sum" => aggregate(w, lit(0.0), _ + _)
+            case "rolling_avg" => aggregate(w, lit(0.0), _ + _) / size(w)
+            case "rolling_min" => array_min(w)
+            case _             => array_max(w)
+          })
+        }))
+    }
+  }
+
+  private def emptyOf(at: ArrayType): Column = array().cast(at)
+  private def castArr(c: Column, u: DataType): Column =
+    c.cast(ArrayType(u, containsNull = true))
+
+  /** Same-KIND unification for lanes that must hold both sides: exact
+    * match, integral widening to long, fractional widening to double.
+    * An int/float mix stays heterogeneous in the interpreter (JInt
+    * renders "1", JFloat "1.0") — no static lane holds that, so None. */
+  private def unifySameKind(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else if (integralDt(a) && integralDt(b)) Some(LongType)
+    else if (fractionalDt(a) && fractionalDt(b)) Some(DoubleType)
+    else None
+
+  private def atomicElem(d: DataType): Boolean =
+    numericDt(d) || d == StringType || d == BooleanType
+
+  /** val_to_key (util.rs:215-226) for an atomic lane: the display
+    * string, with null rendering as "null" (so it collides with the
+    * string "null", exactly like the interpreter's key map). Fractional
+    * lanes take the SHORTEST-FORM display (Rust f64::to_string: 5.0 →
+    * "5"), so a float and an int of the same value share a key across
+    * lanes — the fuzzer caught cum_max().intersect($.longs) diverging
+    * under the naive cast, which renders "5.0". */
+  private def keyOf(x: Column, dt: DataType): Column =
+    if (fractionalDt(dt)) {
+      val d = x.cast("double")
+      coalesce(
+        when(d === floor(d) && !d.isNaN && abs(d) < lit(1e15),
+          d.cast("long").cast("string")).otherwise(d.cast("string")),
+        lit("null"))
+    } else coalesce(x.cast("string"), lit("null"))
+
+  /** Keep-first dedup by val_to_key (Builtins.uniqueBy): an element
+    * survives iff its position is the key's first occurrence. */
+  private def dedupByKey(a: Column, dt: DataType): Column = {
+    val ks = transform(a, keyOf(_, dt))
+    filter(a, (x, i) => array_position(ks, keyOf(x, dt)) === i + 1)
+  }
+
+  /** JValue.eq (JValue.scala:65-77) against the evaluated argument:
+    * cross-kind numeric compares by value; NaN ≠ NaN (Spark's <=> says
+    * true — probed — so fractional lanes guard isnan); kind mismatch is
+    * statically never equal. */
+  private def eqTargetBy(elem: DataType, args: Vector[Arg]): Column => Column =
+    if (args.isEmpty) (x: Column) => x.isNull // eq with the missing-arg null
+    else eqBy(elem, argE(args, 0))
+
+  private def eqBy(elem: DataType, e: Expr): Column => Column = {
+    val ad = inferDt(e).getOrElse(bail("equality arg type unknown"))
+    val t = colExpr(e)
+    def guarded(x: Column, tc: Column, frac: Boolean): Column =
+      if (frac) (x <=> tc) && !coalesce(isnan(x), lit(false))
+      else x <=> tc
+    if (elem == ad) (x: Column) => guarded(x, t, fractionalDt(elem))
+    else if (numericDt(elem) && numericDt(ad)) {
+      val frac = fractionalDt(elem) || fractionalDt(ad)
+      (x: Column) => guarded(x.cast("double"), t.cast("double"), frac)
+    } else (_: Column) => lit(false) // kind mismatch never matches
   }
 
   private def integralDt(d: DataType): Boolean = d match {
@@ -2308,6 +2627,11 @@ object Lower {
     case _                                             => false
   }
   private def numericDt(d: DataType): Boolean = d.isInstanceOf[NumericType]
+  private def fractionalDt(d: DataType): Boolean = d match {
+    case FloatType | DoubleType      => true
+    case _: DecimalType              => true
+    case _                           => false
+  }
 
   /** Static Spark type of a row-scope expression, when derivable. Used
     * for array-op decisions (sum zero typing, flat_map shape, map result
@@ -2505,6 +2829,36 @@ object Lower {
       case "is_numeric"  => c.rlike("^[0-9]+$") // ascii digits only (mod.rs:2060-2062)
       case "is_alpha"    => c.rlike("^\\p{L}+$")
       case "is_ascii"    => c.rlike("^[\\x00-\\x7F]*$")
+      case "is_blank"    => c.rlike("^[\\p{IsWhite_Space}]*$") // "" is blank (mod.rs:2059)
+      case "words"       => // Rust split_whitespace: Unicode separators, empties dropped
+        filter(split(c, "[\\p{IsWhite_Space}]+"), _ =!= "")
+      case "bytes"       => // UTF-8 bytes as ints (Strings.scala:111): hex pairs → decimal
+        transform(regexp_extract_all(hex(encode(c, "UTF-8")), lit(".."), lit(0)),
+          x => conv(x, 16, 10).cast("long"))
+      case "title_case"  =>
+        // whitespace-preserving char walk (string.rs:188-208): first
+        // char after a whitespace run takes Character.toUpperCase (the
+        // SIMPLE 1:1 mapping — identity when the full mapping grows,
+        // e.g. "ß"), the rest take Character.toLowerCase per char
+        // (= first code point of the full mapping; only İ differs).
+        // Token split keeps separators verbatim. Known micro-divergence:
+        // the interpreter walks UTF-16 units, so CASED astral scripts
+        // (Deseret/Osage/Adlam) stay uncased there but map here.
+        val tokens = regexp_extract_all(c,
+          lit("(?s)[\\p{IsWhite_Space}]+|[^\\p{IsWhite_Space}]+"), lit(0))
+        def simpleUpper(ch: Column): Column = {
+          val u = upper(ch); when(length(u) === 1, u).otherwise(ch)
+        }
+        def simpleLower(ch: Column): Column = {
+          val l = lower(ch); when(length(l) === 1, l).otherwise(substring(l, 1, 1))
+        }
+        val titled = transform(tokens, t =>
+          when(t.rlike("^[\\p{IsWhite_Space}]"), t).otherwise(concat(
+            simpleUpper(t.substr(lit(1), lit(1))),
+            array_join(transform(
+              regexp_extract_all(t.substr(lit(2), length(t)), lit("(?s)."), lit(0)),
+              simpleLower _), ""))))
+        array_join(titled, "")
       case "lines"       => linesOf(c)
       case "snake_case"  => caseWordsJoin(c, "_")
       case "kebab_case"  => caseWordsJoin(c, "-")
@@ -3038,7 +3392,22 @@ object Lower {
     case "join"                                => Some(StringType)
     case "filter" | "find" | "find_all" | "where" | "compact" | "take" |
          "skip" | "drop" | "unique" | "distinct" | "reverse" |
-         "sort" | "sort_by" => Some(at)
+         "sort" | "sort_by" |
+         "collect" | "slice" | "remove" | "take_while" | "takewhile" |
+         "drop_while" | "dropwhile" | "diff" | "intersect" => Some(at)
+    case "append" | "prepend" | "union" => // lane may widen within its kind
+      Some(at.copy(containsNull = true))
+    case "index" | "index_of" => Some(LongType)
+    case "indices_of" => Some(ArrayType(LongType))
+    case "find_first" | "find_one" => Some(at.elementType)
+    case "window" | "chunk" | "batch" =>
+      Some(ArrayType(at.copy(containsNull = true)))
+    case "pairwise" =>
+      Some(ArrayType(ArrayType(at.elementType, containsNull = true)))
+    case "lag" | "lead" | "diff_window" | "pct_change" | "zscore" |
+         "cum_max" | "cum_min" | "cummax" | "cummin" |
+         "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
+      if (numericDt(at.elementType)) Some(ArrayType(DoubleType)) else None
     case _ => None
   }
 
@@ -3049,19 +3418,21 @@ object Lower {
          "to_base64" | "from_base64" | "url_encode" | "url_decode" |
          "html_escape" | "html_unescape" | "center" |
          "re_match_first" | "snake_case" | "kebab_case" | "camel_case" |
-         "pascal_case" | "indent" | "dedent" => Some(StringType)
+         "pascal_case" | "indent" | "dedent" | "title_case" => Some(StringType)
     case "len" | "length" | "byte_len" | "parse_int" |
          "last_index_of" => Some(LongType)
     case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>
       Some(DoubleType)
     case "starts_with" | "ends_with" | "includes" | "contains" | "re_match" |
          "matches" | "is_numeric" | "is_alpha" | "is_ascii" | "to_bool" |
-         "parse_bool" | "contains_any" | "contains_all" =>
+         "parse_bool" | "contains_any" | "contains_all" | "is_blank" =>
       Some(BooleanType)
     case "index_of" => Some(LongType)
     case "replace" | "strip_prefix" | "strip_suffix" => Some(StringType)
-    case "lines" | "chars_of" | "scan" | "re_split" | "re_match_all" =>
+    case "lines" | "chars_of" | "scan" | "re_split" | "re_match_all" |
+         "words" | "split" =>
       Some(ArrayType(StringType))
+    case "bytes" => Some(ArrayType(LongType))
     case _ => None
   }
 

@@ -582,12 +582,14 @@ object LoweredQueries extends QueryGroup {
   }
 
   /** The distributed per-row fallback rung (Graft.rowwiseCompile): an
-    * element-wise pipeline whose `.words()` builtin has no relational
-    * lowering bails out of Lower — but instead of collecting the table
-    * on the driver, each row is evaluated by the interpreter against
-    * its own singleton `{documents: [row]}` document on the executors
-    * (the reference's per-element VM dispatch, defs.rs:74-90). The
-    * oracle replays the words-count and blank-test semantics in SQL. */
+    * element-wise pipeline whose regex first-match builtins
+    * (`re_captures_all`/`re_captures` — no relational lowering: Spark's
+    * regexp_replace is replace-ALL and capture groups have no native
+    * array form) bail out of Lower — but instead of collecting the
+    * table on the driver, each row is evaluated by the interpreter
+    * against its own singleton `{documents: [row]}` document on the
+    * executors (the reference's per-element VM dispatch, defs.rs:74-90).
+    * The oracle replays the token-count and blank-test semantics. */
   private val rowwiseFb = q(
     "q_lower_rowwise_fallback",
     """SELECT doc_id AS id,
@@ -595,7 +597,8 @@ object LoweredQueries extends QueryGroup {
       |  trim(text) = '' AS blank
       |FROM documents WHERE lang = 'en' ORDER BY id""".stripMargin) { (s, d) =>
     val e = """$.documents.filter(lang == "en")
-              |.map({id: doc_id, nw: text.words().len(), blank: text.is_blank()})""".stripMargin
+              |.map({id: doc_id, nw: text.re_captures_all("\S+").len(),
+              |      blank: text.re_captures("^\s*$") != null})""".stripMargin
     assert(graft.Graft.backend(s, d, e) == "rowwise",
       "expression must exercise the rowwise rung")
     graft.Graft.query(s, d, e).orderBy("id")
@@ -891,6 +894,128 @@ object LoweredQueries extends QueryGroup {
       "  ded: (\"  a\n   \" + p_name + \"\n\n x\").dedent()})")
   }
 
+  /** Round-9 array-lane widening, structural tier: element pushes,
+    * splices, positional search (val_to_key equality), prefix cuts,
+    * reshapes (window/chunk/pairwise), zips and keyed set ops — all as
+    * higher-order-function pipelines over a per-row `split` lane
+    * (reference builtins/ops/collection.rs; differentially pinned by
+    * DocColumnSpec, here DuckDB-verified end-to-end). Arrays surface
+    * as scalars (joins/lens/firsts) because the gate hashes scalar
+    * cells only. */
+  private val arrOps = q(
+    "q_lower_arr_ops",
+    """WITH s AS (
+      |  SELECT doc_id, str_split(text, ' ') AS ws, str_split(lang, '-') AS lg
+      |  FROM documents WHERE doc_id < 300),
+      |c AS (
+      |  SELECT *, ws[1:4] || ws[3:6] AS cat,
+      |    list_filter(ws[1:6], x -> list_contains(ws[4:9], x)) AS itf,
+      |    list_position(ws, 'the') AS pos
+      |  FROM s)
+      |SELECT doc_id AS k,
+      |  COALESCE(array_to_string(ws[2:4], '|'), '') AS sl,
+      |  COALESCE(array_to_string(list_filter(ws, x -> x != 'the'), '|'), '') AS rm,
+      |  COALESCE(array_to_string(list_filter(ws, x -> length(x) >= 4), '|'), '') AS rl,
+      |  CAST(NULLIF(pos, 0) - 1 AS BIGINT) AS io,
+      |  CAST(len(list_filter(ws, x -> x = 'the')) AS BIGINT) AS ic,
+      |  CAST(NULLIF(pos, 0) - 1 AS BIGINT) AS i0,
+      |  COALESCE(array_to_string(lg || ['z'], '|'), '') AS ap,
+      |  COALESCE(array_to_string(['x'] || lg, '|'), '') AS pp,
+      |  COALESCE(array_to_string(list_filter(cat, (x, i) -> list_position(cat, x) = i), '|'), '') AS un,
+      |  COALESCE(array_to_string(list_filter(ws[1:6], x -> NOT list_contains(ws[1:2], x)), '|'), '') AS df,
+      |  COALESCE(array_to_string(list_filter(itf, (x, i) -> list_position(itf, x) = i), '|'), '') AS it,
+      |  CAST(CASE WHEN pos = 0 THEN len(ws) ELSE pos - 1 END AS BIGINT) AS tw,
+      |  CAST(len(ws) - CASE WHEN pos = 0 THEN len(ws) ELSE pos - 1 END AS BIGINT) AS dw,
+      |  CASE WHEN len(ws) >= 3 THEN array_to_string(ws[1:3], ',') ELSE '' END AS w1,
+      |  CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS wc,
+      |  CASE WHEN len(ws) = 0 THEN ''
+      |       ELSE array_to_string(ws[(CAST(ceil(len(ws) / 4.0) AS INT) - 1) * 4 + 1 : len(ws)], ',')
+      |  END AS cl,
+      |  CAST(ceil(len(ws) / 4.0) AS BIGINT) AS cc,
+      |  CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS pw,
+      |  CASE WHEN len(ws) = 0 THEN '' ELSE ws[1] || ',' || ws[len(ws)] END AS z1,
+      |  (list_filter(ws, x -> length(x) > 5))[1] AS ff
+      |FROM c ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.documents{doc_id < 300}.sort_by(doc_id).map({\n" +
+      "  k: doc_id,\n" +
+      "  sl: text.split(\" \").slice(1, 4).join(\"|\"),\n" +
+      "  rm: text.split(\" \").remove(\"the\").join(\"|\"),\n" +
+      "  rl: text.split(\" \").remove(lambda x: x.len() < 4).join(\"|\"),\n" +
+      "  io: text.split(\" \").index_of(\"the\"),\n" +
+      "  ic: text.split(\" \").indices_of(\"the\").len(),\n" +
+      "  i0: text.split(\" \").indices_of(\"the\").first(),\n" +
+      "  ap: lang.split(\"-\").append(\"z\").join(\"|\"),\n" +
+      "  pp: lang.split(\"-\").prepend(\"x\").join(\"|\"),\n" +
+      "  un: text.split(\" \").slice(0, 4).union(text.split(\" \").slice(2, 6)).join(\"|\"),\n" +
+      "  df: text.split(\" \").slice(0, 6).diff(text.split(\" \").slice(0, 2)).join(\"|\"),\n" +
+      "  it: text.split(\" \").slice(0, 6).intersect(text.split(\" \").slice(3, 9)).join(\"|\"),\n" +
+      "  tw: text.split(\" \").take_while(@ != \"the\").len(),\n" +
+      "  dw: text.split(\" \").drop_while(@ != \"the\").len(),\n" +
+      "  w1: text.split(\" \").window(3).first().join(\",\"),\n" +
+      "  wc: text.split(\" \").window(3).len(),\n" +
+      "  cl: text.split(\" \").chunk(4).last().join(\",\"),\n" +
+      "  cc: text.split(\" \").chunk(4).len(),\n" +
+      "  pw: text.split(\" \").pairwise().len(),\n" +
+      "  z1: text.split(\" \").zip(text.split(\" \").reverse()).first().join(\",\"),\n" +
+      "  ff: text.split(\" \").find_first(@.len() > 5)})")
+  }
+
+  /** Round-9 array-lane widening, numeric-sequence tier: the
+    * lag/lead/diff_window/pct_change/cum/rolling/zscore family over a
+    * per-row double lane (reference defs.rs window ops). Every output
+    * reduces through an EXACT path — max/min/first/last/telescoping
+    * sums over integer-valued doubles, and zscore/pct_change replayed
+    * in DuckDB with the identical left-fold operation order — so the
+    * gate's bit-exact float hash holds. */
+  private val arrSeq = q(
+    "q_lower_arr_seq",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(str_split(text, ' '), x -> CAST(length(x) AS BIGINT)) AS ls
+      |  FROM documents WHERE doc_id < 300),
+      |z AS (
+      |  SELECT *, list_transform(ls, x -> CAST(x AS DOUBLE)) AS ld,
+      |    list_reduce(list_transform(ls, x -> CAST(x AS DOUBLE)), (a, b) -> a + b)
+      |      / len(ls) AS mean
+      |  FROM s),
+      |z2 AS (
+      |  SELECT *, sqrt(list_reduce(list_transform(ld, y -> (y - mean) * (y - mean)),
+      |    (a, b) -> a + b) / len(ld)) AS sd
+      |  FROM z)
+      |SELECT doc_id AS k,
+      |  COALESCE(CAST(list_sum(ls[1:len(ls) - 1]) AS DOUBLE), 0.0) AS lgs,
+      |  CASE WHEN len(ls) >= 3 THEN CAST(ls[1] AS DOUBLE) END AS lgf,
+      |  CAST(GREATEST(len(ls) - 1, 0) AS BIGINT) AS lds,
+      |  CASE WHEN len(ls) >= 2 THEN CAST(ls[len(ls)] - ls[1] AS DOUBLE) ELSE 0.0 END AS dws,
+      |  list_max([CAST(ls[i] - ls[i-1] AS DOUBLE) / ls[i-1]
+      |            for i in range(2, len(ls) + 1) if ls[i-1] != 0]) AS pcm,
+      |  CAST(list_max(ls) AS DOUBLE) AS cmx,
+      |  CASE WHEN len(ls) >= 3 THEN CAST(list_min(ls[1:3]) AS DOUBLE) END AS cmn,
+      |  list_max([CAST(ls[i-1] + ls[i] AS DOUBLE)
+      |            for i in range(2, len(ls) + 1)]) AS rs2,
+      |  list_max([CAST(ls[i-2] + ls[i-1] + ls[i] AS DOUBLE) / 3
+      |            for i in range(3, len(ls) + 1)]) AS ra3,
+      |  CASE WHEN len(ls) >= 2 THEN CAST(list_min(ls) AS DOUBLE) END AS rmn,
+      |  list_max(list_transform(ld, x ->
+      |    CASE WHEN sd = 0 THEN 0.0 ELSE (x - mean) / sd END)) AS zsx
+      |FROM z2 ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.documents{doc_id < 300}.sort_by(doc_id).map({\n" +
+      "  k: doc_id,\n" +
+      "  lgs: text.split(\" \").map(@.len()).lag().compact().sum(),\n" +
+      "  lgf: text.split(\" \").map(@.len()).lag(2).compact().first(),\n" +
+      "  lds: text.split(\" \").map(@.len()).lead(1).compact().len(),\n" +
+      "  dws: text.split(\" \").map(@.len()).diff_window().compact().sum(),\n" +
+      "  pcm: text.split(\" \").map(@.len()).pct_change().compact().max(),\n" +
+      "  cmx: text.split(\" \").map(@.len()).cum_max().last(),\n" +
+      "  cmn: text.split(\" \").map(@.len()).cum_min().nth(2),\n" +
+      "  rs2: text.split(\" \").map(@.len()).rolling_sum(2).compact().max(),\n" +
+      "  ra3: text.split(\" \").map(@.len()).rolling_avg(3).compact().max(),\n" +
+      "  rmn: text.split(\" \").map(@.len()).rolling_min(2).compact().min(),\n" +
+      "  zsx: text.split(\" \").map(@.len()).zscore().max()})")
+  }
+
   def defs = Seq(headline, aggCount, countBy, scalars, comp, idxJoin, groupAgg,
     groupShapeL, lastN, nth0, rollingSum, pct, pivotL, tryL, patchL,
     accumulateL, suffixSlice, reverseL, scalarFns, cumMax, lagL,
@@ -899,5 +1024,5 @@ object LoweredQueries extends QueryGroup {
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
-    rowwiseWalk, rowwiseRec, strEdge, strArr, strCase)
+    rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq)
 }

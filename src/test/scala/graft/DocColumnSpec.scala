@@ -172,7 +172,62 @@ class DocColumnSpec extends SparkSpec {
     "$.items.sort_by(lambda a, b: b.price < a.price).map(price)",
     "$.items.sort_by(lambda a, b: a.tag > b.tag).map(tag)",
     // one-param key lambda
-    "$.items.sort_by(lambda x: x.price).map(price)")
+    "$.items.sort_by(lambda x: x.price).map(price)",
+    // round-9 array-lane widening: pushes, splices, positional search,
+    // prefix cuts, reshapes, zips, val_to_key set ops, and the numeric
+    // sequence family (reference collection.rs / defs.rs)
+    "$.nums.collect()",
+    "$.nums.append(99)",
+    "$.nums.append()", // missing arg pushes null (Builtins:267-270)
+    "$.nums.prepend(0)",
+    "$.tags.append(\"z\")",
+    "$.nums.slice(1, 3)",
+    "$.nums.slice(-2)",
+    "$.nums.remove(3)",
+    "$.nums.remove(lambda x: x > 4)",
+    "$.tags.remove(\"g0\")",
+    "$.nums.index(3)",
+    "$.nums.index_of(3)",
+    "$.tags.index_of(\"g1\")",
+    "$.nums.indices_of(3)",
+    "$.nums.find_first(@ > 4)",
+    "$.items.find_first(qty > 4)",
+    "$.items.find_one(lambda x: x.qty > 4)",
+    "$.nums.take_while(@ < 5)",
+    "$.nums.drop_while(@ < 5)",
+    "$.items.take_while(qty < 5).map(qty)",
+    "$.items.drop_while(qty < 5).map(tag)",
+    "$.nums.window(2)",
+    "$.nums.window(3)",
+    "$.nums.chunk(2)",
+    "$.nums.batch(3)",
+    "$.nums.pairwise()",
+    "$.nums.enumerate()",
+    "$.tags.enumerate()",
+    "$.nums.partition(@ > 3)",
+    "$.items.partition(qty > 3)",
+    "$.nums.zip($.nums.reverse())",
+    "$.nums.zip_longest($.nums.take(1))",
+    "$.tags.zip($.tags.reverse())",
+    "$.nums.diff($.nums.take(2))",
+    "$.nums.intersect($.nums.take(3))",
+    "$.tags.union($.tags.reverse())",
+    "$.nums.union($.nums)",
+    "$.nums.lag()",
+    "$.nums.lag(2)",
+    "$.nums.lead(1)",
+    "$.nums.diff_window()",
+    "$.nums.pct_change()",
+    "$.nums.zscore()",
+    "$.nums.cum_max()",
+    "$.nums.cum_min()",
+    "$.nums.rolling_sum(2)",
+    "$.nums.rolling_avg(3)",
+    "$.nums.rolling_min(2)",
+    "$.nums.rolling_max(2)",
+    "$.items.map(price).rolling_sum(2)",
+    "$.items.map(qty).cum_max()",
+    "$.nums.compact().zscore()")
 
   exprs.foreach { e =>
     test(s"native == interpreter: $e") { differential(e) }
@@ -191,7 +246,11 @@ class DocColumnSpec extends SparkSpec {
       // bare ident over a SCALAR element: interpreter = fieldOf(elem) →
       // JNull (Interp.scala:36,120) — col(id) would read the row column
       "$.nums.filter(id > 0)",
-      "$.nums.map(id)"))                // same, in map position
+      "$.nums.map(id)",                 // same, in map position
+      // cross-kind push would make a heterogeneous array no static
+      // lane can hold; mixed-kind zip pairs likewise
+      "$.nums.append(1.5)",
+      "$.nums.zip($.tags)"))
       assert(Jetro.evalNative(e, doc, docType).isEmpty, e)
   }
 
@@ -229,18 +288,38 @@ class DocColumnSpec extends SparkSpec {
               s".sort(lambda a, b: b.$key $op a.$key)"
           }
         } else ""
-      val post = (0 until rng.nextInt(3)).map(_ => rng.nextInt(6) match {
+      val post = (0 until rng.nextInt(3)).map(_ => rng.nextInt(if (numeric) 16 else 8) match {
         case 0 => s".take($k)"
         case 1 => s".skip($k)"
         case 2 => ".reverse()"
         case 3 => ".sort()"
         case 4 => ".sort(-@)"
-        case _ => ".unique()"
+        case 5 => ".unique()"
+        case 6 => s".slice(${rng.nextInt(7) - 3})"
+        case 7 => s".slice(${rng.nextInt(3)}, ${rng.nextInt(5)})"
+        // numeric-lane-only arms: prefix cuts, removes, pushes and the
+        // double-typed sequence family (all type-preserving or → double)
+        case 8  => s".take_while(@ < $k)"
+        case 9  => s".drop_while(@ < $k)"
+        case 10 => s".remove($k)"
+        case 11 => s".append($k)"
+        case 12 => s".lag(${rng.nextInt(3)})"
+        case 13 => s".lead(${rng.nextInt(3)})"
+        case 14 => Seq(".diff_window()", ".pct_change()", ".zscore()",
+          ".cum_max()", ".cum_min()")(rng.nextInt(5))
+        case _  => Seq(s".rolling_sum(${1 + rng.nextInt(3)})",
+          s".rolling_avg(${1 + rng.nextInt(3)})",
+          s".rolling_min(${1 + rng.nextInt(3)})",
+          s".rolling_max(${1 + rng.nextInt(3)})")(rng.nextInt(4))
       }).mkString
       val term = (if (numeric) Seq(".sum()", ".avg()", ".min()", ".max()",
-          ".count()", ".len()", ".first()", ".last()", s".nth(${rng.nextInt(7) - 2})", "")
+          ".count()", ".len()", ".first()", ".last()", s".nth(${rng.nextInt(7) - 2})", "",
+          s".index_of($k)", s".find_first(@ > $k)", ".window(2)", s".chunk(${1 + rng.nextInt(3)})",
+          ".pairwise()", ".enumerate()", s".partition(@ > $k)",
+          ".zip($.nums)", ".diff($.nums)", ".intersect($.nums)")(rng.nextInt(20))
         else Seq(".count()", ".len()", ".first()", ".last()",
-          s".nth(${rng.nextInt(7) - 2})", ".join(\",\")", ""))(rng.nextInt(if (numeric) 10 else 7))
+          s".nth(${rng.nextInt(7) - 2})", ".join(\",\")", "",
+          ".enumerate()", ".window(2)", ".union($.tags)")(rng.nextInt(10)))
       val e = s"$$.items$filt$preSort.map($lane)$post$term"
       val doc = struct(docType.fieldNames.map(col): _*)
       if (Jetro.evalNative(e, doc, docType).isDefined) {

@@ -76,7 +76,7 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     def arg = litArgs(rng.nextInt(litArgs.length))
     def re = regexes(rng.nextInt(regexes.length))
 
-    def strOp(): String = rng.nextInt(29) match {
+    def strOp(): String = rng.nextInt(30) match {
       case 0  => ".upper()"
       case 1  => ".lower()"
       case 2  => ".capitalize()"
@@ -106,9 +106,10 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 26 => ".pascal_case()"
       case 27 => s".indent(${rng.nextInt(4)})"
       case 28 => ".dedent()"
+      case 29 => ".title_case()"
       case _  => ".trim_left()"
     }
-    def terminal(): String = rng.nextInt(20) match {
+    def terminal(): String = rng.nextInt(23) match {
       case 0  => ".length()"
       case 1  => ".byte_len()"
       case 2  => s".index_of(${q(arg)})"
@@ -128,6 +129,9 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 16 => ".chars_of()"
       case 17 => s".scan(${q(arg)})"
       case 18 => s".re_${if (rng.nextBoolean()) "split" else "match_all"}(${q(re)})"
+      case 19 => ".words()"
+      case 20 => ".is_blank()"
+      case 21 => ".bytes()"
       case _  => s".split(${q(Seq("", ",", "l", " ")(rng.nextInt(4)))})"
     }
 
