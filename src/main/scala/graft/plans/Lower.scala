@@ -2074,6 +2074,7 @@ object Lower {
     "html_unescape", "center", "last_index_of", "to_bool", "parse_bool",
     "contains_any", "contains_all", "scan", "re_split",
     "re_match_first", "re_match_all",
+    "re_captures", "re_captures_all", "re_replace",
     "snake_case", "kebab_case", "camel_case", "pascal_case",
     "indent", "dedent",
     "title_case", "words", "is_blank", "bytes")
@@ -2984,6 +2985,28 @@ object Lower {
         when(c.rlike(p), regexp_extract(c, p, 0))
           .otherwise(lit(null).cast("string"))
       case "re_match_all" => regexp_extract_all(c, lit(strLit(args, 0, "")), lit(0))
+
+      // ── first-match family: native expressions running the exact
+      // java.util.regex calls of Strings.scala:245-256 (Spark's
+      // regexp_replace is replace-ALL; regexp_extract can't tell an
+      // unmatched group from an empty match). Dynamic patterns bail to
+      // the per-row rungs; an INVALID pattern also bails, so it errors
+      // loudly at eval time exactly where the interpreter does. ──
+      case "re_captures" =>
+        graft.functions.RegexCapturesFirst.column(c, regexLit(args))
+      case "re_captures_all" =>
+        graft.functions.RegexCapturesAll.column(c, regexLit(args))
+      case "re_replace" =>
+        val p = regexLit(args)
+        val r = strLit(args, 1, "")
+        // replacement group refs beyond the pattern's count (or `${`
+        // named syntax) throw per-row in Java — keep that loudness on
+        // the interpreter rungs
+        if (!graft.functions.RegexFirst.replacementOk(
+            r, java.util.regex.Pattern.compile(p).matcher("").groupCount()))
+          bail("re_replace replacement needs interpreter error semantics")
+        graft.functions.RegexReplaceFirst.column(c, p, r)
+
       case other => bail(s"no relational scalar fn .$other()")
     }
   }
@@ -3418,7 +3441,8 @@ object Lower {
          "to_base64" | "from_base64" | "url_encode" | "url_decode" |
          "html_escape" | "html_unescape" | "center" |
          "re_match_first" | "snake_case" | "kebab_case" | "camel_case" |
-         "pascal_case" | "indent" | "dedent" | "title_case" => Some(StringType)
+         "pascal_case" | "indent" | "dedent" | "title_case" |
+         "re_replace" => Some(StringType)
     case "len" | "length" | "byte_len" | "parse_int" |
          "last_index_of" => Some(LongType)
     case "abs" | "ceil" | "floor" | "round" | "parse_float" | "to_number" =>
@@ -3433,6 +3457,9 @@ object Lower {
          "words" | "split" =>
       Some(ArrayType(StringType))
     case "bytes" => Some(ArrayType(LongType))
+    case "re_captures" => Some(ArrayType(StringType, containsNull = true))
+    case "re_captures_all" =>
+      Some(ArrayType(ArrayType(StringType, containsNull = true)))
     case _ => None
   }
 
@@ -3450,6 +3477,17 @@ object Lower {
       case Lit(JStr(s)) => s
       case e            => bail(s"expected string literal, got $e")
     }
+
+  /** A literal regex pattern that COMPILES — a syntax error bails so
+    * the interpreter rung raises it per-row, loudly. */
+  private def regexLit(args: Vector[Arg]): String = {
+    val p = strLit(args, 0, "")
+    try { java.util.regex.Pattern.compile(p); p }
+    catch {
+      case _: java.util.regex.PatternSyntaxException =>
+        bail("invalid regex stays on the interpreter rungs")
+    }
+  }
 
   private def litOf(v: JValue): Column = v match {
     case JInt(n)   => lit(n)

@@ -582,14 +582,14 @@ object LoweredQueries extends QueryGroup {
   }
 
   /** The distributed per-row fallback rung (Graft.rowwiseCompile): an
-    * element-wise pipeline whose regex first-match builtins
-    * (`re_captures_all`/`re_captures` — no relational lowering: Spark's
-    * regexp_replace is replace-ALL and capture groups have no native
-    * array form) bail out of Lower — but instead of collecting the
-    * table on the driver, each row is evaluated by the interpreter
-    * against its own singleton `{documents: [row]}` document on the
-    * executors (the reference's per-element VM dispatch, defs.rs:74-90).
-    * The oracle replays the token-count and blank-test semantics. */
+    * element-wise pipeline containing `rec` — the one construct with NO
+    * relational lowering by design (a fixpoint has no static plan,
+    * SURVEY §8; `rec(@)` is the identity fixpoint, converging in one
+    * step) — bails out of Lower — but instead of collecting the table
+    * on the driver, each row is evaluated by the interpreter against
+    * its own singleton `{documents: [row]}` document on the executors
+    * (the reference's per-element VM dispatch, defs.rs:74-90). The
+    * oracle replays the token-count and blank-test semantics. */
   private val rowwiseFb = q(
     "q_lower_rowwise_fallback",
     """SELECT doc_id AS id,
@@ -597,8 +597,8 @@ object LoweredQueries extends QueryGroup {
       |  trim(text) = '' AS blank
       |FROM documents WHERE lang = 'en' ORDER BY id""".stripMargin) { (s, d) =>
     val e = """$.documents.filter(lang == "en")
-              |.map({id: doc_id, nw: text.re_captures_all("\S+").len(),
-              |      blank: text.re_captures("^\s*$") != null})""".stripMargin
+              |.map({id: doc_id, nw: text.words().len().rec(@),
+              |      blank: text.is_blank().rec(@)})""".stripMargin
     assert(graft.Graft.backend(s, d, e) == "rowwise",
       "expression must exercise the rowwise rung")
     graft.Graft.query(s, d, e).orderBy("id")
@@ -894,6 +894,36 @@ object LoweredQueries extends QueryGroup {
       "  ded: (\"  a\n   \" + p_name + \"\n\n x\").dedent()})")
   }
 
+  /** Round-9 regex first-match family: native expressions
+    * (functions/RegexFirst.scala) running the interpreter's exact
+    * java.util.regex calls — replace-FIRST (regexp_replace is
+    * replace-all in Spark), first-match capture groups as an array,
+    * all-match capture rows. DuckDB replays via RE2's
+    * first-match-by-default regexp_replace and guarded regexp_extract
+    * (the unmatched-optional-group null, which RE2 cannot replay, is
+    * pinned differentially by StringFuzzSpec instead). */
+  private val regexFirstL = q(
+    "q_lower_regex_first",
+    """SELECT doc_id AS k,
+      |  regexp_replace(text, '\s+', '_') AS rf,
+      |  CASE WHEN regexp_matches(text, '(\w+)\s+(\w+)')
+      |       THEN regexp_extract(text, '(\w+)\s+(\w+)', 1) END AS g1,
+      |  CASE WHEN regexp_matches(text, '(\w+)\s+(\w+)')
+      |       THEN regexp_extract(text, '(\w+)\s+(\w+)', 2) END AS g2,
+      |  CASE WHEN regexp_matches(text, '[aeiou]+')
+      |       THEN regexp_extract(text, '[aeiou]+', 0) END AS m0,
+      |  CAST(len(regexp_extract_all(text, '(\w+)', 0)) AS BIGINT) AS n
+      |FROM documents WHERE doc_id < 300 ORDER BY k""".stripMargin) { (s, d) =>
+    lower(s, d,
+      "$.documents{doc_id < 300}.sort_by(doc_id).map({\n" +
+      "  k: doc_id,\n" +
+      "  rf: text.re_replace(\"\\s+\", \"_\"),\n" +
+      "  g1: text.re_captures(\"(\\w+)\\s+(\\w+)\").nth(1),\n" +
+      "  g2: text.re_captures(\"(\\w+)\\s+(\\w+)\").last(),\n" +
+      "  m0: text.re_captures(\"[aeiou]+\").first(),\n" +
+      "  n: text.re_captures_all(\"(\\w+)\").len()})")
+  }
+
   /** Round-9 array-lane widening, structural tier: element pushes,
     * splices, positional search (val_to_key equality), prefix cuts,
     * reshapes (window/chunk/pairwise), zips and keyed set ops — all as
@@ -1024,5 +1054,6 @@ object LoweredQueries extends QueryGroup {
     zipL, setExceptL, setUnionL, findIndexL, indicesL, removeL, implodeL,
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
-    rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq)
+    rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
+    regexFirstL)
 }

@@ -19,12 +19,13 @@ class RowwiseFallbackSpec extends SparkSpec {
   private def rowsOf(df: DataFrame): Vector[String] =
     df.toJSON.collect().toVector.sorted
 
-  // The regex first-match family (re_captures/re_captures_all/
-  // re_replace) has no relational lowering (Spark's regexp_replace is
-  // replace-ALL; capture groups have no native array form) but is
-  // element-wise: the canonical "bails relationally, runs distributed".
+  // `rec` is the one construct with no relational lowering by design
+  // (a fixpoint has no static plan, SURVEY §8); `rec(@)` is the
+  // identity fixpoint, so wrapping any subexpression in it keeps the
+  // value while forcing the chain off the compiled rung — the
+  // canonical "bails relationally, runs distributed" marker.
   private val rowwiseExpr =
-    """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, nw: s_name.re_captures_all("\S+").len()})"""
+    """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, nw: s_name.words().len().rec(@)})"""
 
   test("element-wise non-lowerable pipeline picks the rowwise backend") {
     assert(!Graft.lowers(spark, sf, rowwiseExpr))
@@ -51,7 +52,7 @@ class RowwiseFallbackSpec extends SparkSpec {
 
   test("cross-element stages refuse the rowwise backend") {
     // sort_by over a non-lowerable key: neither relational nor row-wise
-    val e = """$.supplier.sort_by(s_name.re_replace("\w+", "Q")).map({k: s_suppkey})"""
+    val e = """$.supplier.sort_by(s_name.rec(@)).map({k: s_suppkey})"""
     assert(Graft.backend(spark, sf, e) == "document")
   }
 
@@ -69,7 +70,7 @@ class RowwiseFallbackSpec extends SparkSpec {
   // ── round 8: explode / chain-writes / patch $ on the rowwise rung ──
 
   test("explode(field) qualifies as element-wise and fans out per row") {
-    val e = """$.documents.map({k: doc_id, w: text.re_captures_all("\S+")}).explode("w")"""
+    val e = """$.documents.map({k: doc_id, w: text.words().rec(@)}).explode("w")"""
     assert(Graft.backend(spark, sf, e) == "rowwise")
     val rw = Graft.rowwiseCompile(spark, sf, e).get
     assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, e)))
@@ -78,9 +79,9 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("row-iterating chain-write runs distributed as a per-row patch") {
-    // non-lowerable leaf (re_captures_all) → bails relationally; the
-    // rewrite (expr).supplier unions per-row patched docs into table rows
-    val e = """$.supplier{s_acctbal >= 0}.s_name.modify(@.re_captures_all("\S+").len())"""
+    // non-lowerable leaf (rec) → bails relationally; the rewrite
+    // (expr).supplier unions per-row patched docs into table rows
+    val e = """$.supplier{s_acctbal >= 0}.s_name.modify(@.words().len().rec(@))"""
     assert(!Graft.lowers(spark, sf, e))
     assert(Graft.backend(spark, sf, e) == "rowwise")
     val rw  = Graft.rowwiseCompile(spark, sf, e).get
@@ -92,14 +93,14 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("chain-delete over matching rows is a distributed filter-out") {
-    val e = """$.supplier{s_acctbal < 0 or s_name.re_captures("^$") != null}.delete()"""
+    val e = """$.supplier{s_acctbal < 0 or s_name.rec(@) == ""}.delete()"""
     assert(Graft.backend(spark, sf, e) == "rowwise")
     val rw  = Graft.rowwiseCompile(spark, sf, e).get
     assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, s"($e).supplier")))
   }
 
   test("patch $ over one table's rows takes the rowwise rung when leaves don't lower") {
-    val e = """patch $ { supplier[*].s_name: @.re_replace("\w+", "Q") }"""
+    val e = """patch $ { supplier[*].s_name: @.upper().rec(@) }"""
     assert(!Graft.lowers(spark, sf, e))
     assert(Graft.backend(spark, sf, e) == "rowwise")
     val rw = Graft.rowwiseCompile(spark, sf, e).get
@@ -107,13 +108,13 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("deep descent and ..shape/..like distribute on the rowwise rung") {
-    // non-lowerable nesting (re_replace) → bails relationally; the
-    // descent walks each row's own nodes, so it distributes
-    val e1 = """$.supplier.map({k: s_suppkey, a: {v: s_name.re_replace("a", "A")}})..v"""
+    // non-lowerable nesting (rec) → bails relationally; the descent
+    // walks each row's own nodes, so it distributes
+    val e1 = """$.supplier.map({k: s_suppkey, a: {v: s_name.upper().rec(@)}})..v"""
     assert(Graft.backend(spark, sf, e1) == "rowwise")
     assert(rowsOf(Graft.rowwiseCompile(spark, sf, e1).get) ==
       rowsOf(Graft.docFallback(spark, sf, e1)))
-    val e2 = """$.supplier.map({k: s_suppkey, a: {v: s_name.re_replace("a", "A"), tag: "x"}})
+    val e2 = """$.supplier.map({k: s_suppkey, a: {v: s_name.upper().rec(@), tag: "x"}})
                |..shape({v, tag})""".stripMargin
     assert(Graft.backend(spark, sf, e2) == "rowwise")
     assert(rowsOf(Graft.rowwiseCompile(spark, sf, e2).get) ==
@@ -121,7 +122,7 @@ class RowwiseFallbackSpec extends SparkSpec {
     // ..find's predicate ranges over ALL nodes including the receiver
     // array itself — not per-row; refused
     assert(Graft.rowwisePlan(
-      """$.supplier.map({k: s_suppkey, a: {v: s_name.re_replace("a", "A")}})..find(v != null)""").isEmpty)
+      """$.supplier.map({k: s_suppkey, a: {v: s_name.upper().rec(@)}})..find(v != null)""").isEmpty)
   }
 
   test("non-row-iterating or trailing-read chain-writes are refused") {
@@ -136,14 +137,14 @@ class RowwiseFallbackSpec extends SparkSpec {
       "$.supplier[*].s_acctbal.set($.region.count())").isEmpty)
     // patch batches over two tables can't run per-row on one
     assert(Graft.rowwiseCompile(spark, sf,
-      "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.re_replace(\"a\", \"A\") }").isEmpty)
+      "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.upper().rec(@) }").isEmpty)
   }
 
   test("docFallback is capped by spark.graft.docFallback.maxRows") {
     val key = "spark.graft.docFallback.maxRows"
     spark.conf.set(key, "3") // supplier has 10 rows at sf0.001
     try {
-      val e = """$.supplier.sort_by(s_name.re_replace("\w+", "Q")).map({k: s_suppkey})"""
+      val e = """$.supplier.sort_by(s_name.rec(@)).map({k: s_suppkey})"""
       val err = intercept[IllegalStateException] {
         Graft.query(spark, sf, e).collect()
       }
@@ -153,7 +154,7 @@ class RowwiseFallbackSpec extends SparkSpec {
   }
 
   test("under the cap the document fallback still answers") {
-    val e = """$.region.sort_by(r_name.re_replace("\w+", "Q")).map({k: r_regionkey})"""
+    val e = """$.region.sort_by(r_name.rec(@)).map({k: r_regionkey})"""
     assert(Graft.backend(spark, sf, e) == "document")
     assert(Graft.query(spark, sf, e).count() == 5)
   }

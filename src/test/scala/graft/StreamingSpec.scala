@@ -65,11 +65,12 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
   }
 
   test("rowwise interpreter rung runs on streams (non-lowerable element-wise)") {
-    // the regex first-match family (re_captures_all) has no relational
-    // lowering — the batch path takes Graft's rowwise rung; the stream
-    // must produce the same per-event results via StreamOps.rowwiseStream
+    // a `rec` fixpoint has no relational lowering by design (rec(@) is
+    // the identity) — the batch path takes Graft's rowwise rung; the
+    // stream must produce the same per-event results via
+    // StreamOps.rowwiseStream
     val e = """$.events{event_type == "purchase"}
-              |.map({id: event_id, tokens: props.re_captures_all("\S+").len()})""".stripMargin
+              |.map({id: event_id, tokens: props.words().len().rec(@)})""".stripMargin
     assert(StreamOps.lowerStream(e, "events", streamEvents).isEmpty)
     val Some(("rowwise", js)) = StreamOps.compileStream(e, "events", streamEvents)
     assert(js.isStreaming)
@@ -174,7 +175,7 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
 
   test("patch $ batches run on the streaming rowwise rung (batch parity)") {
     // a non-lowerable leaf forces the per-event rowwise rung
-    val e2 = """patch $ { events[*].props: @.re_captures_all("\S+").len() }"""
+    val e2 = """patch $ { events[*].props: @.words().len().rec(@) }"""
     val Some(("rowwise", js)) = StreamOps.compileStream(e2, "events", streamEvents)
     val got = runToTable(js, "t_rowwise_patchdollar_stream")
       .select(from_json(col("json"),

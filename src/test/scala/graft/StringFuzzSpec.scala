@@ -67,7 +67,11 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val litArgs = Seq("", "l", "o", " ", "ab", "é",
     "𝄞", "A", ",", "b,")
 
-  private val regexes = Seq("[aeiou]", "l+", "^A", "o$", "[0-9]+", "\\s")
+  // "(e)(l+)?" exercises capture groups including the UNMATCHED
+  // optional group (null element in re_captures, where Spark's
+  // regexp_extract would flatten to "")
+  private val regexes = Seq("[aeiou]", "l+", "^A", "o$", "[0-9]+", "\\s",
+    "(e)(l+)?")
 
   private def q(s: String): String = "\"" + s + "\""
 
@@ -109,7 +113,7 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 29 => ".title_case()"
       case _  => ".trim_left()"
     }
-    def terminal(): String = rng.nextInt(23) match {
+    def terminal(): String = rng.nextInt(26) match {
       case 0  => ".length()"
       case 1  => ".byte_len()"
       case 2  => s".index_of(${q(arg)})"
@@ -132,6 +136,13 @@ class StringFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 19 => ".words()"
       case 20 => ".is_blank()"
       case 21 => ".bytes()"
+      case 22 => s".re_captures(${q(re)})"
+      case 23 => s".re_captures_all(${q(re)})"
+      case 24 =>
+        // Java replacement semantics: group refs when the pattern has
+        // groups, plain literal otherwise
+        if (rng.nextBoolean()) ".re_replace(\"(l+)(o?)\", \"[$2$1]\")"
+        else s".re_replace(${q(re)}, ${q(arg)})"
       case _  => s".split(${q(Seq("", ",", "l", " ")(rng.nextInt(4)))})"
     }
 
