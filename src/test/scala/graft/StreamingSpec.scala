@@ -437,4 +437,24 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("round-9 array-lane and regex-first lowerings run on streams (parity)") {
+    // per-row HOF pipelines and the native first-match expressions are
+    // stateless projections — the streaming lane must take the same
+    // compiled plan as batch
+    val e = """$.events{event_type == "view"}
+              |.map({id: event_id,
+              |      wc: props.split(" ").window(2).len(),
+              |      rs: props.split(" ").map(@.len()).rolling_sum(2).compact().max(),
+              |      cf: props.re_captures_all("\w+").len()})""".stripMargin
+    val lowered = StreamOps.lowerStream(e, "events", streamEvents)
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_lowered_arrlane")
+    val want = graft.plans.Lower.compile(e, _ => batchEvents)
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("wc")).head.getLong(0) === want.agg(sum("wc")).head.getLong(0))
+    assert(got.agg(sum("cf")).head.getLong(0) === want.agg(sum("cf")).head.getLong(0))
+    assert(got.agg(sum("rs")).head.getDouble(0)
+      === want.agg(sum("rs")).head.getDouble(0) +- 1e-6)
+  }
 }
