@@ -208,15 +208,19 @@ object Bench {
     // recorded a phantom 2.7× regression (q_doc_pipeline 2.631 s vs
     // 1.026 s on a same-day same-box re-run) because one co-tenant-
     // noisy session defined the round's official number. Three defences:
-    // (a) trials are INTERLEAVED round-robin across the whole query
-    // list (pass 1 all queries, pass 2, pass 3) instead of consecutive
-    // per query — round 8's driver artifact recorded b_curate at
-    // 2.219 s (same-box reruns: 0.396/0.490 s) because a sustained
-    // co-tenant stall covered that one query's whole consecutive trial
-    // window; spread passes minutes apart land a localized stall on
-    // DIFFERENT queries each pass, so per-query min survives it;
+    // (a) trials run as round-robin PAIRS — two passes over the whole
+    // query list, each pass running the query twice back-to-back.
+    // The spaced passes defeat the sustained co-tenant stall that made
+    // round 8's driver artifact record b_curate at 2.219 s (same-box
+    // reruns: 0.396/0.490 s): a stall covering one query's pass-1 pair
+    // lands on different queries by pass 2, so per-query min survives.
+    // The back-to-back second trial of each pair keeps the min WARM —
+    // fully interleaved singleton trials (tried first) made every
+    // trial cold-ish and inflated short-query mins ~1.5× session-wide
+    // (b_sketch 0.54 interleaved vs 0.34 consecutive, same box, same
+    // code), a phantom regression the pair structure eliminates;
     // (b) when the med/min spread still exceeds 1.5× the query gets an
-    // extra pass-4 trial so a single stall can't dominate; (c) emit
+    // extra final-pass trial so a single stall can't dominate; (c) emit
     // {min, med, max} per query alongside the headline min, so a
     // reader of BENCH_r{N}.json can tell "this query regressed" from
     // "this session was noisy" without a re-run.
@@ -238,12 +242,14 @@ object Bench {
       }
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       picked.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    (1 to 3).foreach { _ =>
+    (1 to 2).foreach { _ =>
       picked.foreach { case (name, fn) =>
-        if (!failed(name)) once(name, fn).foreach(t => acc(name) :+= t)
+        if (!failed(name)) (1 to 2).foreach { _ =>
+          if (!failed(name)) once(name, fn).foreach(t => acc(name) :+= t)
+        }
       }
     }
-    // pass 4: only the still-noisy queries (med > 1.5× min)
+    // final pass: only the still-noisy queries (med > 1.5× min)
     picked.foreach { case (name, fn) =>
       val ts = acc(name)
       if (!failed(name) && ts.nonEmpty && ts.sorted.apply((ts.length - 1) / 2) > ts.min * 1.5)

@@ -442,6 +442,24 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("array-lane and regex-first chains stay narrow: pushdown, pruning, no window/join") {
+    // the round-9 widenings are per-row projections — the plan must
+    // keep the filter in the parquet scan, read only the referenced
+    // columns, and introduce no cross-row machinery
+    val q = graft.queries.Catalog.queries("q_lower_regex_first")(spark, sf)
+    val s = planString(q)
+    assert(s.contains("PushedFilters:") && s.contains("LessThan(doc_id,300)"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+    assert(!s.contains("Window") && !s.contains("Join"), s)
+    val s2 = planString(graft.queries.Catalog.queries("q_lower_arr_ops")(spark, sf))
+    assert(s2.contains("LessThan(doc_id,300)"), s2)
+    assert(!s2.contains("Window") && !s2.contains("Join"), s2)
+    val s3 = planString(graft.queries.Catalog.queries("q_lower_arr_seq")(spark, sf))
+    assert(!s3.contains("Window") && !s3.contains("Join"), s3)
+  }
+
   test("rowwise fallback query never collects the table on the driver") {
     val q = graft.queries.Catalog.queries("q_lower_rowwise_fallback")(spark, sf)
     // the interpreter runs per row on the executors: the lineage starts
