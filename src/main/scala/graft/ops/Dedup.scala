@@ -293,7 +293,13 @@ object Dedup {
     * `idCol`, `span_start` (inclusive), `span_end` (exclusive),
     * `n_grams` (how many duplicated n-grams cover the span). A gram
     * counts as duplicated when its corpus-wide occurrence count
-    * (including same-document repeats) is ≥ `minDf`.
+    * (including same-document repeats) is ≥ `minDf`; with
+    * `crossDocOnly` it must ALSO occur in at least two DISTINCT
+    * documents (the training-data setting: internal repetition is the
+    * document's own business, cross-document repetition is
+    * boilerplate). The distinctness test is `min(doc) != max(doc)` —
+    * partial-aggregable in the same pass as the count, no
+    * count-distinct shuffle.
     *
     * Scale: grams shuffle as 16-byte (id, pos, hash) rows, never text;
     * the duplicated-gram set comes from a partial-aggregable
@@ -306,7 +312,8 @@ object Dedup {
     * a sliver (the testdata queries use n=3 only because the synthetic
     * vocabulary is ~30 words). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, minDf: Int = 2): DataFrame = {
+                     n: Int = 3, minDf: Int = 2,
+                     crossDocOnly: Boolean = false): DataFrame = {
     require(n > 0 && minDf > 1, "need n > 0 and minDf > 1")
     import org.apache.spark.sql.expressions.Window
     // hash AFTER the explode: md5 runs codegen'd over flat rows instead
@@ -315,8 +322,14 @@ object Dedup {
       posexplode(Text.wordNgrams(Text.tokens(col(textCol)), n))
         .as(Seq("pos", "g")))
       .select(col("__doc"), col("pos"), md5(col("g")).as("h"))
-    val hot = grams.groupBy("h").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= minDf).select("h")
+    val hot =
+      if (crossDocOnly)
+        grams.groupBy("h").agg(count(lit(1)).as("__df"),
+            min("__doc").as("__lo"), max("__doc").as("__hi"))
+          .where(col("__df") >= minDf && col("__lo") =!= col("__hi"))
+          .select("h")
+      else grams.groupBy("h").agg(count(lit(1)).as("__df"))
+        .where(col("__df") >= minDf).select("h")
     val dup = grams.join(hot, Seq("h"), "left_semi")
     val w = Window.partitionBy("__doc").orderBy("pos")
     val prev = lag(col("pos"), 1).over(w)

@@ -404,6 +404,44 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The cross-document-only variant: grams must recur in ≥2 DISTINCT
+    * documents (min(doc) != max(doc), partial-aggregable in the count
+    * pass) — internal repetition stays, cross-document boilerplate is
+    * cut. The looser minDf=2 makes the distinctness test load-bearing:
+    * within-document-only repeats pass the count cut and must be
+    * excluded by the cross-doc condition alone. */
+  private val dupSpansXdoc = q(
+    "q_dup_spans_xdoc",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ss FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id, unnest(CASE WHEN LENGTH(ss) < 3 THEN []
+      |      ELSE list_transform(generate_series(1, LENGTH(ss) - 2),
+      |        i -> {'pos': i - 1,
+      |              'h': md5(ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])}) END) AS u
+      |    FROM tok)),
+      |hot AS (SELECT h FROM g GROUP BY h
+      |        HAVING COUNT(*) >= 2 AND MIN(doc_id) <> MAX(doc_id)),
+      |d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM d),
+      |i AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM i GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDf = 2, crossDocOnly = true)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Exact heavy-hitter tokens (ops.Frequent): tokens carrying ≥ 1/30
     * of all token mass, via a bounded Misra-Gries candidate pass plus
     * an exact count of only the candidates — at corpus scale the
@@ -598,6 +636,7 @@ object TextQueries extends QueryGroup {
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
+    dupSpansXdoc,
     frequentTokens, normalizeText, redact, tfdf, vocabCov, editDedup,
     qualityReport)
 }

@@ -152,6 +152,26 @@ class DedupSpec extends SparkSpec {
     // a doc with no duplicated grams reports nothing (doc 4)
   }
 
+  test("crossDocOnly spans ignore within-document repetition") {
+    import spark.implicits._
+    val boiler = "terms of service apply"
+    val docs = Seq(
+      // internal repetition only: the refrain recurs 3x INSIDE doc 1
+      (1L, "la la la song la la la song la la la song"),
+      (2L, s"alpha beta $boiler gamma"),
+      (3L, s"$boiler delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val all = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3, minDf = 2)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val xdoc = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3, minDf = 2,
+        crossDocOnly = true)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    // the count-only cut flags doc 1's internal refrain; the cross-doc
+    // cut keeps it and reports only the shared boilerplate docs
+    assert(all == Set(1L, 2L, 3L))
+    assert(xdoc == Set(2L, 3L))
+  }
+
   test("editPairs cap requires string/integral ids; uncapped accepts any") {
     import spark.implicits._
     // the bounded-buffer cap is keyed on the id's native order; an id
