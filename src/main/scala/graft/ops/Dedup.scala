@@ -349,6 +349,34 @@ object Dedup {
         col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Per-document duplicated-token fraction — the curation signal on
+    * top of [[duplicateSpans]] ("drop documents that are mostly
+    * boilerplate"). One row per INPUT document: `n_tokens`,
+    * `dup_tokens` (total token coverage of the merged duplicated
+    * spans; spans never overlap, so the sum is exact), and
+    * `dup_ratio` = dup/total as one IEEE division (replayable
+    * bit-exactly). Documents with no duplicated spans report 0.
+    *
+    * Scale: the span side aggregates span LENGTHS per doc (one row per
+    * doc) before the join back to the id+count projection — the join
+    * never carries text. */
+  def duplicatedTokenRatio(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minDf: Int = 2,
+                           crossDocOnly: Boolean = false): DataFrame = {
+    val dup = duplicateSpans(df, idCol, textCol, n, minDf, crossDocOnly)
+      .groupBy(idCol)
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    df.select(col(idCol),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") <= 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))
+          .as("dup_ratio"))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs over SHORT strings — titles,
     * names, URLs: all unordered id pairs inside a blocking key whose
     * texts sit within `maxDist` Levenshtein edits (optionally at least

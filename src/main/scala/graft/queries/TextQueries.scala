@@ -442,6 +442,48 @@ object TextQueries extends QueryGroup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Per-document duplicated-token fraction over the cross-doc spans —
+    * the "drop documents that are mostly boilerplate" curation signal.
+    * One row per input document; the ratio is a single IEEE division,
+    * so the float hash replays bit-exactly. */
+  private val dupRatio = q(
+    "q_dup_ratio",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ss FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id, unnest(CASE WHEN LENGTH(ss) < 3 THEN []
+      |      ELSE list_transform(generate_series(1, LENGTH(ss) - 2),
+      |        i -> {'pos': i - 1,
+      |              'h': md5(ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2])}) END) AS u
+      |    FROM tok)),
+      |hot AS (SELECT h FROM g GROUP BY h
+      |        HAVING COUNT(*) >= 2 AND MIN(doc_id) <> MAX(doc_id)),
+      |d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM d),
+      |i AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+      |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+      |          FROM i GROUP BY doc_id, isl),
+      |agg AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+      |        FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(LENGTH(t.ss) AS BIGINT) AS n_tokens,
+      |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+      |  CASE WHEN LENGTH(t.ss) <= 0 THEN 0.0
+      |       ELSE CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / LENGTH(t.ss)
+      |  END AS dup_ratio
+      |FROM tok t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.duplicatedTokenRatio(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDf = 2, crossDocOnly = true)
+      .orderBy("doc_id")
+  }
+
   /** Exact heavy-hitter tokens (ops.Frequent): tokens carrying ≥ 1/30
     * of all token mass, via a bounded Misra-Gries candidate pass plus
     * an exact count of only the candidates — at corpus scale the
@@ -636,7 +678,7 @@ object TextQueries extends QueryGroup {
     tokenCount, quality, repMetrics, langId, dedupExactProps, dedupExactDocs,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsMd5, simhashPairs,
     simhashPairsMd5, fingerprint, dedupClusters, dedupKeep, dupSpans,
-    dupSpansXdoc,
+    dupSpansXdoc, dupRatio,
     frequentTokens, normalizeText, redact, tfdf, vocabCov, editDedup,
     qualityReport)
 }
