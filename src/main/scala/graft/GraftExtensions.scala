@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, TryOrNull, WordNgrams}
+import graft.functions.{CosineSimilarity, MinHashSignature, RegexCapturesAll, RegexCapturesFirst, RegexFirst, RegexReplaceFirst, SimHash64, TryOrNull, WordNgrams}
 
 /** Spark session extension: makes the engine's native expressions
   * available to every session created with
@@ -45,6 +45,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_ngrams: n must be an integer literal, got $other")
       })))
+    // Regex first-match family (see graft.functions.RegexFirst):
+    // patterns and replacements are plan-time string literals — the
+    // Pattern compiles once at resolution, matching the lowered lane.
+    def strLit(e: Expression, what: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("re_captures"),
+      new ExpressionInfo(classOf[RegexCapturesFirst].getName, "re_captures"),
+      (exprs: Seq[Expression]) => RegexCapturesFirst(
+        exprs(0), strLit(exprs(1), "re_captures pattern"))))
+    ext.injectFunction((
+      FunctionIdentifier("re_captures_all"),
+      new ExpressionInfo(classOf[RegexCapturesAll].getName, "re_captures_all"),
+      (exprs: Seq[Expression]) => RegexCapturesAll(
+        exprs(0), strLit(exprs(1), "re_captures_all pattern"))))
+    ext.injectFunction((
+      FunctionIdentifier("re_replace_first"),
+      new ExpressionInfo(classOf[RegexReplaceFirst].getName, "re_replace_first"),
+      (exprs: Seq[Expression]) => {
+        val p = strLit(exprs(1), "re_replace_first pattern")
+        val r = strLit(exprs(2), "re_replace_first replacement")
+        if (!RegexFirst.replacementOk(
+            r, java.util.regex.Pattern.compile(p).matcher("").groupCount()))
+          throw new IllegalArgumentException(
+            s"re_replace_first: replacement '$r' references groups the " +
+              s"pattern '$p' does not define")
+        RegexReplaceFirst(exprs(0), p, r)
+      }))
     // Planner-level banded range join (see graft.plans.BandedRangeJoin):
     // off until spark.graft.rangeJoin.bandWidth is set, so injection is
     // free for sessions that never use it.

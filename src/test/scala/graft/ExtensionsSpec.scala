@@ -37,13 +37,23 @@ class ExtensionsSpec extends AnyFunSuite {
           |  minhash_sig(array(CAST(7 AS BIGINT)), 4) AS m,
           |  simhash64(array(CAST(7 AS BIGINT))) AS s,
           |  try_or_null(1 / 0) AS t,
-          |  word_ngrams(array('a', 'b', 'c'), 2) AS w
+          |  word_ngrams(array('a', 'b', 'c'), 2) AS w,
+          |  re_captures('abcd', '([a-z]+)(\\d)?') AS rc,
+          |  re_captures('999', '([a-z]+)') AS rcn,
+          |  re_captures_all('a1 b2', '([a-z])(\\d)') AS rca,
+          |  re_replace_first('a1 b2', '(\\d)', '[$1]') AS rr
           |""".stripMargin).collect()(0)
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
       assert(row.getSeq[Long](1).length == 4)
       assert(row.getLong(2) == 7L) // single voter: its bits carry
       assert(row.isNullAt(3)) // ANSI div-by-zero absorbed to null
       assert(row.getSeq[String](4) == Seq("a b", "b c"))
+      // group 2 is optional and UNMATCHED — null element, not ""
+      assert(row.getSeq[String](5) == Seq("abcd", "abcd", null))
+      assert(row.isNullAt(6)) // no match → null, not empty array
+      assert(row.getSeq[Seq[String]](7) ==
+        Seq(Seq("a1", "a", "1"), Seq("b2", "b", "2")))
+      assert(row.getString(8) == "a[1] b2") // replace-FIRST with $1 ref
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
