@@ -88,7 +88,29 @@ object Bench {
       "b_deep_arr" -> cat("q_lower_deep_arr"),       // array deep descent
       // the round-8 paths at bench scale
       "b_rowwise" -> cat("q_lower_rowwise_fallback"), // struct-fed per-row rung
-      "b_deep_map" -> cat("q_lower_deep_map"))        // map-value descent
+      "b_deep_map" -> cat("q_lower_deep_map"),        // map-value descent
+      // the round-9 paths at bench scale (the oracle twins filter to a
+      // 300-doc slice for the gate; here the same lanes run over the
+      // WHOLE documents table so the numbers track per-row HOF cost)
+      "b_arr_lane" -> ((s: SparkSession, d: String) =>
+        graft.plans.Lower.compile(
+          "$.documents.map({k: doc_id," +
+            " rm: text.split(\" \").remove(\"the\").join(\"|\")," +
+            " tw: text.split(\" \").take_while(@ != \"the\").len()," +
+            " wc: text.split(\" \").window(3).len()})",
+          t => Tables(s, d, t))),
+      "b_arr_seq" -> ((s: SparkSession, d: String) =>
+        graft.plans.Lower.compile(
+          "$.documents.map({k: doc_id," +
+            " zs: text.split(\" \").map(@.len()).zscore().max()," +
+            " rs: text.split(\" \").map(@.len()).rolling_sum(4).compact().max()})",
+          t => Tables(s, d, t))),
+      "b_regex_first" -> ((s: SparkSession, d: String) =>
+        graft.plans.Lower.compile(
+          "$.documents.map({k: doc_id, rf: text.re_replace(\"\\s+\", \"_\")," +
+            " n: text.re_captures_all(\"(\\w+)\").len()})",
+          t => Tables(s, d, t))),
+      "b_dup_ratio" -> cat("q_dup_ratio"))        // cross-doc span curation
   }
 
   private def runOnce(df: DataFrame): Unit =

@@ -2357,21 +2357,26 @@ object Lower {
         argE(args, 0) match {
           case Lambda(_, _) =>
             (filter(nz(c), x => !body(0).predStrict(x)), someArr)
-          case e =>
-            val eq = eqBy(at.elementType, e)
-            (filter(nz(c), x => !eq(x)), someArr)
+          case _ =>
+            val (tv, eqf) = eqBinding(at.elementType, args)
+            (letRow1(tv) { t => filter(nz(c), x => !eqf(x, t)) }, someArr)
         }
 
-      // ── positional search (O:collection.rs:470-495, D:975) ──
+      // ── positional search (O:collection.rs:470-495, D:975): the eq
+      // target runs inside the lambda — letRow-bound ──
       case "index" | "index_of" => // first index by JValue.eq, null on miss
-        val eq = eqTargetBy(at.elementType, args)
-        val hits = filter(
-          transform(nz(c), (x, i) => when(eq(x), i)), _.isNotNull)
-        (get(hits, lit(0)).cast("long"), Some(LongType))
+        val (tv, eqf) = eqBinding(at.elementType, args)
+        (letRow1(tv) { t =>
+          get(filter(
+            transform(nz(c), (x, i) => when(eqf(x, t), i)), _.isNotNull),
+            lit(0)).cast("long")
+        }, Some(LongType))
       case "indices_of" =>
-        val eq = eqTargetBy(at.elementType, args)
-        (filter(transform(nz(c), (x, i) => when(eq(x), i.cast("long"))),
-          _.isNotNull), Some(ArrayType(LongType)))
+        val (tv, eqf) = eqBinding(at.elementType, args)
+        (letRow1(tv) { t =>
+          filter(transform(nz(c), (x, i) => when(eqf(x, t), i.cast("long"))),
+            _.isNotNull)
+        }, Some(ArrayType(LongType)))
       case "find_first" | "find_one" => // filter → first element, null when none
         (get(filter(nz(c), x => body(0).pred(x)), lit(0)),
           Some(at.elementType))
@@ -2379,42 +2384,48 @@ object Lower {
       // ── prefix cuts (D:421-481): truthiness is two-valued ──
       case "take_while" | "takewhile" | "drop_while" | "dropwhile" =>
         val b = body(0)
-        val a = nz(c)
-        // 0-based index of the first non-truthy element, null if all pass
-        val cut = get(filter(
-          transform(a, (x, i) => when(!b.predStrict(x), i)), _.isNotNull),
-          lit(0))
-        if (name.startsWith("take")) (slice(a, lit(1), coalesce(cut, size(a))), someArr)
-        else (when(cut.isNull, emptyOf(at))
-          .otherwise(slice(a, cut + 1, size(a) - cut)), someArr)
+        (letRow1(nz(c)) { a =>
+          // 0-based index of the first non-truthy element, null if all
+          // pass — bound so the O(len) scan runs once, not per use
+          letRow1(get(filter(
+            transform(a, (x, i) => when(!b.predStrict(x), i)), _.isNotNull),
+            lit(0))) { cut =>
+            if (name.startsWith("take")) slice(a, lit(1), coalesce(cut, size(a)))
+            else when(cut.isNull, emptyOf(at))
+              .otherwise(slice(a, cut + 1, size(a) - cut))
+          }
+        }, someArr)
 
-      // ── reshapes (§2.5 array forms) ──
+      // ── reshapes (§2.5 array forms): the lane is referenced INSIDE
+      // the index lambda, so it is letRow-bound — once per row, not
+      // once per produced window ──
       case "window" => // sliding windows of n; [] when n<=0 or short input
         val n = intLit(args, 0).toInt
         val out = ArrayType(at.copy(containsNull = true))
         if (n <= 0) (emptyOf(out), Some(out))
-        else {
-          val a = nz(c)
-          (when(size(a) < n, emptyOf(out)).otherwise(
+        else (letRow1(nz(c)) { a =>
+          when(size(a) < n, emptyOf(out)).otherwise(
             transform(sequence(lit(1), size(a) - (n - 1)),
-              i => slice(a, i, lit(n)))), Some(out))
-        }
+              i => slice(a, i, lit(n))))
+        }, Some(out))
       case "chunk" | "batch" => // non-overlapping groups of n; n<=0 errs loudly
         val n = intLit(args, 0).toInt
         if (n <= 0) bail("chunk size must be positive (interpreter errors)")
-        val a = nz(c)
         val out = ArrayType(at.copy(containsNull = true))
-        // Column./ is double division — keep the chunk count integral
-        val nChunks = floor((size(a) + (n - 1)) / n).cast("int")
-        (when(size(a) === 0, emptyOf(out)).otherwise(
-          transform(sequence(lit(1), nChunks),
-            i => slice(a, (i - 1) * n + 1, lit(n)))), Some(out))
+        (letRow1(nz(c)) { a =>
+          // Column./ is double division — keep the chunk count integral
+          val nChunks = floor((size(a) + (n - 1)) / n).cast("int")
+          when(size(a) === 0, emptyOf(out)).otherwise(
+            transform(sequence(lit(1), nChunks),
+              i => slice(a, (i - 1) * n + 1, lit(n))))
+        }, Some(out))
       case "pairwise" => // adjacent [a, b] pairs
-        val a = nz(c)
         val out = ArrayType(ArrayType(at.elementType, containsNull = true))
-        (when(size(a) < 2, emptyOf(out)).otherwise(
-          transform(sequence(lit(1), size(a) - 1),
-            i => array(get(a, i - 1), get(a, i)))), Some(out))
+        (letRow1(nz(c)) { a =>
+          when(size(a) < 2, emptyOf(out)).otherwise(
+            transform(sequence(lit(1), size(a) - 1),
+              i => array(get(a, i - 1), get(a, i))))
+        }, Some(out))
       case "enumerate" => // {index, value} rows (reference defs.rs)
         val st = StructType(Seq(StructField("index", LongType, nullable = false),
           StructField("value", at.elementType)))
@@ -2445,13 +2456,15 @@ object Lower {
             }
           }
         val ua = ArrayType(u, containsNull = true)
-        val na = castArr(nz(c), u); val nb = castArr(ob, u)
-        val m = if (name == "zip") least(size(na), size(nb))
-                else greatest(size(na), size(nb))
         val out = ArrayType(ua)
-        (when(m === 0, emptyOf(out)).otherwise(
-          transform(sequence(lit(1), m),
-            i => array(get(na, i - 1), get(nb, i - 1)))), Some(out))
+        // both lanes are read inside the index lambda — bind them
+        (letRow(Seq(castArr(nz(c), u), castArr(ob, u))) { case Seq(na, nb) =>
+          val m = if (name == "zip") least(size(na), size(nb))
+                  else greatest(size(na), size(nb))
+          when(m === 0, emptyOf(out)).otherwise(
+            transform(sequence(lit(1), m),
+              i => array(get(na, i - 1), get(nb, i - 1))))
+        }, Some(out))
 
       // ── set ops by val_to_key (collection.rs:596-642): hash-set
       // membership on the DISPLAY string — "null" the string and a null
@@ -2473,14 +2486,17 @@ object Lower {
             }
           }
         val ed = at.elementType
-        def keys(a: Column): Column = transform(a, keyOf(_, otherDt))
+        // the OTHER side's key array is probed inside the filter lambda
+        // — bound, or the whole key transform re-runs per element
         name match {
           case "diff" =>
-            val bk = keys(other)
-            (filter(na, x => !array_contains(bk, keyOf(x, ed))), someArr)
+            (letRow1(transform(other, keyOf(_, otherDt))) { bk =>
+              filter(na, x => !array_contains(bk, keyOf(x, ed)))
+            }, someArr)
           case "intersect" =>
-            val bk = keys(other)
-            (dedupByKey(filter(na, x => array_contains(bk, keyOf(x, ed))), ed), someArr)
+            (letRow1(transform(other, keyOf(_, otherDt))) { bk =>
+              dedupByKey(filter(na, x => array_contains(bk, keyOf(x, ed))), ed)
+            }, someArr)
           case _ => // union concatenates, so the lanes must share a kind
             val u = unifySameKind(ed, otherDt)
               .getOrElse(bail("union pairs mixed-kind lanes"))
@@ -2497,8 +2513,11 @@ object Lower {
            "rolling_sum" | "rolling_avg" | "rolling_min" | "rolling_max" =>
         if (!numericDt(at.elementType))
           bail(s"$name over non-numeric lane ${at.elementType.simpleString}")
-        (numSeqOp(name, transform(nz(c), _.cast("double")), args),
-          Some(ArrayType(DoubleType)))
+        // bind the cast lane: rolling/zscore read it inside lambdas,
+        // and the shift shapes reference it several times
+        (letRow1(transform(nz(c), _.cast("double"))) { xs =>
+          numSeqOp(name, xs, args)
+        }, Some(ArrayType(DoubleType)))
 
       case other => bail(s"no columnar array lowering for .$other()")
     }
@@ -2540,13 +2559,23 @@ object Lower {
           when(x.isNull, prevOf(acc)).otherwise(
             if (wantMax) greatest(prevOf(acc), x) else least(prevOf(acc), x)))))
       case "zscore" =>
-        val nn = filter(xs, _.isNotNull)
-        val n = size(nn)
-        val mean = aggregate(nn, lit(0.0), _ + _) / n
-        val sd = sqrt(aggregate(nn, lit(0.0), (a, y) => a + (y - mean) * (y - mean)) / n)
-        when(n === 0, transform(xs, _ => nullD)).otherwise(
-          transform(xs, x => when(x.isNull, nullD)
-            .otherwise(when(sd === 0.0, lit(0.0)).otherwise((x - mean) / sd))))
+        // mean and sd are read inside the per-element lambda — bind
+        // each (sd's fold reads the bound mean), or every element
+        // re-runs the O(len) aggregates: O(len²)
+        // the binds are EAGER (a `when` branch is lazy, a struct field
+        // is not) — guard the divisions for the empty lane, where the
+        // n===0 branch means mean/sd are never read
+        letRow1(filter(xs, _.isNotNull)) { nn =>
+          letRow1(when(size(nn) > 0,
+              aggregate(nn, lit(0.0), _ + _) / size(nn))) { mean =>
+            letRow1(when(size(nn) > 0, sqrt(aggregate(nn, lit(0.0),
+                (a, y) => a + (y - mean) * (y - mean)) / size(nn)))) { sd =>
+              when(size(nn) === 0, transform(xs, _ => nullD)).otherwise(
+                transform(xs, x => when(x.isNull, nullD)
+                  .otherwise(when(sd === 0.0, lit(0.0)).otherwise((x - mean) / sd))))
+            }
+          }
+        }
       case _ => // rolling_{sum,avg,min,max}
         val n = intLit(args, 0).toInt
         if (n <= 0) bail("rolling window size must be positive (interpreter errors)")
@@ -2565,6 +2594,25 @@ object Lower {
   private def emptyOf(at: ArrayType): Column = array().cast(at)
   private def castArr(c: Column, u: DataType): Column =
     c.cast(ArrayType(u, containsNull = true))
+
+  /** Per-row let-binding: evaluate each bound expression ONCE per row
+    * and hand `body` a cheap reference. A higher-order function only
+    * evaluates its ARGUMENT once per row — every outer expression
+    * captured inside the lambda BODY re-evaluates per ELEMENT. So an
+    * op whose lambda references the lane (window's `slice(a, i, n)`,
+    * zip's `get(na, i-1)`, dedupByKey's key array, zscore's mean/sd)
+    * degrades to O(len²)+ when `a` is itself a derived chain — found
+    * live as a whole-table bench lane pinning a core for 18 minutes
+    * re-splitting text inside window(). transform's argument IS
+    * once-per-row, so a one-element array<struct> carries the
+    * bindings in and the body sees lambda-variable field reads. */
+  private def letRow(binds: Seq[Column])(body: Seq[Column] => Column): Column = {
+    val st = struct(binds.zipWithIndex.map { case (b, i) => b.as(s"_b$i") }: _*)
+    get(transform(array(st), r =>
+      body(binds.indices.map(i => r.getField(s"_b$i")))), lit(0))
+  }
+  private def letRow1(bind: Column)(body: Column => Column): Column =
+    letRow(Seq(bind)) { case Seq(b) => body(b) }
 
   /** Same-KIND unification for lanes that must hold both sides: exact
     * match, integral widening to long, fractional widening to double.
@@ -2596,32 +2644,41 @@ object Lower {
     } else coalesce(x.cast("string"), lit("null"))
 
   /** Keep-first dedup by val_to_key (Builtins.uniqueBy): an element
-    * survives iff its position is the key's first occurrence. */
-  private def dedupByKey(a: Column, dt: DataType): Column = {
-    val ks = transform(a, keyOf(_, dt))
-    filter(a, (x, i) => array_position(ks, keyOf(x, dt)) === i + 1)
-  }
+    * survives iff its position is the key's first occurrence. The
+    * input and its key array are letRow-bound — both are read inside
+    * the filter lambda, where an unbound derived lane would re-derive
+    * per element. */
+  private def dedupByKey(a: Column, dt: DataType): Column =
+    letRow1(a) { aa =>
+      letRow1(transform(aa, keyOf(_, dt))) { ks =>
+        filter(aa, (_, i) => array_position(ks, get(ks, i)) === i + 1)
+      }
+    }
 
   /** JValue.eq (JValue.scala:65-77) against the evaluated argument:
     * cross-kind numeric compares by value; NaN ≠ NaN (Spark's <=> says
     * true — probed — so fractional lanes guard isnan); kind mismatch is
-    * statically never equal. */
-  private def eqTargetBy(elem: DataType, args: Vector[Arg]): Column => Column =
-    if (args.isEmpty) (x: Column) => x.isNull // eq with the missing-arg null
-    else eqBy(elem, argE(args, 0))
-
-  private def eqBy(elem: DataType, e: Expr): Column => Column = {
-    val ad = inferDt(e).getOrElse(bail("equality arg type unknown"))
-    val t = colExpr(e)
-    def guarded(x: Column, tc: Column, frac: Boolean): Column =
-      if (frac) (x <=> tc) && !coalesce(isnan(x), lit(false))
-      else x <=> tc
-    if (elem == ad) (x: Column) => guarded(x, t, fractionalDt(elem))
-    else if (numericDt(elem) && numericDt(ad)) {
-      val frac = fractionalDt(elem) || fractionalDt(ad)
-      (x: Column) => guarded(x.cast("double"), t.cast("double"), frac)
-    } else (_: Column) => lit(false) // kind mismatch never matches
-  }
+    * statically never equal. Returns the target VALUE to letRow-bind
+    * (the test runs inside filter/transform lambdas, where an unbound
+    * derived target would re-evaluate per element) and the test over
+    * (element, boundTarget). */
+  private def eqBinding(elem: DataType,
+                        args: Vector[Arg]): (Column, (Column, Column) => Column) =
+    if (args.isEmpty) // eq with the missing-arg null
+      (lit(null).cast("string"), (x, _) => x.isNull)
+    else {
+      val e = argE(args, 0)
+      val ad = inferDt(e).getOrElse(bail("equality arg type unknown"))
+      def guarded(x: Column, tc: Column, frac: Boolean): Column =
+        if (frac) (x <=> tc) && !coalesce(isnan(x), lit(false))
+        else x <=> tc
+      if (elem == ad)
+        (colExpr(e), (x, t) => guarded(x, t, fractionalDt(elem)))
+      else if (numericDt(elem) && numericDt(ad)) {
+        val frac = fractionalDt(elem) || fractionalDt(ad)
+        (colExpr(e).cast("double"), (x, t) => guarded(x.cast("double"), t, frac))
+      } else (colExpr(e), (_, _) => lit(false)) // kind mismatch never matches
+    }
 
   private def integralDt(d: DataType): Boolean = d match {
     case ByteType | ShortType | IntegerType | LongType => true
