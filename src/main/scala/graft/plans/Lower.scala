@@ -100,8 +100,34 @@ object Lower {
       case _: graft.jexpr.ParseException => None
     }
 
+  /** Interp.chainWrite's static shape (Interp.scala:227-253): a
+    * root-based chain whose first write-shaped method is preceded only
+    * by path steps is a chain-WRITE evaluating to the patched
+    * document, not a value read — doc mode (or Graft's rowwise patch
+    * rewrite) owns it. Historically every write-shaped name was simply
+    * absent from the lowered-method sets; the map lane lowers `merge`
+    * as a VALUE op (legitimate off root paths), so the write shape
+    * must now be excluded explicitly. */
+  private[plans] def isRootChainWrite(steps: Vector[Expr.Step]): Boolean = {
+    import Expr._
+    val wi = steps.indexWhere {
+      case Step.Method("set" | "modify", as)       => as.length == 1
+      case Step.Method("delete", as)               => as.isEmpty
+      case Step.Method("unset", as)                => as.length == 1
+      case Step.Method("merge" | "deep_merge", as) => as.nonEmpty
+      case _                                       => false
+    }
+    wi >= 0 && steps.take(wi).forall {
+      case Step.Field(_) | Step.Index(_) | Step.InlineFilter(_) => true
+      case Step.MapShape(None, Current)                         => true
+      case Step.Descendant(Some(_))                             => true
+      case _                                                    => false
+    }
+  }
+
   def compileAst(ast: Expr, resolve: String => DataFrame): DataFrame = ast match {
     case Chain(Root, steps) if steps.nonEmpty =>
+      if (isRootChainWrite(steps)) bail("root chain-write stays on the document rungs")
       compileChain(steps, resolve, identity)
     case Let(Vector((idxName, idxInit)), body) =>
       indexJoin(idxName, idxInit, body, resolve)
@@ -1937,6 +1963,10 @@ object Lower {
       current.map(fieldChain(_, currentDt, steps))
         .getOrElse(bail("`@`-rooted chain at row scope"))
     case Chain(Root, steps) if rootStruct.isDefined =>
+      // a write-shaped root chain evaluates to the PATCHED document
+      // (Interp.chainWrite), not the value the read dispatch computes
+      if (Lower.isRootChainWrite(steps))
+        bail("root chain-write stays on the document rungs")
       val (rc, rt) = rootStruct.get
       fieldChain(rc, Some(rt), steps)
     // method/step chains over a COMPUTED receiver — ("x" + name).upper(),
@@ -2038,6 +2068,9 @@ object Lower {
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
+        case Some(mt: MapType) if mapOps(m) =>
+          val (c2, dt2) = mapMethod(m, c, mt, args)
+          c = c2; dt = dt2
         case _ =>
           // doc mode returns the RECEIVER unchanged when a string
           // method hits a non-string value (reference apply_or_recv,
@@ -2092,10 +2125,19 @@ object Lower {
     "index", "index_of", "indices_of", "find_first", "find_one",
     "take_while", "takewhile", "drop_while", "dropwhile",
     "window", "chunk", "batch", "pairwise", "enumerate", "partition",
-    "zip", "zip_longest", "diff", "intersect", "union",
+    "zip", "zip_longest", "diff", "intersect", "union", "from_pairs",
     "lag", "lead", "diff_window", "pct_change", "zscore",
     "cum_max", "cum_min", "cummax", "cummin",
     "rolling_sum", "rolling_avg", "rolling_min", "rolling_max")
+
+  /** Object builtins with an exact columnar lowering over a
+    * `map<string, V>` lane (Builtins.scala:580-650). `has`/`missing`
+    * stay on the binary `has` lowering; `get_path`/`pick`/`omit` and
+    * the named-arg `rename` form stay doc-mode. */
+  private val mapOps: Set[String] = Set(
+    "keys", "values", "entries", "to_pairs", "len", "length",
+    "filter_keys", "filter_values", "transform_values", "transform_keys",
+    "merge", "defaults", "invert", "set", "update", "rename")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -2466,6 +2508,21 @@ object Lower {
               i => array(get(na, i - 1), get(nb, i - 1))))
         }, Some(out))
 
+      // ── from_pairs: [k, v] pairs → object (Builtins:586-597); the
+      // key takes val_to_key display form, malformed pairs (wrong
+      // length, null) are skipped, duplicates collapse first-position-
+      // last-value ──
+      case "from_pairs" => at.elementType match {
+        case ArrayType(t, _) if atomicElem(t) =>
+          (map_from_entries(dedupEntriesFPLV(
+            transform(filter(nz(c), p => size(p) === 2),
+              p => struct(keyOf(get(p, lit(0)), t).as("key"),
+                get(p, lit(1)).as("value"))))),
+            Some(MapType(StringType, t, valueContainsNull = true)))
+        case other =>
+          bail(s"from_pairs lowers over atomic pair lanes, got ${other.simpleString}")
+      }
+
       // ── set ops by val_to_key (collection.rs:596-642): hash-set
       // membership on the DISPLAY string — "null" the string and a null
       // element deliberately collide, like the interpreter. diff keeps
@@ -2654,6 +2711,219 @@ object Lower {
         filter(aa, (_, i) => array_position(ks, get(ks, i)) === i + 1)
       }
     }
+
+  /** VectorMap `+=` over possibly-duplicate keys (transform_keys /
+    * invert / from_pairs, Builtins:585-601): the key keeps its FIRST
+    * position but takes its LAST value. entries is array<struct<key:
+    * string (non-null), value>>; O(n²) string compares, row-local. */
+  private def dedupEntriesFPLV(entries: Column): Column =
+    letRow1(entries) { es =>
+      letRow(Seq(transform(es, _.getField("key")),
+                 reverse(transform(es, _.getField("key"))))) { case Seq(ks, rks) =>
+        filter(transform(es, (e, i) =>
+          when(array_position(ks, get(ks, i)) === i + 1,
+            struct(e.getField("key").as("key"),
+              get(es, size(ks) - array_position(rks, get(ks, i)))
+                .getField("value").as("value")))), _.isNotNull)
+      }
+    }
+
+  /** Object-builtin lane over `map<string, V>` columns — the map
+    * analogue of [[arrayMethod]] (reference object ops, O:collection.rs
+    * 648-745; interpreter Builtins.scala:580-650). Order rules are the
+    * interpreter's VectorMap rules over the map's STORED entry order
+    * (parquet/from_json keep parse order — the q_lower_deep_map
+    * contract): filters/transforms keep positions, merge updates
+    * in place and appends new keys, rename(old,new) moves the renamed
+    * key to the end unless `new` already exists. A null receiver reads
+    * as {} (objOnly, Builtins:74-78) except `len`, which returns the
+    * receiver unchanged (null). */
+  private def mapMethod(
+      name: String, c: Column, mt: MapType,
+      args: Vector[Arg]): (Column, Option[DataType]) = {
+    if (mt.keyType != StringType)
+      bail(s"object ops need string keys, got ${mt.keyType.simpleString}")
+    val vt = mt.valueType
+    def nzm(x: Column, t: MapType): Column =
+      coalesce(x, map().cast(MapType(t.keyType, t.valueType, valueContainsNull = true)))
+    val m0 = nzm(c, mt)
+    def vBody(i: Int): EBody =
+      new EBody(ArrayType(vt, containsNull = true),
+        if (i < args.length) args(i).e else Current)
+    def kBody(i: Int): EBody =
+      new EBody(ArrayType(StringType),
+        if (i < args.length) args(i).e else Current)
+    /** An argument that must itself be an object: a string-keyed map,
+      * or a struct (e.g. an object LITERAL, which lowers as one) whose
+      * fields convert to entries in declaration order. Returns the
+      * column as a map cast to the value type u-unified with vt. */
+    def mapArg(i: Int): (Column, DataType) = {
+      val e = argE(args, i)
+      inferDt(e) match {
+        case Some(o @ MapType(StringType, ov, _)) =>
+          val u = unifySameKind(vt, ov)
+            .getOrElse(bail(s"$name pairs mixed value kinds"))
+          (nzm(colExpr(e), o).cast(MapType(StringType, u, valueContainsNull = true)), u)
+        case Some(st: StructType) =>
+          val u = st.fields.map(_.dataType).foldLeft(vt) { (acc, d) =>
+            unifySameKind(acc, d).getOrElse(bail(s"$name pairs mixed value kinds"))
+          }
+          val sc = colExpr(e)
+          val entries = st.fieldNames.map(f =>
+            struct(lit(f).as("key"), sc.getField(f).cast(u).as("value")))
+          // a null struct reads as {} (objOnly)
+          (when(sc.isNull, map().cast(MapType(StringType, u, valueContainsNull = true)))
+            .otherwise(map_from_entries(array(entries: _*))), u)
+        case Some(o) => bail(s"$name needs an object arg, got ${o.simpleString}")
+        case None    => bail(s"$name arg type unknown")
+      }
+    }
+    def outMap(v: DataType) = MapType(StringType, v, valueContainsNull = true)
+    def entryOf(k: Column, v: Column): Column =
+      struct(k.as("key"), v.as("value"))
+
+    name match {
+      case "keys" =>
+        (map_keys(m0), Some(ArrayType(StringType)))
+      case "values" =>
+        (map_values(m0), Some(ArrayType(vt, containsNull = true)))
+      case "len" | "length" => // null receiver: len keeps it (null), not 0
+        (size(c).cast("long"), Some(LongType))
+      case "entries" | "to_pairs" =>
+        // the interpreter's pair is [JStr(k), v] — a heterogeneous
+        // array unless the values are strings too
+        if (vt != StringType) bail("entries pairs are heterogeneous off string maps")
+        (transform(map_entries(m0),
+          e => array(e.getField("key"), e.getField("value"))),
+          Some(ArrayType(ArrayType(StringType, containsNull = true))))
+      case "filter_keys" =>
+        val b = kBody(0)
+        (map_filter(m0, (k, _) => b.predStrict(k)), Some(outMap(vt)))
+      case "filter_values" =>
+        val b = vBody(0)
+        (map_filter(m0, (_, v) => b.predStrict(v)), Some(outMap(vt)))
+      case "transform_values" =>
+        val b = vBody(0)
+        val bdt = b.dt.getOrElse(bail("transform_values body type unknown"))
+        (transform_values(m0, (_, v) => b(v)), Some(outMap(bdt)))
+      case "transform_keys" =>
+        // new key = keyStr(f(k)) — the DISPLAY of the body's value —
+        // and duplicate keys collapse first-position-last-value
+        val b = kBody(0)
+        val bdt = b.dt.getOrElse(bail("transform_keys body type unknown"))
+        if (!atomicElem(bdt)) bail("transform_keys body must be atomic (val_to_key)")
+        (map_from_entries(dedupEntriesFPLV(
+          transform(map_entries(m0),
+            e => entryOf(keyOf(b(e.getField("key")), bdt), e.getField("value"))))),
+          Some(outMap(vt)))
+      case "merge" =>
+        // acc ++ obj per arg: existing keys update IN PLACE, new keys
+        // append in the arg's order (VectorMap ++)
+        var acc = m0
+        var accV: DataType = vt
+        args.indices.foreach { i =>
+          val (o, u) = mapArg(i)
+          val a = acc.cast(MapType(StringType, u, valueContainsNull = true))
+          acc = letRow(Seq(a, o)) { case Seq(aa, oo) =>
+            map_from_entries(concat(
+              transform(map_entries(aa), e =>
+                entryOf(e.getField("key"),
+                  when(map_contains_key(oo, e.getField("key")),
+                    element_at(oo, e.getField("key")))
+                    .otherwise(e.getField("value")))),
+              filter(map_entries(oo),
+                e => !map_contains_key(aa, e.getField("key")))))
+          }
+          accV = u
+        }
+        (acc, Some(outMap(accV)))
+      case "defaults" => // fill only MISSING keys, appended in d's order
+        val (d, u) = mapArg(0)
+        val a = m0.cast(MapType(StringType, u, valueContainsNull = true))
+        (letRow(Seq(a, d)) { case Seq(aa, dd) =>
+          map_from_entries(concat(map_entries(aa),
+            filter(map_entries(dd),
+              e => !map_contains_key(aa, e.getField("key")))))
+        }, Some(outMap(u)))
+      case "invert" => // value's display becomes the key (val_to_key)
+        if (!atomicElem(vt)) bail("invert values must be atomic (val_to_key)")
+        (map_from_entries(dedupEntriesFPLV(
+          transform(map_entries(m0),
+            e => entryOf(keyOf(e.getField("value"), vt), e.getField("key"))))),
+          Some(outMap(StringType)))
+      case "set" if args.length == 2 =>
+        // fs + (k -> v): update in place when present, else append
+        val kDt = inferDt(argE(args, 0)).getOrElse(bail("set key type unknown"))
+        if (!atomicElem(kDt)) bail("set key must be atomic")
+        val vDt = inferDt(argE(args, 1)).getOrElse(bail("set value type unknown"))
+        val u = unifySameKind(vt, vDt).getOrElse(bail("set value kind differs from lane"))
+        val a = m0.cast(MapType(StringType, u, valueContainsNull = true))
+        (letRow(Seq(a, keyOf(colExpr(argE(args, 0)), kDt),
+            colExpr(argE(args, 1)).cast(u))) { case Seq(aa, k, v) =>
+          when(map_contains_key(aa, k),
+            map_from_entries(transform(map_entries(aa), e =>
+              entryOf(e.getField("key"),
+                when(e.getField("key") === k, v).otherwise(e.getField("value"))))))
+            .otherwise(map_concat(aa, map_from_arrays(array(k), array(v))))
+        }, Some(outMap(u)))
+      case "update" if args.length == 2 =>
+        // fs + (k -> f(fs.getOrElse(k, null))), same position rule
+        val kDt = inferDt(argE(args, 0)).getOrElse(bail("update key type unknown"))
+        if (!atomicElem(kDt)) bail("update key must be atomic")
+        val b = new EBody(ArrayType(vt, containsNull = true), args(1).e)
+        val bdt = b.dt.getOrElse(bail("update body type unknown"))
+        val u = unifySameKind(vt, bdt).getOrElse(bail("update body kind differs from lane"))
+        val a = m0.cast(MapType(StringType, u, valueContainsNull = true))
+        (letRow(Seq(a, keyOf(colExpr(argE(args, 0)), kDt))) { case Seq(aa, k) =>
+          letRow1(b(when(map_contains_key(aa, k), element_at(aa, k)).cast(vt))
+              .cast(u)) { v =>
+            when(map_contains_key(aa, k),
+              map_from_entries(transform(map_entries(aa), e =>
+                entryOf(e.getField("key"),
+                  when(e.getField("key") === k, v).otherwise(e.getField("value"))))))
+              .otherwise(map_concat(aa, map_from_arrays(array(k), array(v))))
+          }
+        }, Some(outMap(u)))
+      case "rename" => // positional rename(old, new) only
+        if (args.length != 2 || args.exists(_.name.nonEmpty))
+          bail("only rename(old, new) lowers")
+        val from = strLit(args, 0, ""); val to = strLit(args, 1, "")
+        (letRow1(m0) { aa =>
+          when(!map_contains_key(aa, lit(from)), aa).otherwise(
+            // branch is lazy, so the unguarded element_at cannot see a
+            // missing key; the letRow binds evaluate inside it
+            letRow(Seq(element_at(aa, lit(from)),
+              filter(map_entries(aa), e => e.getField("key") =!= from))) {
+              case Seq(v, rem) =>
+                // (fs - from) + (to -> v): in-place when `to` survives
+                // the removal, else append at the END
+                when(exists(rem, e => e.getField("key") === to),
+                  map_from_entries(transform(rem, e =>
+                    entryOf(e.getField("key"),
+                      when(e.getField("key") === to, v)
+                        .otherwise(e.getField("value"))))))
+                  .otherwise(map_from_entries(concat(rem,
+                    array(entryOf(lit(to), v)))))
+            })
+        }, Some(outMap(vt)))
+      case other => bail(s"no columnar object lowering for .$other()")
+    }
+  }
+
+  /** Static return type of a map-lane method, for chain typing. */
+  private def mapMethodReturn(m: String, mt: MapType): Option[DataType] = m match {
+    case "keys"                         => Some(ArrayType(StringType))
+    case "values"                       => Some(ArrayType(mt.valueType, containsNull = true))
+    case "len" | "length"               => Some(LongType)
+    case "entries" | "to_pairs"         =>
+      Some(ArrayType(ArrayType(StringType, containsNull = true)))
+    case "filter_keys" | "filter_values" | "transform_keys" | "rename" =>
+      Some(MapType(StringType, mt.valueType, valueContainsNull = true))
+    case "invert"                       =>
+      Some(MapType(StringType, StringType, valueContainsNull = true))
+    // transform_values/merge/defaults/set/update: body- or arg-typed
+    case _                              => None
+  }
 
   /** JValue.eq (JValue.scala:65-77) against the evaluated argument:
     * cross-kind numeric compares by value; NaN ≠ NaN (Spark's <=> says
@@ -3450,6 +3720,7 @@ object Lower {
           case Step.Optional      => acc
           case Step.Method(m, _)  => acc match {
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
+            case Some(mt: MapType) if mapOps(m)     => mapMethodReturn(m, mt)
             case _                                  => scalarFnReturn(m)
           }
           case _                  => None
@@ -3480,6 +3751,10 @@ object Lower {
     case "index" | "index_of" => Some(LongType)
     case "indices_of" => Some(ArrayType(LongType))
     case "find_first" | "find_one" => Some(at.elementType)
+    case "from_pairs" => at.elementType match {
+      case ArrayType(t, _) => Some(MapType(StringType, t, valueContainsNull = true))
+      case _               => None
+    }
     case "window" | "chunk" | "batch" =>
       Some(ArrayType(at.copy(containsNull = true)))
     case "pairwise" =>

@@ -621,6 +621,51 @@ object LoweredQueries extends QueryGroup {
     Lower.compile("$.events{event_id < 3000}.sort_by(event_id)..k", _ => ev)
   }
 
+  /** Round-9 MAP lane (Lower.mapMethod): the object builtins over a
+    * `map<string, V>` column — keys/values/len, filter/transform,
+    * merge/defaults (update-in-place + append order), invert
+    * (val_to_key display keys), set/update (2-arg value forms; the
+    * 1-arg shapes are chain-WRITES and stay on the document rungs —
+    * Lower.isRootChainWrite), rename. Entry-order rules are pinned
+    * differentially by MapColumnSpec; this row proves the lane
+    * end-to-end against DuckDB's json functions over the same
+    * resolver-shaped from_json column q_lower_deep_map uses. */
+  private val mapOpsL = q(
+    "q_lower_map_ops",
+    """SELECT event_id AS id,
+      |  array_to_string(json_keys(props), ',') AS ks,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n,
+      |  CAST(2 * CAST(json_extract(props, '$.k') AS BIGINT) AS BIGINT) AS tv,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) + 9 AS BIGINT) AS mg,
+      |  array_to_string(json_keys(props), ',') || ',z' AS mk,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) + 5 AS BIGINT) AS df,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS iv,
+      |  CAST(7 AS BIGINT) AS st,
+      |  array_to_string(json_keys(props), ',') || ',w' AS s2,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS BIGINT) AS up,
+      |  'kk' AS rn
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  ks: props.keys().join(","),
+        |  n: props.len(),
+        |  tv: props.transform_values((@ ?? 0) * 2).values().sum(),
+        |  mg: props.transform_values(@).merge({z: 9}).values().sum(),
+        |  mk: props.transform_values(@).merge({z: 9}).keys().join(","),
+        |  df: props.defaults({k: 0, d: 5}).values().sum(),
+        |  iv: props.invert().keys().first(),
+        |  st: props.set("k", 7).values().sum(),
+        |  s2: props.set("w", 3).keys().join(","),
+        |  up: props.update("k", (@ ?? 0) + 1).values().sum(),
+        |  rn: props.rename("k", "kk").keys().join(",")})""".stripMargin,
+      _ => ev)
+  }
+
   /** `{...@, …}` spread-of-row shapes now lower: the spread inserts
     * every column in schema order and a later key overrides IN PLACE
     * (the interpreter's VectorMap-update position rule) — the common
@@ -1055,5 +1100,5 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL)
+    regexFirstL, mapOpsL)
 }

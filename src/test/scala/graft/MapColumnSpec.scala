@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.jexpr.{JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JValue, Jetro}
+import scala.collection.immutable.{ListMap, VectorMap}
+
+/** Differential contract for the MAP-typed lane (Lower.mapMethod): the
+  * object builtins over `map<string, V>` columns must produce identical
+  * values through the columnar lowering and the document interpreter
+  * over the to_json'd row — DocColumnSpec's two-backend guarantee for
+  * the map analogue of the array lane. Order rules are load-bearing
+  * (VectorMap first-position-last-value, merge update-in-place,
+  * rename-to-end), so most cases pin them through `keys()`/`entries()`
+  * arrays, which compare order-sensitively.
+  */
+class MapColumnSpec extends SparkSpec {
+
+  private val docType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("props", MapType(StringType, LongType, valueContainsNull = true),
+      nullable = true),
+    StructField("attrs", MapType(StringType, StringType, valueContainsNull = true),
+      nullable = true),
+    StructField("extra", MapType(StringType, LongType, valueContainsNull = true),
+      nullable = true),
+    StructField("pairs",
+      ArrayType(ArrayType(StringType, containsNull = true), containsNull = true),
+      nullable = true)))
+
+  /** Deterministic corpus: varied sizes and entry orders, an empty
+    * map, a null map, null values, overlapping keys across props/extra
+    * (merge/defaults in-place vs append), duplicate and malformed
+    * pairs. */
+  private lazy val docs = {
+    val keyPool = Vector("alpha", "beta", "ax", "bx", "c", "k")
+    val rows = (0 until 36).map { i =>
+      val props =
+        if (i == 5) null
+        else ListMap((0 until i % 5).map { j =>
+          keyPool((i + j) % keyPool.length) ->
+            (if ((i + j) % 7 == 0) null
+             else java.lang.Long.valueOf((i * 3 + j) % 9L))
+        }: _*)
+      val attrs =
+        if (i == 9) null
+        else ListMap((0 until i % 4).map { j =>
+          keyPool((i * 2 + j) % keyPool.length) -> s"v${(i + j) % 5}"
+        }: _*)
+      val extra =
+        if (i == 13) null
+        else ListMap((0 until (i + 2) % 4).map { j =>
+          keyPool((i + j + 3) % keyPool.length) ->
+            java.lang.Long.valueOf((i + j * 5) % 11L)
+        }: _*)
+      val pairs =
+        if (i == 17) null
+        else (0 until i % 5).map { j =>
+          if ((i + j) % 9 == 0) Seq(s"only${j}")            // malformed: len 1
+          else Seq(keyPool((i * j) % keyPool.length), s"p${(i + j) % 4}")
+        }
+      Row(i.toLong, props, attrs, extra, pairs)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), docType)
+  }
+
+  private def toJ(v: Any): JValue = v match {
+    case null => JNull
+    case r: Row =>
+      JObj(VectorMap.from(r.schema.fieldNames.zipWithIndex.map {
+        case (n, i) => n -> toJ(r.get(i))
+      }))
+    case m: scala.collection.Map[_, _] =>
+      JObj(VectorMap.from(m.toSeq.map { case (k, v) => k.toString -> toJ(v) }))
+    case s: scala.collection.Seq[_] => JArr(s.map(toJ).toVector)
+    case l: Long    => JInt(l)
+    case i: Int     => JInt(i.toLong)
+    case d: Double  => JFloat(d)
+    case s: String  => JStr(s)
+    case b: Boolean => JBool(b)
+    case other      => fail(s"unmapped Spark value $other (${other.getClass})")
+  }
+
+  /** Order-SENSITIVE structural equality: objects compare as entry
+    * SEQUENCES, because entry order is part of the lane contract. */
+  private def jEq(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JInt(x), JFloat(y)) => x.toDouble == y
+    case (JFloat(x), JInt(y)) => x == y.toDouble
+    case (JArr(xs), JArr(ys)) =>
+      xs.length == ys.length && xs.lazyZip(ys).forall(jEq)
+    case (JObj(xs), JObj(ys)) =>
+      xs.size == ys.size &&
+        xs.toVector.lazyZip(ys.toVector).forall {
+          case ((k1, v1), (k2, v2)) => k1 == k2 && jEq(v1, v2)
+        }
+    case _ => a == b
+  }
+
+  private def differential(expr: String): Unit = {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    val nativeCol = Jetro.evalNative(expr, doc, docType)
+      .getOrElse(fail(s"did not lower: $expr"))
+    val both = docs
+      .select(col("id"), nativeCol.as("native"), to_json(doc).as("json"))
+      .orderBy("id")
+      .collect()
+    val compiled = Jetro.compile(expr)
+    both.foreach { r =>
+      val native = toJ(r.get(1))
+      val interp =
+        try compiled.evalValue(JValue.parse(r.getString(2)))
+        catch { case _: jexpr.EvalException => jexpr.JNull }
+      assert(jEq(native, interp),
+        s"row id=${r.getLong(0)} expr=$expr native=${native.render} interp=${interp.render}")
+    }
+  }
+
+  private val exprs = Seq(
+    // projections
+    "$.props.keys()",
+    "$.props.values()",
+    "$.props.len()",
+    "$.attrs.entries()",
+    "$.attrs.to_pairs()",
+    // filters (order kept)
+    "$.props.filter_keys(@.starts_with(\"a\")).keys()",
+    "$.props.filter_values(@ != null and @ > 3).values()",
+    "$.attrs.filter_values(@.ends_with(\"1\")).entries()",
+    // value/key transforms
+    "$.props.transform_values(@ ?? 0).values()",
+    "$.attrs.transform_values(@.upper()).entries()",
+    "$.attrs.transform_keys(@.upper()).keys()",
+    // collisions: a constant key collapses EVERYTHING to one entry —
+    // first position, LAST value; len() collides equal-length keys
+    "$.attrs.transform_keys(\"k\").entries()",
+    "$.props.transform_keys(@.len()).keys()",
+    "$.props.transform_keys(@.len()).values()",
+    // merge/defaults: in-place updates vs appended keys, struct-literal
+    // and map-column args (keys+values pin order over the long maps,
+    // where the [k, v] entries pair would be heterogeneous)
+    "$.props.transform_values(@).merge({alpha: 99, zz: 1}).keys()",
+    "$.props.transform_values(@).merge({alpha: 99, zz: 1}).values()",
+    "$.props.transform_values(@).merge($.extra).keys()",
+    "$.props.transform_values(@).merge($.extra).values()",
+    "$.props.defaults({alpha: 0, zz: 7}).keys()",
+    "$.props.defaults({alpha: 0, zz: 7}).values()",
+    "$.props.defaults($.extra).keys()",
+    "$.props.defaults($.extra).values()",
+    // invert: display keys, dup collapse (result is a string map)
+    "$.attrs.invert().entries()",
+    "$.props.invert().entries()",
+    // set/update: in-place or append-at-end
+    "$.props.set(\"alpha\", 42).keys()",
+    "$.props.set(\"alpha\", 42).values()",
+    "$.props.set(\"brandnew\", 7).keys()",
+    "$.props.set(\"brandnew\", 7).values()",
+    "$.props.update(\"alpha\", @ ?? -1).values()",
+    "$.props.update(\"brandnew\", 5 if @ == null else @).keys()",
+    "$.props.update(\"brandnew\", 5 if @ == null else @).values()",
+    // rename: positional form; to-end vs in-place-at-target
+    "$.props.rename(\"alpha\", \"omega\").keys()",
+    "$.props.rename(\"alpha\", \"beta\").keys()",
+    "$.props.rename(\"alpha\", \"beta\").values()",
+    "$.props.rename(\"nope\", \"x\").keys()",
+    // from_pairs over the pairs lane: malformed skipped, dups collapse
+    "$.pairs.from_pairs().entries()",
+    "$.pairs.from_pairs().keys()",
+    // chains off map results
+    "$.props.keys().sort().join(\",\")",
+    "$.props.values().compact().sum()",
+    "$.props.transform_values(@).merge($.extra).len()",
+    "$.attrs.transform_keys(@.upper()).filter_keys(@.len() > 1).entries()")
+
+  exprs.foreach { e =>
+    test(s"native == interpreter: $e") { differential(e) }
+  }
+
+  test("map ops stay on the compiled rung at table scope") {
+    // the table analogue: a resolver-shaped map column flows through
+    // Lower.compile with no doc/rowwise bail
+    val ev = docs.select(col("id"), col("props"), col("attrs"))
+    val out = graft.plans.Lower.tryCompile(
+      """$.t.sort_by(id).map({id: id, ks: props.keys().join("|"),
+        |  n: props.merge({z: 1}).len()})""".stripMargin,
+      _ => ev)
+    assert(out.nonEmpty, "map chain should lower at table scope")
+    assert(out.get.count() == 36)
+  }
+}
