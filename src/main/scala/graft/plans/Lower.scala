@@ -2137,7 +2137,7 @@ object Lower {
   private val mapOps: Set[String] = Set(
     "keys", "values", "entries", "to_pairs", "len", "length",
     "filter_keys", "filter_values", "transform_values", "transform_keys",
-    "merge", "defaults", "invert", "set", "update", "rename")
+    "merge", "deep_merge", "defaults", "invert", "set", "update", "rename")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -2782,6 +2782,46 @@ object Lower {
     def entryOf(k: Column, v: Column): Column =
       struct(k.as("key"), v.as("value"))
 
+    /** Like [[mapArg]] but WITHOUT the null→{} read: returns the map
+      * column (meaningful only off the null branch), the unified value
+      * type, and the arg's own null test — deep_merge's null rule
+      * needs the raw nullness. */
+    def mapArgRaw(i: Int): (Column, DataType, Column) = {
+      val e = argE(args, i)
+      inferDt(e) match {
+        case Some(o @ MapType(StringType, ov, _)) =>
+          val u = unifySameKind(vt, ov)
+            .getOrElse(bail(s"$name pairs mixed value kinds"))
+          val cc = colExpr(e)
+          (cc.cast(MapType(StringType, u, valueContainsNull = true)), u, cc.isNull)
+        case Some(st: StructType) =>
+          val u = st.fields.map(_.dataType).foldLeft(vt) { (acc, d) =>
+            unifySameKind(acc, d).getOrElse(bail(s"$name pairs mixed value kinds"))
+          }
+          val sc = colExpr(e)
+          val entries = st.fieldNames.map(f =>
+            struct(lit(f).as("key"), sc.getField(f).cast(u).as("value")))
+          (map_from_entries(array(entries: _*)), u, sc.isNull)
+        case Some(o) => bail(s"$name needs an object arg, got ${o.simpleString}")
+        case None    => bail(s"$name arg type unknown")
+      }
+    }
+
+    /** VectorMap `++`: existing keys update IN PLACE, new keys append
+      * in the right side's order. Both sides non-null maps of the same
+      * value type. */
+    def mergeInPlace(a: Column, o: Column): Column =
+      letRow(Seq(a, o)) { case Seq(aa, oo) =>
+        map_from_entries(concat(
+          transform(map_entries(aa), e =>
+            entryOf(e.getField("key"),
+              when(map_contains_key(oo, e.getField("key")),
+                element_at(oo, e.getField("key")))
+                .otherwise(e.getField("value")))),
+          filter(map_entries(oo),
+            e => !map_contains_key(aa, e.getField("key")))))
+      }
+
     name match {
       case "keys" =>
         (map_keys(m0), Some(ArrayType(StringType)))
@@ -2824,16 +2864,31 @@ object Lower {
         args.indices.foreach { i =>
           val (o, u) = mapArg(i)
           val a = acc.cast(MapType(StringType, u, valueContainsNull = true))
-          acc = letRow(Seq(a, o)) { case Seq(aa, oo) =>
-            map_from_entries(concat(
-              transform(map_entries(aa), e =>
-                entryOf(e.getField("key"),
-                  when(map_contains_key(oo, e.getField("key")),
-                    element_at(oo, e.getField("key")))
-                    .otherwise(e.getField("value")))),
-              filter(map_entries(oo),
-                e => !map_contains_key(aa, e.getField("key")))))
-          }
+          acc = mergeInPlace(a, o)
+          accV = u
+        }
+        (acc, Some(outMap(accV)))
+      case "deep_merge" =>
+        // deepMerge recurses only on (object, object) collisions
+        // (Builtins.deepMerge:110) — with statically non-object values
+        // it is merge, EXCEPT its null rule: `(_, other) => other`
+        // makes a null ARG win wholesale (the result goes null), and a
+        // null acc takes the next object arg verbatim. Object-valued
+        // lanes would actually recurse — doc mode keeps those.
+        def objLike(d: DataType): Boolean =
+          d.isInstanceOf[StructType] || d.isInstanceOf[MapType]
+        if (objLike(vt))
+          bail("deep_merge over object-valued lanes recurses — doc mode")
+        var acc: Column = c
+        var accV: DataType = vt
+        args.indices.foreach { i =>
+          val (o, u, oNull) = mapArgRaw(i)
+          if (objLike(u))
+            bail("deep_merge over object-valued args recurses — doc mode")
+          val mt2 = MapType(StringType, u, valueContainsNull = true)
+          val a = acc.cast(mt2)
+          acc = when(oNull, lit(null).cast(mt2)).otherwise(
+            when(a.isNull, o).otherwise(mergeInPlace(a, o)))
           accV = u
         }
         (acc, Some(outMap(accV)))

@@ -143,6 +143,9 @@ class MapColumnSpec extends SparkSpec {
     "$.props.transform_values(@).merge({alpha: 99, zz: 1}).values()",
     "$.props.transform_values(@).merge($.extra).keys()",
     "$.props.transform_values(@).merge($.extra).values()",
+    // deep_merge over non-object values ≡ merge (right wins per key)
+    "$.props.transform_values(@).deep_merge($.extra).keys()",
+    "$.props.transform_values(@).deep_merge($.extra).values()",
     "$.props.defaults({alpha: 0, zz: 7}).keys()",
     "$.props.defaults({alpha: 0, zz: 7}).values()",
     "$.props.defaults($.extra).keys()",

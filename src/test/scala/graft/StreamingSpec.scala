@@ -438,6 +438,29 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("round-9 map-lane lowerings run on streams (parity)") {
+    // the object-builtin lane is a stateless projection too — resolver
+    // shaping (from_json map) composes with the streaming source
+    val shaped = streamEvents.select(col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    val q = graft.plans.Lower.tryCompile(
+      """$.events.map({id: event_id, n: props.merge({z: 1}).len(),
+        |  ks: props.set("w", 2).keys().join(",")})""".stripMargin,
+      _ => shaped)
+    assert(q.nonEmpty && q.get.isStreaming)
+    val got = runToTable(q.get, "t_lowered_maplane")
+    val batchShaped = batchEvents.select(col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    val want = graft.plans.Lower.compile(
+      """$.events.map({id: event_id, n: props.merge({z: 1}).len(),
+        |  ks: props.set("w", 2).keys().join(",")})""".stripMargin,
+      _ => batchShaped)
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("n")).head.getLong(0) === want.agg(sum("n")).head.getLong(0))
+  }
+
   test("round-9 array-lane and regex-first lowerings run on streams (parity)") {
     // per-row HOF pipelines and the native first-match expressions are
     // stateless projections — the streaming lane must take the same
