@@ -179,6 +179,73 @@ class MapColumnSpec extends SparkSpec {
     test(s"native == interpreter: $e") { differential(e) }
   }
 
+  test("randomized map-op chains: compiled == interpreted") {
+    // generator-based arm over the same corpus: 1-3 kind-tracked map
+    // ops then an order-pinning terminal, every chain asserted to
+    // LOWER. Sweep extra seeds with GRAFT_FUZZ_SEED=<n>.
+    val rng = new scala.util.Random(FuzzSeed(31847))
+    val keyPool = Seq("alpha", "beta", "ax", "bx", "c", "k", "newk")
+    def key() = keyPool(rng.nextInt(keyPool.length))
+    // kind: true = long-valued lane, false = string-valued
+    def op(longKind: Boolean): (String, Boolean) = rng.nextInt(10) match {
+      case 0 => (s""".filter_keys(@.starts_with("${key().take(1)}"))""", longKind)
+      case 1 =>
+        (if (longKind) ".filter_values(@ != null and @ > 2)"
+         else ".filter_values(@.len() > 1)", longKind)
+      case 2 =>
+        (if (longKind) s".transform_values((@ ?? ${rng.nextInt(5)}) * 2)"
+         else ".transform_values(@.upper())", longKind)
+      case 3 => (rng.nextInt(3) match {
+        case 0 => ".transform_keys(@.upper())"
+        case 1 => ".transform_keys(@.len())"
+        case _ => ".transform_keys(\"k\")"
+      }, longKind)
+      case 4 =>
+        val m = if (rng.nextBoolean()) "merge" else "deep_merge"
+        (if (longKind) s""".$m({${key()}: ${rng.nextInt(9)}, zz: 1})"""
+         else s""".$m({${key()}: "q", zz: "w"})""", longKind)
+      case 5 =>
+        (if (longKind) s""".defaults({${key()}: ${rng.nextInt(9)}})"""
+         else s""".defaults({${key()}: "d"})""", longKind)
+      case 6 => (".invert()", false)
+      case 7 =>
+        (if (longKind) s""".set("${key()}", ${rng.nextInt(9)})"""
+         else s""".set("${key()}", "s${rng.nextInt(4)}")""", longKind)
+      case 8 =>
+        (if (longKind) s""".update("${key()}", (@ ?? 0) + 1)"""
+         else s""".update("${key()}", (@ ?? "") + "u")""", longKind)
+      case _ => (s""".rename("${key()}", "${key()}")""", longKind)
+    }
+    def terminal(longKind: Boolean): String = rng.nextInt(5) match {
+      case 0 => ".keys()"
+      case 1 => ".values()"
+      case 2 => ".len()"
+      case 3 => ".keys().join(\"|\")"
+      case _ => if (longKind) ".values().compact().sum()" else ".keys()"
+    }
+    (0 until 100).foreach { _ =>
+      val (recv, kind0) = rng.nextInt(3) match {
+        case 0 => ("$.props", true)
+        case 1 => ("$.attrs", false)
+        case _ => ("$.extra", true)
+      }
+      var kind = kind0
+      val n = 1 + rng.nextInt(3)
+      val sb = new StringBuilder(recv)
+      (0 until n).foreach { i =>
+        var (s, k2) = op(kind)
+        // a write-shaped first step (merge/deep_merge on a root path)
+        // is a chain-WRITE — keep the generated chains in read position
+        if (i == 0 && (s.startsWith(".merge") || s.startsWith(".deep_merge"))) {
+          sb ++= ".transform_values(@)"
+        }
+        sb ++= s; kind = k2
+      }
+      sb ++= terminal(kind)
+      differential(sb.toString)
+    }
+  }
+
   test("map ops stay on the compiled rung at table scope") {
     // the table analogue: a resolver-shaped map column flows through
     // Lower.compile with no doc/rowwise bail
