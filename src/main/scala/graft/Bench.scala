@@ -110,7 +110,23 @@ object Bench {
           "$.documents.map({k: doc_id, rf: text.re_replace(\"\\s+\", \"_\")," +
             " n: text.re_captures_all(\"(\\w+)\").len()})",
           t => Tables(s, d, t))),
-      "b_dup_ratio" -> cat("q_dup_ratio"))        // cross-doc span curation
+      "b_dup_ratio" -> cat("q_dup_ratio"),        // cross-doc span curation
+      // object-builtin map lane over ALL events (the oracle twin
+      // filters to a 3k slice for the gate)
+      "b_map_lane" -> ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.from_json(
+            org.apache.spark.sql.functions.col("props"),
+            "map<string,bigint>",
+            new java.util.HashMap[String, String]()).as("props"))
+        graft.plans.Lower.compile(
+          "$.events.map({id: event_id," +
+            " mg: props.transform_values(@).merge({z: 9}).values().sum()," +
+            " ks: props.set(\"w\", 3).keys().join(\",\")," +
+            " iv: props.invert().keys().first()})",
+          _ => ev)
+      }))
   }
 
   private def runOnce(df: DataFrame): Unit =
