@@ -2036,6 +2036,9 @@ object Lower {
         c = c.getField(n)
         dt = dt.flatMap {
           case st: StructType => st.find(_.name == n).map(_.dataType)
+          // GetMapValue: null on a missing key (fs.get → JNull), even
+          // under ANSI — and the value type stays statically known
+          case MapType(StringType, v, _) => Some(v)
           case _              => None
         }
       case Step.Index(Lit(JInt(i))) => dt match {
@@ -3764,6 +3767,7 @@ object Lower {
         s match {
           case Step.Field(f) => acc.flatMap {
             case st: StructType => st.find(_.name == f).map(_.dataType)
+            case MapType(StringType, v, _) => Some(v)
             case _              => None
           }
           case Step.Index(_) => acc.flatMap {

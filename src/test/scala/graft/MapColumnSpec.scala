@@ -169,6 +169,12 @@ class MapColumnSpec extends SparkSpec {
     // from_pairs over the pairs lane: malformed skipped, dups collapse
     "$.pairs.from_pairs().entries()",
     "$.pairs.from_pairs().keys()",
+    // static field access over a map lane: null on missing, value
+    // type statically known (string methods lower on string values)
+    "$.props.alpha",
+    "$.props.alpha ?? -1",
+    "$.attrs.alpha.upper()",
+    "$.props.nope",
     // chains off map results
     "$.props.keys().sort().join(\",\")",
     "$.props.values().compact().sum()",
