@@ -145,6 +145,9 @@ object Lower {
     * projection (OptimizeUpdateFields fuses the chains — asserted in
     * PlanQualitySpec). Paths that iterate anything but table rows
     * (`[n]`, `..f`) or conditionally DELETE fall back to doc mode.
+    * One-key-deep writes/deletes into `map<string,V>` columns lower
+    * through a map-level rewrite (see the replacements fold); deeper
+    * map paths fall back.
     */
   private def patchTable(
       target: Expr, fields: Vector[PatchField],
@@ -173,9 +176,30 @@ object Lower {
     // same-path fields fold last-wins (guard-false keeps the previous
     // field's result, matching sequential application with pre-batch reads).
     final case class Write(top: String, nested: List[String],
-                           guard: Option[Column], value: Column)
+                           guard: Option[Column], value: Column,
+                           valueDt: Option[org.apache.spark.sql.types.DataType])
     var deletes = Vector.empty[List[String]] // DELETE paths, in order
     var writes  = Vector.empty[Write]
+    // static type of the column the patch path walks to — struct fields
+    // plus a single string-keyed MAP hop at the top (the map-write lane
+    // below); None for paths the schema can't type (those either resolve
+    // dynamically or fail analysis and fall back)
+    def walkDt(names: List[String]): Option[org.apache.spark.sql.types.DataType] =
+      names.tail.foldLeft(
+        df0.schema.find(_.name == names.head).map(_.dataType)) { (acc, n) =>
+        acc.flatMap {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.find(_.name == n).map(_.dataType)
+          case org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, v, _) => Some(v)
+          case _ => None
+        }
+      }
+    def topMap(top: String): Option[org.apache.spark.sql.types.MapType] =
+      df0.schema.find(_.name == top).map(_.dataType).collect {
+        case m @ org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, _, _) => m
+      }
     rowPaths.foreach { f =>
       val (rowGuard, steps) = f.path.toList match {
         case PatchStep.Wild :: rest        => (None, rest)
@@ -187,9 +211,15 @@ object Lower {
         case s                  => bail(s"patch step $s")
       }
       if (names.isEmpty) bail("patch must name a field")
+      // writes INTO a map column lower only one key deep (props.k) —
+      // deeper paths would need nested per-value rewrites; doc mode
+      // sequences those correctly
+      if (topMap(names.head).isDefined && names.length > 2)
+        bail(s"map-column patch path ${names.mkString(".")} is not one key deep")
       val dotted = names.mkString(".")
       val oldLeaf = col(dotted)
-      val cl = new ColLower(Some(df0.schema), current = Some(oldLeaf))
+      val cl = new ColLower(Some(df0.schema), current = Some(oldLeaf),
+        currentDt = walkDt(names))
       val rowCl = new ColLower(Some(df0.schema))
       // Doc-mode patch leaves bind ONLY `@` (PatchEval leafEnv =
       // env.withCurrent(orig)); a bare identifier there is env-scoped
@@ -221,7 +251,7 @@ object Lower {
           val whenG = f.when.map(w => cl.truthy(cl.colExpr(w), w))
           val rowG  = rowGuard.map(p => rowCl.truthy(rowCl.colExpr(p), p))
           writes :+= Write(names.head, names.tail,
-            (whenG ++ rowG).reduceOption(_ && _), newV)
+            (whenG ++ rowG).reduceOption(_ && _), newV, cl.inferDt(vE))
       }
     }
     // DELETE interleaved with a write on the same column is
@@ -244,9 +274,43 @@ object Lower {
         w.guard.fold(w.value)(g =>
           when(coalesce(g, lit(false)), w.value).otherwise(acc))
       }
+    val tcl = new ColLower(Some(df0.schema))
     val replacements: Map[String, Column] = writes.groupBy(_.top).map {
       case (top, ws) if ws.head.nested.isEmpty =>
         top -> foldPath(top, ws)
+      case (top, ws) if topMap(top).isDefined =>
+        // writes INTO a `map<string,V>` column apply sequentially ON THE
+        // MAP, not as a leaf fold: guard-false keeps the map as-is (a
+        // missing key stays missing — PatchEval Skipped — where a leaf
+        // fold would insert the old-null), a null/missing map is created
+        // by an unguarded write ({k: v}, PatchEval's VectorMap.empty
+        // coercion), an existing key updates IN PLACE and a new key
+        // appends at the END (VectorMap `+`). Values and guards still
+        // read the PRE-BATCH columns, so sequential application only
+        // sequences the writes themselves — the batch contract holds.
+        val mt = topMap(top).get
+        val u = ws.foldLeft(mt.valueType) { (acc, w) =>
+          tcl.unifySameKind(acc,
+            w.valueDt.getOrElse(bail(s"map write value type unknown on $top")))
+            .getOrElse(bail(s"map write value kind differs from $top's lane"))
+        }
+        val outT = org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, u, valueContainsNull = true)
+        top -> ws.foldLeft(col(top).cast(outT)) { (acc, w) =>
+          val k = lit(w.nested.head)
+          val v = w.value.cast(u)
+          val single = map_from_arrays(array(k), array(v)).cast(outT)
+          val applied =
+            when(acc.isNull, single)
+              .when(map_contains_key(acc, k),
+                map_from_entries(transform(map_entries(acc), e =>
+                  struct(e.getField("key").as("key"),
+                    when(e.getField("key") === k, v)
+                      .otherwise(e.getField("value")).as("value")))))
+              .otherwise(map_concat(acc, single))
+          w.guard.fold(applied)(g =>
+            when(coalesce(g, lit(false)), applied).otherwise(acc))
+        }
       case (top, ws) =>
         // distinct nested paths chain withField on the ORIGINAL column;
         // same nested path folds first (ws is already in field order)
@@ -265,8 +329,22 @@ object Lower {
     val patched = df0.select((kept ++ appended).toIndexedSeq: _*)
     deletes.foldLeft(patched) { (df, names) =>
       if (names.length == 1) df.drop(names.head)
-      else df.withColumn(names.head,
-        col(names.head).dropFields(names.tail.mkString(".")))
+      else topMap(names.head) match {
+        case Some(mt) =>
+          // map-key DELETE drops the entry; a null/missing map becomes
+          // {} — PatchEval coerces the absent parent to VectorMap.empty
+          // and the delete still registers as Changed
+          val outT = org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, mt.valueType,
+            valueContainsNull = true)
+          df.withColumn(names.head,
+            map_from_entries(filter(
+              map_entries(coalesce(col(names.head).cast(outT), map().cast(outT))),
+              e => e.getField("key") =!= names(1))))
+        case None =>
+          df.withColumn(names.head,
+            col(names.head).dropFields(names.tail.mkString(".")))
+      }
     }
   }
 
@@ -2678,7 +2756,7 @@ object Lower {
     * match, integral widening to long, fractional widening to double.
     * An int/float mix stays heterogeneous in the interpreter (JInt
     * renders "1", JFloat "1.0") — no static lane holds that, so None. */
-  private def unifySameKind(a: DataType, b: DataType): Option[DataType] =
+  private[Lower] def unifySameKind(a: DataType, b: DataType): Option[DataType] =
     if (a == b) Some(a)
     else if (integralDt(a) && integralDt(b)) Some(LongType)
     else if (fractionalDt(a) && fractionalDt(b)) Some(DoubleType)

@@ -666,6 +666,63 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Static field access straight into a `map<string,V>` column
+    * (`props.k`): GetMapValue is null-on-missing-key even under ANSI —
+    * exactly the interpreter's fs.get → JNull — and the lowering now
+    * carries V statically, so typed chains (`?? `, arithmetic) keep
+    * compiling after the access. The `nope` lane pins the miss path
+    * (always-null → coalesce). */
+  private val mapFieldL = q(
+    "q_lower_map_field",
+    """SELECT event_id AS id,
+      |  CAST(COALESCE(CAST(json_extract(props,'$.k') AS BIGINT), -1) AS BIGINT) AS v,
+      |  CAST(COALESCE(CAST(json_extract(props,'$.k') AS BIGINT), 0) + 1 AS BIGINT) AS s,
+      |  CAST(-1 AS BIGINT) AS m
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  v: props.k ?? -1,
+        |  s: (props.k ?? 0) + 1,
+        |  m: props.nope ?? -1})""".stripMargin,
+      _ => ev)
+  }
+
+  /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
+    * lower through the map-level rewrite: guarded in-place update on an
+    * existing key, append-at-END for a new key (VectorMap `+` order,
+    * pinned by the ks lane), `@`/guards reading the pre-batch leaf.
+    * Differential branch coverage (null maps, missing keys, deletes)
+    * lives in GraftCompileSpec; this row is the end-to-end DuckDB
+    * proof on real parquet. */
+  private val patchMapL = q(
+    "q_lower_patch_map",
+    """SELECT event_id AS id,
+      |  CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) < 50
+      |       THEN CAST(json_extract(props,'$.k') AS BIGINT) * 2
+      |       ELSE CAST(json_extract(props,'$.k') AS BIGINT) END AS k,
+      |  CAST(9 AS BIGINT) AS z,
+      |  'k,z' AS ks
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") < 3000)
+      .select(col("event_id"),
+        from_json(col("props"), "map<string,bigint>",
+          new java.util.HashMap[String, String]()).as("props"))
+    val patched = Lower.compile(
+      """patch $ { events[*].props.k: @ * 2 when @ < 50,
+        |          events[*].props.z: 9 }""".stripMargin, _ => ev)
+    patched.select(col("event_id").as("id"),
+      col("props").getField("k").as("k"),
+      col("props").getField("z").as("z"),
+      array_join(map_keys(col("props")), ",").as("ks"))
+      .orderBy("id")
+  }
+
   /** `{...@, …}` spread-of-row shapes now lower: the spread inserts
     * every column in schema order and a later key overrides IN PLACE
     * (the interpreter's VectorMap-update position rule) — the common
@@ -1100,5 +1157,5 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL, mapOpsL)
+    regexFirstL, mapOpsL, mapFieldL, patchMapL)
 }

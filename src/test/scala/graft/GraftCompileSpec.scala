@@ -1291,6 +1291,61 @@ class GraftCompileSpec extends AnyFunSuite with BeforeAndAfterAll {
       "patch $ { nation[*].n_name: DELETE, nation[*].n_name: \"x\" }"))
   }
 
+  test("patch writes into map columns lower with PatchEval semantics") {
+    import org.apache.spark.sql.functions._
+    // events.props as a real map lane, with null maps and missing keys
+    // so every branch fires: create-on-null, in-place update, append,
+    // guard-false keeps the key missing, delete-on-null creates {}
+    val src = graft.core.Tables(spark, sfDir, "events")
+      .filter(col("event_id") < 500)
+      .select(col("event_id"),
+        from_json(col("props"), "map<string,bigint>",
+          new java.util.HashMap[String, String]()).as("props"))
+      .withColumn("props",
+        when(col("event_id") % 7 === 0, lit(null).cast("map<string,bigint>"))
+          .when(col("event_id") % 5 === 0,
+            map_filter(col("props"), (k, _) => k =!= "k"))
+          .otherwise(col("props")))
+    val docRows = src.toJSON.collect()
+    val doc = JValue.parse(s"""{"events": [${docRows.mkString(",")}]}""")
+    val exprs = Seq(
+      "patch $ { events[*].props.k: (@ ?? 0) * 2 }",           // update/create
+      "patch $ { events[*].props.z: 7 }",                      // append new key
+      "patch $ { events[*].props.k: @ + 1 when @ > 50 }",      // guard keeps missing
+      "patch $ { events[*].props.k: 1, events[*].props.z: (@ ?? 0) - 1 }", // two keys
+      "patch $ { events[*].props.k: DELETE }")                 // delete (null → {})
+    exprs.foreach { e =>
+      val out = graft.plans.Lower.compile(e, _ => src)
+      // entry ORDER is part of the contract — compare the JSON forms
+      val got = out
+        .select(col("event_id"), to_json(col("props")).as("j"))
+        .collect()
+        .map(r => r.getAs[Number]("event_id").longValue ->
+          Option(r.getAs[String]("j")).getOrElse("null"))
+        .toMap
+      val exp = Jetro.compile(e).evalValue(doc) match {
+        case jexpr.JObj(fs) => fs("events") match {
+          case jexpr.JArr(xs) => xs.map { o =>
+            JValue.asNum(jexpr.Interp.fieldOf(o, "event_id")).get.toLong ->
+              (jexpr.Interp.fieldOf(o, "props") match {
+                case jexpr.JNull => "null"
+                case v           => v.render
+              })
+          }.toMap
+          case other => fail(s"expected array, got ${other.kind}")
+        }
+        case other => fail(s"expected object, got ${other.kind}")
+      }
+      assert(got.size == 500, s"row count for $e")
+      got.keys.foreach { id =>
+        assert(got(id) == exp(id), s"$e diverges at event_id=$id")
+      }
+    }
+    // deeper-than-one-key map paths and conditional DELETE stay doc-mode
+    assert(graft.plans.Lower.tryCompile(
+      "patch $ { events[*].props.k.x: 1 }", _ => src).isEmpty)
+  }
+
   test("reverse and suffix slice lower on the active order") {
     def runIds(e: String): Vector[Long] = graft.plans.Lower
       .compile(e, t => graft.core.Tables(spark, sfDir, t))
