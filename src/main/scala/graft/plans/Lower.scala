@@ -289,6 +289,12 @@ object Lower {
         // read the PRE-BATCH columns, so sequential application only
         // sequences the writes themselves — the batch contract holds.
         val mt = topMap(top).get
+        // each fold level embeds the accumulated map ~5×, so the
+        // expression tree grows ~5^W — fine for the 1-3 writes real
+        // patches carry, pathological beyond; doc mode sequences long
+        // batches correctly
+        if (ws.length > 5)
+          bail(s"map patch with ${ws.length} writes on $top stays doc-mode")
         val u = ws.foldLeft(mt.valueType) { (acc, w) =>
           tcl.unifySameKind(acc,
             w.valueDt.getOrElse(bail(s"map write value type unknown on $top")))

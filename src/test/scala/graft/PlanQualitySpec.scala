@@ -355,6 +355,20 @@ class PlanQualitySpec extends SparkSpec {
       naive.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("map-column patch stays one shuffle-free projection over the scan") {
+    import org.apache.spark.sql.functions._
+    val shaped = Tables(spark, sf, "events").select(col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    val patched = graft.plans.Lower.compile(
+      """patch $ { events[*].props.k: @ * 2 when @ < 50,
+        |          events[*].props.z: 9 }""".stripMargin, _ => shaped)
+    val plan = patched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val opt = patched.queryExecution.optimizedPlan.toString
+    assert("(?m)^\\s*\\+?-? ?Project".r.findAllIn(opt).length <= 2, opt)
+  }
+
   test("snapshot diff shuffles digests, never payload columns") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

@@ -461,6 +461,26 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got.agg(sum("n")).head.getLong(0) === want.agg(sum("n")).head.getLong(0))
   }
 
+  test("map-column patch writes lower on streams (parity)") {
+    // the map-level patch rewrite is a stateless projection — the same
+    // compiled plan must run incrementally on the shaped stream
+    val e = """patch $ { events[*].props.k: @ * 2 when @ < 50,
+              |          events[*].props.z: 9 }""".stripMargin
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+        from_json(col("props"), "map<string,bigint>",
+          new java.util.HashMap[String, String]()).as("props"))
+    val q = graft.plans.Lower.tryCompile(e, _ => shaped(streamEvents))
+    assert(q.nonEmpty && q.get.isStreaming)
+    val got = runToTable(q.get, "t_lowered_mappatch")
+    val want = graft.plans.Lower.compile(e, _ => shaped(batchEvents))
+    assert(got.count() === want.count() && got.count() > 0)
+    Seq("k", "z").foreach { key =>
+      assert(got.select(sum(col("props").getField(key))).head.getLong(0)
+        === want.select(sum(col("props").getField(key))).head.getLong(0), key)
+    }
+  }
+
   test("round-9 array-lane and regex-first lowerings run on streams (parity)") {
     // per-row HOF pipelines and the native first-match expressions are
     // stateless projections — the streaming lane must take the same
