@@ -2206,7 +2206,8 @@ object Lower {
     "filter", "find", "find_all", "where", "map", "flat_map", "compact",
     "count", "len", "length", "sum", "avg", "mean", "min", "max",
     "first", "last", "nth", "take", "skip", "drop", "unique", "distinct",
-    "reverse", "any", "exists", "all", "includes", "contains", "join",
+    "reverse", "any", "exists", "all", "includes", "contains",
+    "has", "missing", "join",
     "sort", "sort_by",
     "collect", "append", "prepend", "flatten", "slice", "remove",
     "index", "index_of", "indices_of", "find_first", "find_one",
@@ -2224,7 +2225,8 @@ object Lower {
   private val mapOps: Set[String] = Set(
     "keys", "values", "entries", "to_pairs", "len", "length",
     "filter_keys", "filter_values", "transform_values", "transform_keys",
-    "merge", "deep_merge", "defaults", "invert", "set", "update", "rename")
+    "merge", "deep_merge", "defaults", "invert", "set", "update", "rename",
+    "has", "missing", "includes", "contains")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -2429,9 +2431,20 @@ object Lower {
       case "all" =>
         (coalesce(forall(c, x => body(0).predStrict(x)), lit(true)),
           Some(BooleanType))
-      case "includes" | "contains" =>
-        (coalesce(array_contains(c, colExpr(argE(args, 0))), lit(false)),
-          Some(BooleanType))
+      case "includes" | "contains" | "has" | "missing" =>
+        // Builtins.membership array case: JValue.eq finds null ELEMENTS
+        // when the item is null (array_contains would null out). The
+        // item binds via letRow so it evaluates once, not per element.
+        // has/missing are TOTAL (a null receiver is false); includes/
+        // contains only dispatch to membership for array/object
+        // receivers (Builtins:566) — a null receiver falls through to
+        // the string builtins, which return it unchanged: null.
+        val posi = letRow(Seq(c, colExpr(argE(args, 0)))) { case Seq(cc, vv) =>
+          if (name == "has" || name == "missing")
+            coalesce(exists(cc, x => x <=> vv), lit(false))
+          else when(cc.isNotNull, exists(cc, x => x <=> vv))
+        }
+        (if (name == "missing") !posi else posi, Some(BooleanType))
       case "join" => at.elementType match {
         case StringType =>
           val sep = strLit(args, 0, "")
@@ -3026,6 +3039,31 @@ object Lower {
               .otherwise(map_concat(aa, map_from_arrays(array(k), array(v))))
           }
         }, Some(outMap(u)))
+      case "has" | "missing" =>
+        // key membership (Builtins.membership JObj case): a string key
+        // tests presence — a null-VALUED entry still counts — and any
+        // non-string item is false; a null receiver reads as {} and a
+        // null key yields false, so membership never returns null
+        val posi = inferDt(argE(args, 0)) match {
+          case Some(StringType) =>
+            coalesce(map_contains_key(m0, colExpr(argE(args, 0))), lit(false))
+          case Some(_) => lit(false)
+          case None    => bail(s"$name key type unknown")
+        }
+        (if (name == "missing") !posi else posi, Some(BooleanType))
+      case "includes" | "contains" =>
+        // same membership, EXCEPT the dispatch guard (Builtins:566) only
+        // fires for array/object receivers — a null receiver falls
+        // through to the string builtins, which keep a non-string
+        // receiver unchanged: null in, null out
+        val posi = inferDt(argE(args, 0)) match {
+          case Some(StringType) =>
+            when(c.isNotNull,
+              coalesce(map_contains_key(c, colExpr(argE(args, 0))), lit(false)))
+          case Some(_) => when(c.isNotNull, lit(false))
+          case None    => bail(s"$name key type unknown")
+        }
+        (posi, Some(BooleanType))
       case "rename" => // positional rename(old, new) only
         if (args.length != 2 || args.exists(_.name.nonEmpty))
           bail("only rename(old, new) lowers")
@@ -3057,6 +3095,7 @@ object Lower {
     case "keys"                         => Some(ArrayType(StringType))
     case "values"                       => Some(ArrayType(mt.valueType, containsNull = true))
     case "len" | "length"               => Some(LongType)
+    case "has" | "missing" | "includes" | "contains" => Some(BooleanType)
     case "entries" | "to_pairs"         =>
       Some(ArrayType(ArrayType(StringType, containsNull = true)))
     case "filter_keys" | "filter_values" | "transform_keys" | "rename" =>
@@ -3708,16 +3747,22 @@ object Lower {
         // ("null" for a null item — pinned); objects test key
         // membership. dtOf picks the container form; anything untyped
         // bails to the interpreter.
+        // membership() is TOTAL — a null receiver (or key) is false,
+        // never null — so every container form coalesces at the source
+        // and the result is position-independent (MapColumnSpec row 5
+        // caught the raw map_contains_key leaking null in value
+        // position)
         dtOf(lE) match {
-          case Some(_: ArrayType) => exists(l, x => x <=> r)
+          case Some(_: ArrayType) =>
+            coalesce(exists(l, x => x <=> r), lit(false))
           case Some(StringType) =>
             if (kindOf(rE) != Kind.Str)
               bail(s"string has lowers only with a string item: $rE")
-            l.contains(coalesce(r, lit("null")))
+            coalesce(l.contains(coalesce(r, lit("null"))), lit(false))
           case Some(_: MapType) =>
             if (kindOf(rE) != Kind.Str)
               bail(s"map has lowers only with a string key: $rE")
-            map_contains_key(l, r)
+            coalesce(map_contains_key(l, r), lit(false))
           case Some(st: StructType) =>
             // the interpreter tests key membership over the null-field-
             // OMITTING bridge document (RowBridge/to_json drop null
@@ -3882,7 +3927,8 @@ object Lower {
     case "avg" | "mean"                        => Some(DoubleType)
     case "min" | "max" | "nth" => Some(at.elementType)
     // first/last: element no-arg, array with n — args not visible here
-    case "any" | "exists" | "all" | "includes" | "contains" => Some(BooleanType)
+    case "any" | "exists" | "all" | "includes" | "contains" |
+         "has" | "missing" => Some(BooleanType)
     case "join"                                => Some(StringType)
     case "filter" | "find" | "find_all" | "where" | "compact" | "take" |
          "skip" | "drop" | "unique" | "distinct" | "reverse" |

@@ -175,6 +175,24 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha ?? -1",
     "$.attrs.alpha.upper()",
     "$.props.nope",
+    // key membership: hit, miss, null receiver (row 5 — interpreter
+    // membership(JNull) = false, so the lowering must two-value it in
+    // value position), and a null-VALUED key still counts as present
+    "$.props has \"alpha\"",
+    "$.props has \"nope\"",
+    "$.attrs has \"beta\"",
+    "1 if $.props has \"k\" else 0",
+    // method-form membership over map and array lanes; the
+    // values().has($.props.nope) case probes a NULL item against an
+    // array that may hold null elements (JValue.eq finds them —
+    // array_contains would null out)
+    "$.props.has(\"alpha\")",
+    "$.props.missing(\"alpha\")",
+    "$.props.includes(\"k\")",
+    "$.attrs.contains(\"beta\")",
+    "$.props.values().has(3)",
+    "$.props.values().has($.props.nope)",
+    "$.props.values().missing(5)",
     // chains off map results
     "$.props.keys().sort().join(\",\")",
     "$.props.values().compact().sum()",
