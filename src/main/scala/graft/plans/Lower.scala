@@ -3906,15 +3906,65 @@ object Lower {
           case Step.Slice(_, _) => acc.collect { case at: ArrayType => at }
           case Step.InlineFilter(_) => acc.collect { case at: ArrayType => at }
           case Step.Optional      => acc
-          case Step.Method(m, _)  => acc match {
+          case Step.Method(m, margs) => acc match {
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
-            case Some(mt: MapType) if mapOps(m)     => mapMethodReturn(m, mt)
+            case Some(mt: MapType) if mapOps(m)     =>
+              mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))
             case _                                  => scalarFnReturn(m)
           }
           case _                  => None
         }
       }
     case _ => None
+  }
+
+  /** ARG-typed map results — merge/deep_merge/defaults/set — typed by
+    * the same vt-unification [[mapMethod]] performs, so chains over
+    * them stay statically known for downstream dispatch (the operator
+    * `has`, nested method calls). Body-typed lanes (transform_values /
+    * update) still report None; deep_merge's object-valued shapes
+    * report None to mirror its doc-mode bail. */
+  private def mapMethodArgReturn(
+      m: String, mt: MapType, args: Vector[Arg]): Option[DataType] = {
+    if (mt.keyType != StringType) return None
+    def objLike(d: DataType): Boolean =
+      d.isInstanceOf[StructType] || d.isInstanceOf[MapType]
+    def out(u: DataType) = MapType(StringType, u, valueContainsNull = true)
+    // the arg's own value type: a string-keyed map's valueType, or a
+    // struct literal's fields unified together
+    def argVt(i: Int): Option[DataType] = inferDt(args(i).e).flatMap {
+      case MapType(StringType, ov, _) => Some(ov)
+      case st: StructType =>
+        st.fields.map(_.dataType).toList match {
+          case Nil    => Some(mt.valueType) // {} merges type-neutrally
+          case h :: t => t.foldLeft(Option(h))((a, d) => a.flatMap(unifySameKind(_, d)))
+        }
+      case _ => None
+    }
+    def unifyAll: Option[DataType] =
+      args.indices.foldLeft(Option(mt.valueType)) { (acc, i) =>
+        acc.flatMap(u => argVt(i).flatMap(unifySameKind(u, _)))
+      }
+    m match {
+      case "merge" if args.nonEmpty => unifyAll.map(out)
+      case "deep_merge" if args.nonEmpty =>
+        unifyAll.filterNot(u => objLike(u) || objLike(mt.valueType)).map(out)
+      case "defaults" if args.length == 1 => unifyAll.map(out)
+      case "set" if args.length == 2 =>
+        inferDt(args(1).e).flatMap(unifySameKind(mt.valueType, _)).map(out)
+      // body-typed lanes, via the same EBody scope mapMethod uses; a
+      // body that cannot even scope (multi-param lambda) types as None
+      // instead of aborting the type walk
+      case "transform_values" if args.length == 1 =>
+        try new EBody(ArrayType(mt.valueType, containsNull = true), args(0).e)
+          .dt.map(out)
+        catch { case _: LowerException => None }
+      case "update" if args.length == 2 =>
+        try new EBody(ArrayType(mt.valueType, containsNull = true), args(1).e)
+          .dt.flatMap(unifySameKind(mt.valueType, _)).map(out)
+        catch { case _: LowerException => None }
+      case _ => None
+    }
   }
 
   /** Static return type of an array-pipeline method, for chain typing

@@ -692,6 +692,30 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Membership over the map lane: the `has` operator and the
+    * has/missing/includes method forms, all total-on-data here (the
+    * null-receiver/null-item corners are pinned differentially in
+    * MapColumnSpec — membership never returns SQL null). */
+  private val mapHasL = q(
+    "q_lower_map_has",
+    """SELECT event_id AS id,
+      |  list_contains(json_keys(props),'k') AS h,
+      |  NOT list_contains(json_keys(props),'nope') AS m,
+      |  list_contains(json_keys(props),'k') AS i
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  h: props has "k",
+        |  m: props.missing("nope"),
+        |  i: props.includes("k")})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1157,5 +1181,5 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL, mapOpsL, mapFieldL, patchMapL)
+    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL)
 }

@@ -97,10 +97,16 @@ class MapColumnSpec extends SparkSpec {
     case _ => a == b
   }
 
-  private def differential(expr: String): Unit = {
+  /** Returns true when the expression lowered (and matched); with
+    * `mustLower = false` a non-lowering chain is skipped, not failed —
+    * the generator test uses that to sample a random pool. */
+  private def differential(expr: String, mustLower: Boolean = true): Boolean = {
     val doc = struct(docType.fieldNames.map(col): _*)
-    val nativeCol = Jetro.evalNative(expr, doc, docType)
-      .getOrElse(fail(s"did not lower: $expr"))
+    val nativeCol = Jetro.evalNative(expr, doc, docType) match {
+      case Some(c)            => c
+      case None if !mustLower => return false
+      case None               => fail(s"did not lower: $expr")
+    }
     val both = docs
       .select(col("id"), nativeCol.as("native"), to_json(doc).as("json"))
       .orderBy("id")
@@ -114,6 +120,7 @@ class MapColumnSpec extends SparkSpec {
       assert(jEq(native, interp),
         s"row id=${r.getLong(0)} expr=$expr native=${native.render} interp=${interp.render}")
     }
+    true
   }
 
   private val exprs = Seq(
@@ -240,11 +247,15 @@ class MapColumnSpec extends SparkSpec {
          else s""".update("${key()}", (@ ?? "") + "u")""", longKind)
       case _ => (s""".rename("${key()}", "${key()}")""", longKind)
     }
-    def terminal(longKind: Boolean): String = rng.nextInt(5) match {
+    def terminal(longKind: Boolean): String = rng.nextInt(9) match {
       case 0 => ".keys()"
       case 1 => ".values()"
       case 2 => ".len()"
       case 3 => ".keys().join(\"|\")"
+      case 4 => s""".has("${key()}")"""
+      case 5 => s""".missing("${key()}")"""
+      case 6 => s""".includes("${key()}")"""
+      case 7 => s""" has "${key()}""""
       case _ => if (longKind) ".values().compact().sum()" else ".keys()"
     }
     (0 until 100).foreach { _ =>
