@@ -3754,7 +3754,12 @@ object Lower {
         // position)
         dtOf(lE) match {
           case Some(_: ArrayType) =>
-            coalesce(exists(l, x => x <=> r), lit(false))
+            // the item binds via letRow: a computed r captured in the
+            // exists body would re-evaluate per ELEMENT (the HOF
+            // lambda-capture discipline)
+            letRow(Seq(l, r)) { case Seq(ll, rr) =>
+              coalesce(exists(ll, x => x <=> rr), lit(false))
+            }
           case Some(StringType) =>
             if (kindOf(rE) != Kind.Str)
               bail(s"string has lowers only with a string item: $rE")
