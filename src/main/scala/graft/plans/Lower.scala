@@ -2152,6 +2152,39 @@ object Lower {
         case _ => bail("inline filter over a non-array lane")
       }
       case Step.Method(m, args) => dt match {
+        case Some(t) if (m == "get_path" || m == "has_path") &&
+            args.length == 1 &&
+            (t.isInstanceOf[StructType] ||
+             (t match { case MapType(StringType, _, _) => true
+                        case _ => false })) =>
+          // Builtins.getPath: fold fieldOf over '.'-split segments —
+          // a miss or non-container yields JNull for the rest of the
+          // walk. Literal paths walk getField statically (struct
+          // segments must exist in the schema — the bridge omission
+          // makes a null field ≡ absent — and map segments are
+          // null-on-miss); dynamic paths and walks into non-containers
+          // stay on the document rungs. has_path is the non-null test,
+          // total by construction.
+          val p = argE(args, 0) match {
+            case Lit(JStr(s)) => s
+            case other        => bail(s"$m needs a literal path, got $other")
+          }
+          var cc = c; var dd: Option[DataType] = Some(t)
+          p.split('.').foreach { k =>
+            dd match {
+              case Some(st: StructType) =>
+                if (!st.fieldNames.contains(k))
+                  bail(s"$m segment $k not in ${st.simpleString}")
+                cc = cc.getField(k); dd = Some(st(k).dataType)
+              case Some(MapType(StringType, v, _)) =>
+                cc = cc.getField(k); dd = Some(v)
+              case Some(other) =>
+                bail(s"$m walks into a ${other.simpleString}")
+              case None => bail(s"$m segment $k untyped")
+            }
+          }
+          if (m == "has_path") { c = cc.isNotNull; dt = Some(BooleanType) }
+          else { c = cc; dt = dd }
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2

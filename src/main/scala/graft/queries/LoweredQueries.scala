@@ -716,6 +716,29 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Dot-path ops over the map lane: literal `get_path`/`has_path`
+    * walk getField statically (null on miss; has_path = non-null test;
+    * null-receiver/null-valued-entry corners pinned in MapColumnSpec). */
+  private val getPathL = q(
+    "q_lower_get_path",
+    """SELECT event_id AS id,
+      |  CAST(COALESCE(CAST(json_extract(props,'$.k') AS BIGINT), -1) AS BIGINT) AS v,
+      |  list_contains(json_keys(props),'k') AS hp,
+      |  NOT list_contains(json_keys(props),'nope') AS np
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  v: props.get_path("k") ?? -1,
+        |  hp: props.has_path("k"),
+        |  np: props.has_path("nope") == false})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1181,5 +1204,5 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL)
+    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL)
 }

@@ -200,6 +200,15 @@ class MapColumnSpec extends SparkSpec {
     "$.props.values().has(3)",
     "$.props.values().has($.props.nope)",
     "$.props.values().missing(5)",
+    // dot-path walks over maps (and through the root struct): field
+    // miss and null receivers read as JNull; has_path is the non-null
+    // test
+    "$.props.get_path(\"alpha\") ?? -1",
+    "$.props.has_path(\"alpha\")",
+    "$.props.has_path(\"nope\")",
+    "$.get_path(\"props.alpha\") ?? -1",
+    "$.get_path(\"attrs.beta\") ?? \"-\"",
+    "$.has_path(\"props.k\")",
     // chains off map results
     "$.props.keys().sort().join(\",\")",
     "$.props.values().compact().sum()",
