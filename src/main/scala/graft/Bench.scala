@@ -126,6 +126,24 @@ object Bench {
             " ks: props.set(\"w\", 3).keys().join(\",\")," +
             " iv: props.invert().keys().first()})",
           _ => ev)
+      }),
+      // map-column patch + membership + dot-path over ALL events —
+      // the round-9 map write/read lanes at whole-table scale
+      "b_map_patch" -> ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.from_json(
+            org.apache.spark.sql.functions.col("props"),
+            "map<string,bigint>",
+            new java.util.HashMap[String, String]()).as("props"))
+        val patched = graft.plans.Lower.compile(
+          "patch $ { events[*].props.k: @ * 2 when @ < 50," +
+            " events[*].props.z: 9 }",
+          _ => ev)
+        graft.plans.Lower.compile(
+          "$.events.map({id: event_id, v: props.get_path(\"k\") ?? -1," +
+            " h: props has \"z\", m: props.missing(\"nope\")})",
+          _ => patched)
       }))
   }
 
