@@ -2152,6 +2152,19 @@ object Lower {
         case _ => bail("inline filter over a non-array lane")
       }
       case Step.Method(m, args) => dt match {
+        case Some(t) if (m == "type" || m == "type_of") && args.isEmpty =>
+          // JValue.kind is static per lane except the null case — one
+          // null test against an otherwise-constant string
+          val k = t match {
+            case _: StructType | _: MapType => "object"
+            case _: ArrayType               => "array"
+            case StringType                 => "string"
+            case BooleanType                => "bool"
+            case d if numericDt(d)          => "number"
+            case other => bail(s"type() over a ${other.simpleString} lane")
+          }
+          c = when(c.isNull, lit("null")).otherwise(lit(k))
+          dt = Some(StringType)
         case Some(t) if (m == "get_path" || m == "has_path") &&
             args.length == 1 &&
             (t.isInstanceOf[StructType] ||

@@ -739,6 +739,24 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** `.type()/.type_of()` — static per lane (JValue.kind) except the
+    * null test; map lanes read "object", their values "number". The
+    * null corners (null map → "null", missing key → "null") are pinned
+    * differentially in MapColumnSpec. */
+  private val typeL = q(
+    "q_lower_type",
+    """SELECT event_id AS id, 'object' AS tp, 'number' AS tk
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id, tp: props.type(), tk: props.k.type_of()})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1204,5 +1222,5 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL)
+    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL)
 }

@@ -200,6 +200,13 @@ class MapColumnSpec extends SparkSpec {
     "$.props.values().has(3)",
     "$.props.values().has($.props.nope)",
     "$.props.values().missing(5)",
+    // .type(): static per lane except null (null map → "null", long
+    // value hit → "number", miss → "null")
+    "$.props.type()",
+    "$.attrs.type_of()",
+    "$.props.alpha.type()",
+    "$.pairs.type()",
+    "$.id.type()",
     // dot-path walks over maps (and through the root struct): field
     // miss and null receivers read as JNull; has_path is the non-null
     // test
