@@ -96,7 +96,9 @@ object Lower {
     try Some(new ColLower(None, rootStruct = Some((doc, docType)))
       .colExpr(parseCached(expr)))
     catch {
-      case _: LowerException             => None
+      case e: LowerException             =>
+        if (sys.env.contains("GRAFT_LOWER_DEBUG")) println(s"[lower-bail] $expr: ${e.getMessage}")
+        None
       case _: graft.jexpr.ParseException => None
     }
 
@@ -2272,7 +2274,8 @@ object Lower {
     "keys", "values", "entries", "to_pairs", "len", "length",
     "filter_keys", "filter_values", "transform_values", "transform_keys",
     "merge", "deep_merge", "defaults", "invert", "set", "update", "rename",
-    "has", "missing", "includes", "contains")
+    "has", "missing", "includes", "contains",
+    "set_path", "del_path", "del_paths")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -3110,6 +3113,37 @@ object Lower {
           case None    => bail(s"$name key type unknown")
         }
         (posi, Some(BooleanType))
+      case "set_path" if args.length == 2 =>
+        // a one-segment literal path is exactly set(k, v) — setPath's
+        // VectorMap `+` (create-on-null, in-place-or-append); deeper
+        // paths create nested objects, doc mode owns those
+        argE(args, 0) match {
+          case Lit(JStr(p)) if !p.contains('.') =>
+            mapMethod("set", c, mt, Vector(Arg(None, Lit(JStr(p))), args(1)))
+          case other => bail(s"set_path lowers only one-segment literal paths: $other")
+        }
+      case "del_path" if args.length == 1 =>
+        // JObj(fs - k); a NULL receiver returns unchanged (delPath's
+        // non-object case keeps the value) — so no null→{} read here
+        argE(args, 0) match {
+          case Lit(JStr(p)) if !p.contains('.') =>
+            (map_from_entries(filter(map_entries(c),
+              e => e.getField("key") =!= p)), Some(outMap(vt)))
+          case other => bail(s"del_path lowers only one-segment literal paths: $other")
+        }
+      case "del_paths" if args.length == 1 =>
+        // fold of del_path over a LITERAL array of one-segment paths
+        argE(args, 0) match {
+          case ArrLit(elems) =>
+            val ps = elems.map {
+              case graft.jexpr.Expr.ArrElem.One(Lit(JStr(p))) if !p.contains('.') => p
+              case other => bail(s"del_paths lowers only literal one-segment paths: $other")
+            }
+            (map_from_entries(filter(map_entries(c),
+              e => !ps.map(p => e.getField("key") === lit(p))
+                .foldLeft(lit(false))(_ || _))), Some(outMap(vt)))
+          case other => bail(s"del_paths needs a literal path array: $other")
+        }
       case "rename" => // positional rename(old, new) only
         if (args.length != 2 || args.exists(_.name.nonEmpty))
           bail("only rename(old, new) lowers")
@@ -3144,7 +3178,8 @@ object Lower {
     case "has" | "missing" | "includes" | "contains" => Some(BooleanType)
     case "entries" | "to_pairs"         =>
       Some(ArrayType(ArrayType(StringType, containsNull = true)))
-    case "filter_keys" | "filter_values" | "transform_keys" | "rename" =>
+    case "filter_keys" | "filter_values" | "transform_keys" | "rename" |
+         "del_path" | "del_paths" =>
       Some(MapType(StringType, mt.valueType, valueContainsNull = true))
     case "invert"                       =>
       Some(MapType(StringType, StringType, valueContainsNull = true))
@@ -4001,7 +4036,7 @@ object Lower {
       case "deep_merge" if args.nonEmpty =>
         unifyAll.filterNot(u => objLike(u) || objLike(mt.valueType)).map(out)
       case "defaults" if args.length == 1 => unifyAll.map(out)
-      case "set" if args.length == 2 =>
+      case "set" | "set_path" if args.length == 2 =>
         inferDt(args(1).e).flatMap(unifySameKind(mt.valueType, _)).map(out)
       // body-typed lanes, via the same EBody scope mapMethod uses; a
       // body that cannot even scope (multi-param lambda) types as None

@@ -757,6 +757,27 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** One-segment `set_path`/`del_path(s)` over the map lane — exactly
+    * set(k,v) / key removal, with delPath's null-receiver-unchanged
+    * rule pinned differentially in MapColumnSpec. */
+  private val setPathL = q(
+    "q_lower_set_path",
+    """SELECT event_id AS id,
+      |  CAST(CAST(json_extract(props,'$.k') AS BIGINT) + 42 AS BIGINT) AS sv,
+      |  CAST(0 AS BIGINT) AS dn
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  sv: props.set_path("z", 42).values().sum(),
+        |  dn: props.del_paths(["k", "nope"]).len()})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1222,5 +1243,6 @@ object LoweredQueries extends QueryGroup {
     sortCmp, rowwiseFb, tracePathL, walkL, deepArrL,
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
-    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL)
+    regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
+    setPathL)
 }

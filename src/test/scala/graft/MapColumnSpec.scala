@@ -207,6 +207,14 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha.type()",
     "$.pairs.type()",
     "$.id.type()",
+    // one-segment set_path/del_path(s): exactly set/key-removal, with
+    // delPath's null-receiver-unchanged rule (row 5 reads through as
+    // objOnly {} on the terminal)
+    "$.props.set_path(\"alpha\", 42).values().compact().sum()",
+    "$.props.set_path(\"newk\", 1).keys()",
+    "$.props.del_path(\"alpha\").keys()",
+    "$.props.del_paths([\"alpha\", \"k\"]).keys()",
+    "$.attrs.del_path(\"nope\").entries()",
     // dot-path walks over maps (and through the root struct): field
     // miss and null receivers read as JNull; has_path is the non-null
     // test
