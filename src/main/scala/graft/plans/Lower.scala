@@ -2275,7 +2275,7 @@ object Lower {
     "filter_keys", "filter_values", "transform_values", "transform_keys",
     "merge", "deep_merge", "defaults", "invert", "set", "update", "rename",
     "has", "missing", "includes", "contains",
-    "set_path", "del_path", "del_paths")
+    "set_path", "del_path", "del_paths", "to_json", "to_string")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
   private final class EBody(at: ArrayType, raw: Expr) {
@@ -3113,6 +3113,15 @@ object Lower {
           case None    => bail(s"$name key type unknown")
         }
         (posi, Some(BooleanType))
+      case "to_json" | "to_string" if args.isEmpty =>
+        // recv.render (display(JObj) is render too); null renders the
+        // TEXT "null". Spark's to_json keeps null MAP entries (only
+        // struct fields honor ignoreNullFields — RowBridge.scala:17)
+        // and escapes like JValue.writeString; fractional lanes are
+        // excluded (shortest-form render vs Jackson's 1.0)
+        if (!(integralDt(vt) || vt == StringType || vt == BooleanType))
+          bail(s"$name lowers only integral/string/bool map lanes")
+        (when(c.isNull, lit("null")).otherwise(to_json(c)), Some(StringType))
       case "set_path" if args.length == 2 =>
         // a one-segment literal path is exactly set(k, v) — setPath's
         // VectorMap `+` (create-on-null, in-place-or-append); deeper
@@ -3176,6 +3185,7 @@ object Lower {
     case "values"                       => Some(ArrayType(mt.valueType, containsNull = true))
     case "len" | "length"               => Some(LongType)
     case "has" | "missing" | "includes" | "contains" => Some(BooleanType)
+    case "to_json" | "to_string"        => Some(StringType)
     case "entries" | "to_pairs"         =>
       Some(ArrayType(ArrayType(StringType, containsNull = true)))
     case "filter_keys" | "filter_values" | "transform_keys" | "rename" |

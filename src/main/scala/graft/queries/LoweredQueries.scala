@@ -778,6 +778,25 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** `.to_json()`/`.to_string()` over the map lane = recv.render —
+    * compact JSON in stored entry order (null/empty/null-value corners
+    * pinned differentially in MapColumnSpec). The oracle rebuilds the
+    * compact form (DuckDB's JSON cast keeps source spacing). */
+  private val toJsonMapL = q(
+    "q_lower_map_json",
+    """SELECT event_id AS id,
+      |  '{"k":' || CAST(json_extract(props,'$.k') AS BIGINT) || '}' AS j
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id)
+        |.map({id: event_id, j: props.to_json()})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1244,5 +1263,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL)
+    setPathL, toJsonMapL)
 }

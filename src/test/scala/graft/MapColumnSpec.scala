@@ -207,6 +207,13 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha.type()",
     "$.pairs.type()",
     "$.id.type()",
+    // to_json/to_string = recv.render: null receiver → the text
+    // "null", empty map → "{}", null VALUES kept as :null, entry
+    // order preserved
+    "$.props.to_json()",
+    "$.attrs.to_json()",
+    "$.props.to_string()",
+    "$.props.transform_values(@).merge({z: 1}).to_json()",
     // one-segment set_path/del_path(s): exactly set/key-removal, with
     // delPath's null-receiver-unchanged rule (row 5 reads through as
     // objOnly {} on the terminal)
