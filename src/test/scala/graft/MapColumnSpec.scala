@@ -249,7 +249,11 @@ class MapColumnSpec extends SparkSpec {
     val keyPool = Seq("alpha", "beta", "ax", "bx", "c", "k", "newk")
     def key() = keyPool(rng.nextInt(keyPool.length))
     // kind: true = long-valued lane, false = string-valued
-    def op(longKind: Boolean): (String, Boolean) = rng.nextInt(10) match {
+    def op(longKind: Boolean): (String, Boolean) = rng.nextInt(12) match {
+      case 10 => (s""".del_path("${key()}")""", longKind)
+      case 11 =>
+        (if (longKind) s""".set_path("${key()}", ${rng.nextInt(9)})"""
+         else s""".set_path("${key()}", "p${rng.nextInt(4)}")""", longKind)
       case 0 => (s""".filter_keys(@.starts_with("${key().take(1)}"))""", longKind)
       case 1 =>
         (if (longKind) ".filter_values(@ != null and @ > 2)"
@@ -278,7 +282,9 @@ class MapColumnSpec extends SparkSpec {
          else s""".update("${key()}", (@ ?? "") + "u")""", longKind)
       case _ => (s""".rename("${key()}", "${key()}")""", longKind)
     }
-    def terminal(longKind: Boolean): String = rng.nextInt(9) match {
+    def terminal(longKind: Boolean): String = rng.nextInt(11) match {
+      case 9  => ".to_json()"
+      case 10 => ".type()"
       case 0 => ".keys()"
       case 1 => ".values()"
       case 2 => ".len()"
