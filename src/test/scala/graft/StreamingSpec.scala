@@ -481,6 +481,26 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("map dot-path/render/membership lanes lower on streams (parity)") {
+    val e = """$.events.map({id: event_id,
+              |  v: props.get_path("k") ?? -1,
+              |  h: props has "k",
+              |  j: props.set_path("z", 1).to_json(),
+              |  t: props.type()})""".stripMargin
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+        from_json(col("props"), "map<string,bigint>",
+          new java.util.HashMap[String, String]()).as("props"))
+    val q = graft.plans.Lower.tryCompile(e, _ => shaped(streamEvents))
+    assert(q.nonEmpty && q.get.isStreaming)
+    val got = runToTable(q.get, "t_lowered_mappath")
+    val want = graft.plans.Lower.compile(e, _ => shaped(batchEvents))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("v")).head.getLong(0) === want.agg(sum("v")).head.getLong(0))
+    assert(got.select(length(col("j"))).agg(sum("length(j)")).head.getLong(0)
+      === want.select(length(col("j"))).agg(sum("length(j)")).head.getLong(0))
+  }
+
   test("round-9 array-lane and regex-first lowerings run on streams (parity)") {
     // per-row HOF pipelines and the native first-match expressions are
     // stateless projections — the streaming lane must take the same
