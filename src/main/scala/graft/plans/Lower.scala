@@ -2167,6 +2167,26 @@ object Lower {
           }
           c = when(c.isNull, lit("null")).otherwise(lit(k))
           dt = Some(StringType)
+        case Some(st: StructType)
+            if Set("has", "missing", "includes", "contains")(m) &&
+               args.length == 1 =>
+          // membership over a struct receiver tests the bridge document
+          // (null fields OMITTED — RowBridge/to_json), so a literal key
+          // is present iff the receiver is non-null AND the field value
+          // is non-null. has/missing are total; includes/contains keep
+          // the dispatch-guard fallthrough: null receiver → null.
+          val posi = argE(args, 0) match {
+            case Lit(JStr(k)) =>
+              if (st.fieldNames.contains(k)) c.getField(k).isNotNull
+              else lit(false)
+            case other => bail(s"struct $m with dynamic key: $other")
+          }
+          c = m match {
+            case "missing" => !posi
+            case "has"     => posi
+            case _         => when(c.isNotNull, posi)
+          }
+          dt = Some(BooleanType)
         case Some(t) if (m == "get_path" || m == "has_path") &&
             args.length == 1 &&
             (t.isInstanceOf[StructType] ||

@@ -207,6 +207,14 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha.type()",
     "$.pairs.type()",
     "$.id.type()",
+    // struct-receiver membership (the row doc itself): the bridge
+    // omits null fields, so `has` = field non-null; includes keeps the
+    // null-receiver fallthrough (root is never null here)
+    "$.has(\"props\")",
+    "$.missing(\"props\")",
+    "$.includes(\"attrs\")",
+    "$.has(\"nope\")",
+    "$.missing(\"nope\")",
     // to_json/to_string = recv.render: null receiver → the text
     // "null", empty map → "{}", null VALUES kept as :null, entry
     // order preserved
