@@ -2099,6 +2099,20 @@ object Lower {
       // would skip it) wrapped in TryOrNull (an erroring arg falls
       // through instead of killing the job).
       coalesce(args.map(a => graft.functions.TryOrNull(valueExpr(a.e))): _*)
+    // free-function style: f(x, rest…) ≡ x.f(rest…) (Interp.globalCall
+    // catch-all, SYNTAX.md free functions) — one rewrite reuses every
+    // method lane. The TRUE globals with different arity semantics
+    // (chain/join = array concat, range, zip*, product) are excluded;
+    // lambda-in-scope shadowing can't reach lowered shapes (no
+    // let-bound lambdas lower). Argless forms operate on `@`.
+    case GlobalCall(name, args)
+        if !Set("coalesce", "chain", "join", "range", "zip",
+                "zip_longest", "product", "to_string")(name) =>
+      if (args.nonEmpty)
+        colExpr(Chain(args.head.e, Vector(Step.Method(name, args.tail))))
+      else if (current.isDefined)
+        colExpr(Chain(Current, Vector(Step.Method(name, Vector.empty))))
+      else bail(s"argless global $name outside `@` scope")
     case Cast(x, to) => to match {
       case "int"    => colExpr(x).cast("long")
       case "float" | "number" => colExpr(x).cast("double")

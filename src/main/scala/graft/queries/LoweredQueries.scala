@@ -797,6 +797,26 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Free-function call style `f(x, rest…) ≡ x.f(rest…)` (reference
+    * SYNTAX.md free functions; Interp.globalCall catch-all) — the
+    * global-call rewrite reuses every method lane. */
+  private val freeFnL = q(
+    "q_lower_freefn",
+    """SELECT event_id AS id, UPPER(event_type) AS u,
+      |  CAST(length(event_type) AS BIGINT) AS n,
+      |  list_contains(json_keys(props),'k') AS i
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id, u: upper(event_type), n: len(event_type),
+        |  i: includes(props, "k")})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1263,5 +1283,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, toJsonMapL)
+    setPathL, toJsonMapL, freeFnL)
 }

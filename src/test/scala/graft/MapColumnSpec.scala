@@ -207,6 +207,15 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha.type()",
     "$.pairs.type()",
     "$.id.type()",
+    // free-function style: f(x, rest) ≡ x.f(rest) — reuses the method
+    // lanes through the global-call rewrite
+    "upper($.attrs.beta ?? \"x\")",
+    "len($.props)",
+    "keys($.props)",
+    "includes($.props, \"k\")",
+    "missing($.props, \"nope\")",
+    "type_of($.props)",
+    "trim(\"  pad  \")",
     // struct-receiver membership (the row doc itself): the bridge
     // omits null fields, so `has` = field non-null; includes keeps the
     // null-receiver fallthrough (root is never null here)
