@@ -99,7 +99,9 @@ object Lower {
       case e: LowerException             =>
         if (sys.env.contains("GRAFT_LOWER_DEBUG")) println(s"[lower-bail] $expr: ${e.getMessage}")
         None
-      case _: graft.jexpr.ParseException => None
+      case e: graft.jexpr.ParseException =>
+        if (sys.env.contains("GRAFT_LOWER_DEBUG")) println(s"[lower-parse] $expr: ${e.getMessage}")
+        None
     }
 
   /** Interp.chainWrite's static shape (Interp.scala:227-253): a
@@ -2091,6 +2093,11 @@ object Lower {
                      case s => bail(s"array literal element unsupported: $s")
       }: _*) // the analysis failure falls back, like every mixed lane
     case GlobalCall("to_string", Vector(a)) => displayExpr(a.e)
+    case GlobalCall("to_string", Vector()) if current.isDefined =>
+      // standalone argless form renders `@`; display is total — null
+      // renders the TEXT "null" (the `| to_string()` pipe form desugars
+      // to a method and takes the fieldChain display lane instead)
+      coalesce(displayExpr(Current), lit("null"))
     case GlobalCall("coalesce", args) =>
       // Interp's coalesce (Interp.scala:649) picks the first non-JNull
       // and absorbs per-arg EvalExceptions to JNull — so each arg
@@ -2113,6 +2120,39 @@ object Lower {
       else if (current.isDefined)
         colExpr(Chain(Current, Vector(Step.Method(name, Vector.empty))))
       else bail(s"argless global $name outside `@` scope")
+    // VALUE pipes: each Forward stage evaluates with `@` bound to the
+    // previous stage's value (Interp.Pipe). Write-shaped stages roll
+    // the document and binds introduce env vars — both stay doc-mode.
+    case Pipe(base, steps) =>
+      def writeShaped(f: Expr): Boolean = f match {
+        case Chain(Current | Root, ss) => Lower.isRootChainWrite(ss)
+        case _: Patch                  => true
+        case _                         => false
+      }
+      var cur = colExpr(base)
+      var curDt = inferDt(base)
+      steps.foreach {
+        case PipeStep.Forward(f) =>
+          if (writeShaped(f)) bail("write-shaped pipe stage rolls the document")
+          // a stage's bare idents resolve against `@` (Interp Ident →
+          // fieldOf(env.current)), NOT the enclosing row — struct-typed
+          // stage values get element scope, anything else bails on bare
+          // idents (scalarElem) and keeps `@`/method chains
+          val scope = curDt match {
+            case Some(st: StructType) =>
+              new ColLower(Some(st), current = Some(cur),
+                identBase = Some(cur), currentDt = curDt,
+                rootStruct = rootStruct)
+            case _ =>
+              new ColLower(None, current = Some(cur), currentDt = curDt,
+                rootStruct = rootStruct, scalarElem = true)
+          }
+          val next = scope.colExpr(f)
+          curDt = scope.inferDt(f)
+          cur = next
+        case other => bail(s"pipe bind stays doc-mode: $other")
+      }
+      cur
     case Cast(x, to) => to match {
       case "int"    => colExpr(x).cast("long")
       case "float" | "number" => colExpr(x).cast("double")
@@ -2168,6 +2208,20 @@ object Lower {
         case _ => bail("inline filter over a non-array lane")
       }
       case Step.Method(m, args) => dt match {
+        case Some(t) if (m == "to_string" || m == "to_json") && args.isEmpty &&
+            (numericDt(t) || t == BooleanType ||
+             (t == StringType && m == "to_string")) =>
+          // display(recv) — to_json ≡ render differs only on STRING
+          // receivers (quoted/escaped), which bail; a null receiver
+          // renders the TEXT "null" (display(JNull))
+          val s = t match {
+            case DoubleType | FloatType =>
+              val d = c.cast("double")
+              when(d.isNotNull && d === floor(d) && !d.isNaN && abs(d) < lit(1e15),
+                d.cast("long").cast("string")).otherwise(d.cast("string"))
+            case _ => c.cast("string")
+          }
+          c = coalesce(s, lit("null")); dt = Some(StringType)
         case Some(t) if (m == "type" || m == "type_of") && args.isEmpty =>
           // JValue.kind is static per lane except the null case — one
           // null test against an otherwise-constant string
@@ -3328,6 +3382,14 @@ object Lower {
     }
     case FString(_)                 => Some(StringType)
     case GlobalCall("to_string", _) => Some(StringType)
+    // mirror the free-function rewrite so chains over global-call
+    // receivers stay typed
+    case GlobalCall(name, args)
+        if !Set("coalesce", "chain", "join", "range", "zip",
+                "zip_longest", "product")(name) =>
+      if (args.nonEmpty)
+        inferDt(Chain(args.head.e, Vector(Step.Method(name, args.tail))))
+      else inferDt(Chain(Current, Vector(Step.Method(name, Vector.empty))))
     case ObjLit(fields) =>
       val fs = fields.map {
         case ObjField.Short(n)                  => identDt(n).map(StructField(n, _))

@@ -817,6 +817,29 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** VALUE pipes: `@` threads stage to stage (write-shaped stages and
+    * binds stay doc-mode); `| f()` desugars to a method on `@` and the
+    * scalar display lane renders to_string. */
+  private val pipeL = q(
+    "q_lower_pipe",
+    """SELECT event_id AS id,
+      |  CAST(CAST(json_extract(props,'$.k') AS BIGINT) * 2 + 1 AS BIGINT) AS v,
+      |  UPPER(event_type) AS u,
+      |  CAST(CAST(json_extract(props,'$.k') AS BIGINT) AS VARCHAR) AS s
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  v: ((props.k ?? 0) | @ * 2 | @ + 1),
+        |  u: (event_type | upper()),
+        |  s: ((props.k ?? 0) | to_string())})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1283,5 +1306,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, toJsonMapL, freeFnL)
+    setPathL, toJsonMapL, freeFnL, pipeL)
 }

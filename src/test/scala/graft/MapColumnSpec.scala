@@ -207,6 +207,15 @@ class MapColumnSpec extends SparkSpec {
     "$.props.alpha.type()",
     "$.pairs.type()",
     "$.id.type()",
+    // value pipes: `@` threads stage to stage; bare idents in a stage
+    // resolve against the stage value (struct current → element scope)
+    "$.props.values().compact().sum() | @ * 2 | @ + 1",
+    "($.attrs.beta ?? \"x\") | upper()",
+    "$.props | @.keys().join(\",\")",
+    "$.props | keys() | @.join(\",\")",
+    "$.props | @.set_path(\"z\", 5).len()",
+    "$.id | to_string()",
+    "$ | props.len() ?? -1",
     // free-function style: f(x, rest) ≡ x.f(rest) — reuses the method
     // lanes through the global-call rewrite
     "upper($.attrs.beta ?? \"x\")",
