@@ -308,9 +308,11 @@ class MapColumnSpec extends SparkSpec {
          else s""".update("${key()}", (@ ?? "") + "u")""", longKind)
       case _ => (s""".rename("${key()}", "${key()}")""", longKind)
     }
-    def terminal(longKind: Boolean): String = rng.nextInt(11) match {
+    def terminal(longKind: Boolean): String = rng.nextInt(13) match {
       case 9  => ".to_json()"
       case 10 => ".type()"
+      case 11 => " | @.len()"                // pipe: @ = the piped map
+      case 12 => s""" | @.has("${key()}")""" // pipe + membership
       case 0 => ".keys()"
       case 1 => ".values()"
       case 2 => ".len()"
