@@ -102,6 +102,11 @@ object Lower {
       case e: graft.jexpr.ParseException =>
         if (sys.env.contains("GRAFT_LOWER_DEBUG")) println(s"[lower-parse] $expr: ${e.getMessage}")
         None
+      // an unresolvable column expression honours the fallback contract
+      // like tryCompile does — analysis errors mean "doesn't lower"
+      case e: org.apache.spark.sql.AnalysisException =>
+        if (sys.env.contains("GRAFT_LOWER_DEBUG")) println(s"[lower-analysis] $expr: ${e.getMessage}")
+        None
     }
 
   /** Interp.chainWrite's static shape (Interp.scala:227-253): a
@@ -2106,6 +2111,50 @@ object Lower {
       // would skip it) wrapped in TryOrNull (an erroring arg falls
       // through instead of killing the job).
       coalesce(args.map(a => graft.functions.TryOrNull(valueExpr(a.e))): _*)
+    case GlobalCall("range", args) if args.nonEmpty && args.length <= 3 =>
+      // range(n) / range(from, to) / range(from, to, step): EXCLUSIVE
+      // upper bound, step 0 or wrong-sign → [] (Interp's while loop) —
+      // Spark's sequence is inclusive and errors on sign mismatch, so
+      // the last element is computed and the sequence only runs on the
+      // branch where its sign is right. Statically non-integral args
+      // bail (the interpreter errors loudly).
+      args.foreach(a => inferDt(a.e) match {
+        case Some(d) if integralDt(d) => ()
+        case other => bail(s"range arg not statically integral: $other")
+      })
+      val ns = args.map(a => colExpr(a.e).cast("long"))
+      val (from, upto, step) = ns.length match {
+        case 1 => (lit(0L), ns(0), lit(1L))
+        case 2 => (ns(0), ns(1), lit(1L))
+        case _ => (ns(0), ns(1), ns(2))
+      }
+      val emptyArr = array().cast(ArrayType(LongType, containsNull = false))
+      letRow(Seq(from, upto, step)) { case Seq(f, u, s) =>
+        when(s === 0 || (s > 0 && f >= u) || (s < 0 && f <= u), emptyArr)
+          .when(s > 0, sequence(f, f + ((u - f - 1) / s).cast("long") * s, s))
+          .otherwise(sequence(f, f - ((f - u - 1) / (-s)).cast("long") * (-s), s))
+      }
+    case GlobalCall("chain" | "join", args) if args.nonEmpty =>
+      // concatenate arrays; scalars (including null) push through as
+      // single elements — a NULL ARRAY value also pushes as one null
+      // element (Interp's JArr-or-else-Vector(other))
+      val lanes = args.map { a =>
+        inferDt(a.e) match {
+          case Some(at: ArrayType) => (a.e, at.elementType, true)
+          case Some(t)             => (a.e, t, false)
+          case None                => bail(s"chain arg type unknown: ${a.e}")
+        }
+      }
+      val u = lanes.map(_._2).reduce { (x, y) =>
+        unifySameKind(x, y).getOrElse(bail("chain mixes element kinds"))
+      }
+      val ut = ArrayType(u, containsNull = true)
+      concat(lanes.map { case (e, _, isArr) =>
+        val c0 = colExpr(e)
+        if (isArr)
+          when(c0.isNull, array(lit(null).cast(u))).otherwise(c0.cast(ut))
+        else array(c0.cast(u))
+      }: _*)
     // free-function style: f(x, rest…) ≡ x.f(rest…) (Interp.globalCall
     // catch-all, SYNTAX.md free functions) — one rewrite reuses every
     // method lane. The TRUE globals with different arity semantics
@@ -3382,6 +3431,17 @@ object Lower {
     }
     case FString(_)                 => Some(StringType)
     case GlobalCall("to_string", _) => Some(StringType)
+    case GlobalCall("range", args) if args.nonEmpty && args.length <= 3 =>
+      Some(ArrayType(LongType, containsNull = false))
+    case GlobalCall("chain" | "join", args) if args.nonEmpty =>
+      val lanes = args.map(a => inferDt(a.e).map {
+        case at: ArrayType => at.elementType
+        case t             => t
+      })
+      if (lanes.exists(_.isEmpty)) None
+      else lanes.flatten.reduceLeftOption[DataType] { (x, y) =>
+        unifySameKind(x, y).getOrElse(return None)
+      }.map(ArrayType(_, containsNull = true))
     // mirror the free-function rewrite so chains over global-call
     // receivers stay typed
     case GlobalCall(name, args)
@@ -4099,6 +4159,9 @@ object Lower {
           case Step.InlineFilter(_) => acc.collect { case at: ArrayType => at }
           case Step.Optional      => acc
           case Step.Method(m, margs) => acc match {
+            case Some(_)
+                if Set("to_string", "to_json", "type", "type_of")(m) &&
+                   margs.isEmpty => Some(StringType)
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))

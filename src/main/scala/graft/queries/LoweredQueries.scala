@@ -840,6 +840,29 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Global `range` (exclusive upper, wrong-sign/zero step → []) and
+    * `chain` (array concat, scalar push-through) — DuckDB's range has
+    * the same exclusive-stop contract, so the lists replay directly. */
+  private val rangeL = q(
+    "q_lower_range",
+    """SELECT event_id AS id,
+      |  COALESCE(array_to_string(range(CAST(CAST(json_extract(props,'$.k') AS BIGINT) % 5 AS BIGINT)), ','), '') AS r,
+      |  CAST(len(range(2, 20, 3)) AS BIGINT) AS n,
+      |  CAST(3 AS BIGINT) AS c
+      |FROM events WHERE event_id < 3000 ORDER BY id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), "map<string,bigint>",
+        new java.util.HashMap[String, String]()).as("props"))
+    Lower.compile(
+      """$.events{event_id < 3000}.sort_by(event_id).map({
+        |  id: event_id,
+        |  r: range(props.k % 5).map(@.to_string()).join(","),
+        |  n: range(2, 20, 3).len(),
+        |  c: chain(range(2), 9).len()})""".stripMargin,
+      _ => ev)
+  }
+
   /** Patch writes INTO a `map<string,V>` column (`events[*].props.k`)
     * lower through the map-level rewrite: guarded in-place update on an
     * existing key, append-at-END for a new key (VectorMap `+` order,
@@ -1306,5 +1329,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, toJsonMapL, freeFnL, pipeL)
+    setPathL, toJsonMapL, freeFnL, pipeL, rangeL)
 }

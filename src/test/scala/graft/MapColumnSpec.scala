@@ -216,6 +216,22 @@ class MapColumnSpec extends SparkSpec {
     "$.props | @.set_path(\"z\", 5).len()",
     "$.id | to_string()",
     "$ | props.len() ?? -1",
+    // range: exclusive upper, wrong-sign/zero step → []; chain/join:
+    // array concat with scalars (and null arrays/values) pushing
+    // through as single elements
+    "range(5)",
+    "range($.id)",
+    "range(2, $.id)",
+    "range($.id, 0, -2)",
+    "range(1, 10, 3)",
+    "range(3, 3)",
+    "range(5, 1)",
+    "range(1, 5, 0)",
+    "chain($.props.values(), $.extra.values())",
+    "chain($.props.values(), 7)",
+    "chain(1, 2)",
+    "chain($.props.values(), $.props.nope)",
+    "chain($.pairs, $.pairs).len()",
     // free-function style: f(x, rest) ≡ x.f(rest) — reuses the method
     // lanes through the global-call rewrite
     "upper($.attrs.beta ?? \"x\")",
