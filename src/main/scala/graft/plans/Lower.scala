@@ -2155,6 +2155,21 @@ object Lower {
           when(c0.isNull, array(lit(null).cast(u))).otherwise(c0.cast(ut))
         else array(c0.cast(u))
       }: _*)
+    case GlobalCall("product", args) if args.length == 2 =>
+      // cartesian [x, y] pairs in row-major order; any non-array
+      // operand is JNull (Interp product), which the null-propagating
+      // transforms reproduce. Pairs are 2-element arrays, so the two
+      // element kinds must unify into one static lane.
+      val dts = args.map(a => inferDt(a.e) match {
+        case Some(at: ArrayType) => at.elementType
+        case other               => bail(s"product needs array args, got $other")
+      })
+      val u = unifySameKind(dts(0), dts(1))
+        .getOrElse(bail("product mixes element kinds"))
+      letRow(Seq(colExpr(args(0).e), colExpr(args(1).e))) { case Seq(aa, bb) =>
+        flatten(transform(aa, x =>
+          transform(bb, y => array(x.cast(u), y.cast(u)))))
+      }
     // free-function style: f(x, rest…) ≡ x.f(rest…) (Interp.globalCall
     // catch-all, SYNTAX.md free functions) — one rewrite reuses every
     // method lane. The TRUE globals with different arity semantics
@@ -2162,8 +2177,8 @@ object Lower {
     // lambda-in-scope shadowing can't reach lowered shapes (no
     // let-bound lambdas lower). Argless forms operate on `@`.
     case GlobalCall(name, args)
-        if !Set("coalesce", "chain", "join", "range", "zip",
-                "zip_longest", "product", "to_string")(name) =>
+        if !Set("coalesce", "chain", "join", "range",
+                "product", "to_string")(name) =>
       if (args.nonEmpty)
         colExpr(Chain(args.head.e, Vector(Step.Method(name, args.tail))))
       else if (current.isDefined)
@@ -3433,6 +3448,13 @@ object Lower {
     case GlobalCall("to_string", _) => Some(StringType)
     case GlobalCall("range", args) if args.nonEmpty && args.length <= 3 =>
       Some(ArrayType(LongType, containsNull = false))
+    case GlobalCall("product", args) if args.length == 2 =>
+      (inferDt(args(0).e), inferDt(args(1).e)) match {
+        case (Some(a: ArrayType), Some(b: ArrayType)) =>
+          unifySameKind(a.elementType, b.elementType)
+            .map(u => ArrayType(ArrayType(u, containsNull = true)))
+        case _ => None
+      }
     case GlobalCall("chain" | "join", args) if args.nonEmpty =>
       val lanes = args.map(a => inferDt(a.e).map {
         case at: ArrayType => at.elementType
@@ -3445,8 +3467,8 @@ object Lower {
     // mirror the free-function rewrite so chains over global-call
     // receivers stay typed
     case GlobalCall(name, args)
-        if !Set("coalesce", "chain", "join", "range", "zip",
-                "zip_longest", "product")(name) =>
+        if !Set("coalesce", "chain", "join", "range",
+                "product")(name) =>
       if (args.nonEmpty)
         inferDt(Chain(args.head.e, Vector(Step.Method(name, args.tail))))
       else inferDt(Chain(Current, Vector(Step.Method(name, Vector.empty))))
@@ -4142,7 +4164,10 @@ object Lower {
         case Ident(n) => identDt(n)
         case Current  => currentDt
         case Root     => rootStruct.map(_._2)
-        case _        => None
+        // computed receivers (nested chains, global calls, literals)
+        // type through the full inference — the rewrite mirrors and
+        // method walks depend on it
+        case other    => inferDt(other)
       }
       steps.foldLeft(b) { (acc, s) =>
         s match {
@@ -4244,6 +4269,10 @@ object Lower {
       Some(at.copy(containsNull = true))
     case "index" | "index_of" => Some(LongType)
     case "indices_of" => Some(ArrayType(LongType))
+    // pair lanes: the element kind is right, the width may widen to
+    // the arg's unified type (the walker contract)
+    case "zip" | "zip_longest" =>
+      Some(ArrayType(ArrayType(at.elementType, containsNull = true)))
     case "find_first" | "find_one" => Some(at.elementType)
     case "from_pairs" => at.elementType match {
       case ArrayType(t, _) => Some(MapType(StringType, t, valueContainsNull = true))

@@ -232,6 +232,12 @@ class MapColumnSpec extends SparkSpec {
     "chain(1, 2)",
     "chain($.props.values(), $.props.nope)",
     "chain($.pairs, $.pairs).len()",
+    // zip/zip_longest globals ARE the free-function rewrite; product
+    // is row-major [x,y] pairs, null on non-array operands
+    "zip($.props.keys(), $.extra.keys()).len()",
+    "zip_longest($.props.values(), $.extra.values()).flatten().compact().sum()",
+    "product($.props.keys(), $.attrs.keys()).len()",
+    "product($.props.keys(), $.attrs.keys()).flatten().join(\"|\")",
     // free-function style: f(x, rest) ≡ x.f(rest) — reuses the method
     // lanes through the global-call rewrite
     "upper($.attrs.beta ?? \"x\")",
