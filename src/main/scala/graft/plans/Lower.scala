@@ -4187,6 +4187,20 @@ object Lower {
             case Some(_)
                 if Set("to_string", "to_json", "type", "type_of")(m) &&
                    margs.isEmpty => Some(StringType)
+            case Some(_) if m == "has_path" && margs.length == 1 =>
+              Some(BooleanType)
+            case Some(t) if m == "get_path" && margs.length == 1 =>
+              margs(0).e match {
+                case Lit(JStr(p)) =>
+                  p.split('.').foldLeft(Option(t)) { (a, k) =>
+                    a.flatMap {
+                      case st: StructType => st.find(_.name == k).map(_.dataType)
+                      case MapType(StringType, v, _) => Some(v)
+                      case _ => None
+                    }
+                  }
+                case _ => None
+              }
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))

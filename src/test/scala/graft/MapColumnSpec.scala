@@ -279,6 +279,8 @@ class MapColumnSpec extends SparkSpec {
     "$.get_path(\"props.alpha\") ?? -1",
     "$.get_path(\"attrs.beta\") ?? \"-\"",
     "$.has_path(\"props.k\")",
+    "($.props.get_path(\"alpha\") ?? 0) * 3",
+    "$.get_path(\"attrs.beta\").upper() ?? \"-\"",
     // chains off map results
     "$.props.keys().sort().join(\",\")",
     "$.props.values().compact().sum()",
