@@ -501,6 +501,22 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       === want.select(length(col("j"))).agg(sum("length(j)")).head.getLong(0))
   }
 
+  test("value pipes and free-function calls lower on streams (parity)") {
+    val e = """$.events{event_type == "view"}
+              |.map({id: event_id,
+              |      u: (event_type | upper()),
+              |      v: ((event_id % 7) | @ * 2 | @ + 1),
+              |      n: len(event_type)})""".stripMargin
+    val lowered = StreamOps.lowerStream(e, "events", streamEvents)
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_lowered_pipes")
+    val want = graft.plans.Lower.compile(e, _ => batchEvents)
+    assert(got.count() === want.count() && got.count() > 0)
+    Seq("v", "n").foreach { k =>
+      assert(got.agg(sum(k)).head.getLong(0) === want.agg(sum(k)).head.getLong(0), k)
+    }
+  }
+
   test("round-9 array-lane and regex-first lowerings run on streams (parity)") {
     // per-row HOF pipelines and the native first-match expressions are
     // stateless projections — the streaming lane must take the same
