@@ -92,7 +92,14 @@ class LowerFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 3 => "sort(lambda a, b: b.c_custkey < a.c_custkey)"
         case _ => "sort_by(lambda x: x.c_custkey)"
       }
-      (s"$$.customer$pred.$sort.map($lane).$op", blk)
+      // the map slot mixes bare lanes with the value-pipe and
+      // free-function forms (both must lower through the same lanes)
+      val mapped = rng.nextInt(4) match {
+        case 0 => s"($lane | @ + ${rng.nextInt(3)})"
+        case 1 => s"abs($lane)"
+        case _ => lane
+      }
+      (s"$$.customer$pred.$sort.map($mapped).$op", blk)
     }
     cases.foreach { case (e, blk) =>
       blk match {
