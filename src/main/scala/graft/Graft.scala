@@ -263,50 +263,83 @@ object Graft {
       .as(org.apache.spark.sql.Encoders.STRING)
   }
 
-  // The single live rowwise string-cache generation: rowwiseCompile
-  // persists the interpreter output so schema inference (the one
-  // interpreter pass) also materialises the strings the parse pass
-  // reads. Keeping only the LATEST generation bounds cache footprint;
-  // eviction is always safe because the parse carries an EXPLICIT
+  // Rowwise string-cache generations: rowwiseCompile persists the
+  // interpreter output so schema inference (when needed — see the
+  // static-schema shortcut below) and the parse pass both read the SAME
+  // materialised strings instead of re-running the interpreter. A small
+  // LRU keyed by (session, sfDir, table, expr) — rather than the single
+  // latest-generation slot rounds 7-9 kept — lets two interleaved
+  // rowwise queries coexist without evicting each other (each eviction
+  // costs one extra interpreter pass on the next materialization).
+  // Eviction is always safe because the parse carries an EXPLICIT
   // schema — a recompute is ONE interpreter pass, never inference+parse.
-  private val liveRowwiseCache =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Dataset[String]](null)
+  private final case class RowwiseKey(
+      session: SparkSession, sfDir: String, table: String, expr: String)
+  private final case class RowwiseGen(
+      ds: org.apache.spark.sql.Dataset[String],
+      schema: org.apache.spark.sql.types.StructType)
 
-  private def admitRowwiseCache(ds: org.apache.spark.sql.Dataset[String]): Unit = {
-    val prev = liveRowwiseCache.getAndSet(ds)
-    if (prev != null && (prev ne ds))
-      // the previous generation may belong to a SparkSession that has
-      // since stopped (its blocks died with the context) — eviction is
-      // best-effort bookkeeping, never worth failing the new query over
-      try {
-        if (!prev.sparkSession.sparkContext.isStopped)
-          prev.unpersist(blocking = false)
-      } catch { case scala.util.control.NonFatal(_) => () }
+  private val rowwiseCacheCap = 4
+  private val rowwiseCache =
+    new java.util.LinkedHashMap[RowwiseKey, RowwiseGen](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[RowwiseKey, RowwiseGen]): Boolean = {
+        val evict = size() > rowwiseCacheCap
+        if (evict) safeUnpersist(e.getValue.ds)
+        evict
+      }
+    }
+
+  private def safeUnpersist(ds: org.apache.spark.sql.Dataset[String]): Unit =
+    // a stale generation may belong to a SparkSession that has since
+    // stopped (its blocks died with the context) — eviction is
+    // best-effort bookkeeping, never worth failing the new query over
+    try {
+      if (!ds.sparkSession.sparkContext.isStopped)
+        ds.unpersist(blocking = false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Drop every retained rowwise string cache generation (e.g. between
+    * benchmark sweeps). Queries already compiled stay correct — they
+    * reparse with their explicit schema in one interpreter pass. */
+  def clearRowwiseCache(): Unit = rowwiseCache.synchronized {
+    rowwiseCache.values().forEach(g => safeUnpersist(g.ds))
+    rowwiseCache.clear()
   }
-
-  /** Drop the retained rowwise string cache (e.g. between benchmark
-    * sweeps). Queries already compiled stay correct — they reparse with
-    * their explicit schema in one interpreter pass. */
-  def clearRowwiseCache(): Unit = admitRowwiseCache(null)
 
   private[graft] def rowwiseCompile(
       spark: SparkSession, sfDir: String, expr: String): Option[DataFrame] =
     rowwisePlan(expr).filter(p => Tables.names.contains(p._1)).map {
       case (table, evalExpr) =>
-        // ONE distributed interpreter pass, not two: schema inference
-        // over spark.read.json is a full scan of the UDF output, and
-        // the parse is a second — so persist the string dataset
-        // (MEMORY_AND_DISK: at scale the spill is the price of not
-        // re-running the interpreter), let inference materialise it,
-        // and parse the CACHE with the inferred schema made EXPLICIT.
-        // PERMISSIVE (default) mode keeps scalar-stream behavior
-        // byte-identical to the inference path (bare scalars land in
-        // _corrupt_record, exactly as docFallback's read.json does).
-        val ds = rowwiseJson(Tables(spark, sfDir, table), table, evalExpr)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        admitRowwiseCache(ds)
-        val schema = spark.read.json(ds).schema
-        spark.read.schema(schema).json(ds)
+        val key = RowwiseKey(spark, sfDir, table, evalExpr)
+        val hit = rowwiseCache.synchronized {
+          Option(rowwiseCache.get(key))
+        }.filter(g => !g.ds.sparkSession.sparkContext.isStopped)
+        val gen = hit.getOrElse {
+          // ONE distributed interpreter pass, not two: schema inference
+          // over spark.read.json is a full scan of the UDF output, and
+          // the parse is a second — so persist the string dataset
+          // (MEMORY_AND_DISK: at scale the spill is the price of not
+          // re-running the interpreter) and parse the CACHE with an
+          // EXPLICIT schema. When the static walker proves the
+          // pipeline's output shape (Lower.rowwiseStaticSchema), the
+          // inference full-scan is skipped entirely; otherwise
+          // inference runs once and materialises the cache as before.
+          // PERMISSIVE (default) mode keeps scalar-stream behavior
+          // byte-identical to the inference path (bare scalars land in
+          // _corrupt_record, exactly as docFallback's read.json does) —
+          // the static path only ever proves object streams, where no
+          // corrupt-record line can occur.
+          val src = Tables(spark, sfDir, table)
+          val ds = rowwiseJson(src, table, evalExpr)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val schema = Lower.rowwiseStaticSchema(src.schema, evalExpr)
+            .getOrElse(spark.read.json(ds).schema)
+          val g = RowwiseGen(ds, schema)
+          rowwiseCache.synchronized { rowwiseCache.put(key, g) }
+          g
+        }
+        spark.read.schema(gen.schema).json(gen.ds)
     }
 
   /** Document-mode fallback: build `{table: [rows…]}` for every table

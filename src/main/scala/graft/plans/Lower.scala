@@ -40,6 +40,203 @@ object Lower {
     * FoldablePropagation feeds it back to the eliminator. pmod(x, 1)
     * is 0 for every x with no simplification rule; the coalesce keeps
     * null rows in the same (only) partition. */
+  /** Pure type walk of setPath over a struct lane (shared by the column
+    * builder and dtOf so the two can never drift): the written key
+    * updates IN PLACE when present, appends at the END when new
+    * (VectorMap `+`, Builtins.setPath:943-948); a statically non-object
+    * intermediate coerces to the fresh nested write chain. None = not
+    * provable (a map segment: per-key value rewrites don't type). */
+  private[plans] def setPathStructType(
+      recvDt: Option[org.apache.spark.sql.types.DataType], segs: List[String],
+      vdt: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val k = segs.head
+    val fields = recvDt match {
+      case Some(s: StructType) => s.fields.toVector
+      case Some(_: MapType)    => return None
+      case _                   => Vector.empty[StructField]
+    }
+    val childDt = fields.find(_.name == k).map(_.dataType)
+    val ndtO: Option[DataType] = segs.tail match {
+      case Nil  => Some(vdt)
+      case rest => setPathStructType(childDt, rest, vdt)
+    }
+    ndtO.map { ndt =>
+      StructType(
+        if (fields.exists(_.name == k))
+          fields.map(f => if (f.name == k) StructField(k, ndt) else f)
+        else fields :+ StructField(k, ndt))
+    }
+  }
+
+  /** Pure type walk of delPath over a struct lane: Some(newType) when a
+    * drop statically happens, None when provably identity (missing key
+    * or non-object intermediate — delPath's identity rows,
+    * Builtins.delPath:950-958). Bails on map segments (dynamic per-key
+    * presence) and on dropping a struct's last field (Spark structs
+    * cannot be empty). */
+  private[plans] def delPathStructType(
+      st: org.apache.spark.sql.types.StructType,
+      segs: List[String]): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val k = segs.head
+    val idx = st.fields.indexWhere(_.name == k)
+    if (idx < 0) return None
+    segs.tail match {
+      case Nil =>
+        val kept = st.fields.filterNot(_.name == k)
+        if (kept.isEmpty) bail("del_path would drop every struct field — doc mode")
+        Some(StructType(kept))
+      case rest => st.fields(idx).dataType match {
+        case cst: StructType =>
+          delPathStructType(cst, rest).map { nt =>
+            StructType(st.fields.map(f =>
+              if (f.name == k) StructField(k, nt, f.nullable) else f))
+          }
+        case _: MapType => bail("del_path walks into a map lane — doc mode")
+        case _          => None
+      }
+    }
+  }
+
+  /** JSON-inference-equivalent schema of one ELEMENT of a rowwise
+    * pipeline's output, when statically provable — the rowwise rung
+    * (Graft.rowwiseCompile) parses its per-row interpreter output with
+    * this schema and skips the `spark.read.json` inference full-scan.
+    *
+    * Provable subset: a single-table chain of filters plus
+    * `map({static shape})` / `pick` / `omit` / `explode(field)` stages
+    * whose every leaf the static walker types. The returned schema
+    * reproduces what inference WOULD produce on the same lines —
+    * struct fields sorted by name recursively (Spark's JSON inference
+    * canonicalises that way, probed in tools/InferProbe), every field
+    * nullable, integral kinds widened to long, fractional to double
+    * (renderDouble always keeps a `.` so a double lane can never infer
+    * integral), dates/timestamps/binary as the strings RowBridge
+    * renders them to. Decimal lanes render value-dependently
+    * (JInt when scale≤0 — RowBridge.scala:57) so they are NOT provable;
+    * neither are map-valued lanes (inference sees an object of observed
+    * keys). The one place the static schema intentionally diverges:
+    * a field that is null on EVERY row infers as absent/string, while
+    * the static schema keeps its typed column of nulls — same values
+    * on parse, strictly more faithful a type. */
+  private[graft] def rowwiseStaticSchema(
+      tableSchema: org.apache.spark.sql.types.StructType,
+      evalExpr: String): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    import scala.collection.immutable.VectorMap
+
+    // inference-equivalent of a statically-typed lane, None = not provable
+    def jsonEq(dt: DataType): Option[DataType] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some(LongType)
+      case DoubleType | FloatType                        => Some(DoubleType)
+      case StringType                                    => Some(StringType)
+      case BooleanType                                   => Some(BooleanType)
+      case BinaryType | DateType | TimestampType | TimestampNTZType =>
+        Some(StringType) // RowBridge renders these as strings
+      case ArrayType(e, _) => jsonEq(e).map(ArrayType(_, containsNull = true))
+      case st: StructType  => structEq(st)
+      case _               => None // decimal (value-dependent), map, …
+    }
+    def structEq(st: StructType): Option[StructType] = {
+      if (st.fields.isEmpty) return None
+      val fs = st.fields.sortBy(_.name).map { f =>
+        jsonEq(f.dataType) match {
+          case Some(d) => StructField(f.name, d, nullable = true)
+          case None    => return None
+        }
+      }
+      Some(StructType(fs))
+    }
+
+    // static type of a shape-value expression over the current element
+    def typeIn(scope: StructType, e: Expr): Option[DataType] =
+      try new ColLower(Some(scope)).inferDt(e)
+      catch { case _: LowerException => None }
+
+    // `{…}` shape over the element scope → output element struct.
+    // Guarded / optional fields (`when`, `k?:`) still carry their value
+    // type: a row that omits the field parses as null under the static
+    // schema, exactly what the inferred union gives such rows.
+    def shapeOf(scope: StructType, shape: Expr): Option[StructType] = shape match {
+      case Current => Some(scope)
+      case ObjLit(fields) =>
+        var out = VectorMap.empty[String, DataType]
+        fields.foreach {
+          case ObjField.KV(Lit(JStr(k)), v, _) =>
+            out += k -> typeIn(scope, v).getOrElse(return None)
+          case ObjField.OptKV(Lit(JStr(k)), v) =>
+            out += k -> typeIn(scope, v).getOrElse(return None)
+          case ObjField.Short(n) =>
+            out += n -> scope.find(_.name == n).map(_.dataType).getOrElse(return None)
+          case ObjField.OptShort(n) =>
+            out += n -> scope.find(_.name == n).map(_.dataType).getOrElse(return None)
+          case ObjField.Spread(e) => typeIn(scope, e) match {
+            case Some(st: StructType) => st.fields.foreach(f => out += f.name -> f.dataType)
+            case _                    => return None
+          }
+          case _ => return None // dynamic keys, deep spreads
+        }
+        if (out.isEmpty) None
+        else Some(StructType(out.toSeq.map { case (k, d) => StructField(k, d) }))
+      case _ => None // scalar/array streams keep the inference path
+    }
+
+    def litStr(a: Arg): Option[String] = a.e match {
+      case Lit(JStr(s)) if a.name.isEmpty => Some(s)
+      case Ident(n) if a.name.isEmpty     => Some(n)
+      case _                              => None
+    }
+
+    val ast =
+      try Parser.parse(evalExpr)
+      catch { case _: graft.jexpr.ParseException => return None }
+    ast match {
+      case Chain(Root, steps) if steps.length >= 2 =>
+        steps.head match {
+          case Step.Field(_) => ()
+          case _             => return None
+        }
+        var elem: StructType = tableSchema
+        steps.tail.foreach {
+          case Step.InlineFilter(_)                                  => ()
+          case Step.Optional                                         => ()
+          case Step.Method("filter" | "where" | "find_all", as)
+              if as.length == 1                                      => ()
+          case Step.MapShape(_, sh) =>
+            elem = shapeOf(elem, sh).getOrElse(return None)
+          case Step.Method("map", as) if as.length == 1 && as(0).name.isEmpty =>
+            elem = shapeOf(elem, as(0).e).getOrElse(return None)
+          case Step.Method("pick", as) if as.nonEmpty =>
+            // pick ALWAYS emits every named key (a miss emits null —
+            // Builtins.pick fieldOf), so names must exist in the scope
+            // to stay typed; aliased/computed selectors are not proven
+            val names = as.map(a => litStr(a).getOrElse(return None))
+            var out = VectorMap.empty[String, DataType]
+            names.foreach { n =>
+              out += n -> elem.find(_.name == n).map(_.dataType).getOrElse(return None)
+            }
+            elem = StructType(out.toSeq.map { case (k, d) => StructField(k, d) })
+          case Step.Method("omit", as) if as.nonEmpty =>
+            val names = as.map(a => litStr(a).getOrElse(return None)).toSet
+            val kept = elem.fields.filterNot(f => names(f.name))
+            if (kept.isEmpty) return None
+            elem = StructType(kept)
+          case Step.Method("explode", as) if as.length == 1 =>
+            val f = litStr(as(0)).getOrElse(return None)
+            elem.find(_.name == f).map(_.dataType) match {
+              case Some(ArrayType(et, _)) =>
+                elem = StructType(elem.fields.map(fd =>
+                  if (fd.name == f) StructField(f, et) else fd))
+              case _ => return None
+            }
+          case _ => return None // compact, walks, writes, deep stages…
+        }
+        structEq(elem)
+      case _ => None // chain-write/patch rewrites keep the inference path
+    }
+  }
+
   private[graft] def onePartition(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
 
@@ -2336,13 +2533,18 @@ object Lower {
             case Lit(JStr(s)) => s
             case other        => bail(s"$m needs a literal path, got $other")
           }
-          var cc = c; var dd: Option[DataType] = Some(t)
+          // a struct segment missing from the SCHEMA is absent in every
+          // row's bridged document, so has_path is constantly false
+          // (getPath's fieldOf miss → JNull for the rest of the walk);
+          // get_path keeps bailing — its JNull would need a lane type
+          var cc = c; var dd: Option[DataType] = Some(t); var dead = false
           p.split('.').foreach { k =>
-            dd match {
+            if (!dead) dd match {
               case Some(st: StructType) =>
-                if (!st.fieldNames.contains(k))
-                  bail(s"$m segment $k not in ${st.simpleString}")
-                cc = cc.getField(k); dd = Some(st(k).dataType)
+                if (!st.fieldNames.contains(k)) {
+                  if (m == "has_path") dead = true
+                  else bail(s"$m segment $k not in ${st.simpleString}")
+                } else { cc = cc.getField(k); dd = Some(st(k).dataType) }
               case Some(MapType(StringType, v, _)) =>
                 cc = cc.getField(k); dd = Some(v)
               case Some(other) =>
@@ -2350,8 +2552,14 @@ object Lower {
               case None => bail(s"$m segment $k untyped")
             }
           }
-          if (m == "has_path") { c = cc.isNotNull; dt = Some(BooleanType) }
-          else { c = cc; dt = dd }
+          if (m == "has_path") {
+            c = if (dead) lit(false) else cc.isNotNull
+            dt = Some(BooleanType)
+          } else { c = cc; dt = dd }
+        case Some(st: StructType)
+            if Set("set_path", "del_path", "del_paths")(m) =>
+          val (c2, dt2) = structPathMethod(m, c, st, args)
+          c = c2; dt = Some(dt2)
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
@@ -3027,6 +3235,118 @@ object Lower {
               get(es, size(ks) - array_position(rks, get(ks, i)))
                 .getField("value").as("value")))), _.isNotNull)
       }
+    }
+
+  /** `set_path`/`del_path`/`del_paths` over STRUCT lanes (reference
+    * builtins/ops/path.rs dotted-path surface; Builtins.setPath/delPath
+    * are the conformance semantics): multi-segment LITERAL paths
+    * compile to a guarded struct rebuild — the nested-write discipline
+    * the patch compiler uses (patchTable withField chains), applied in
+    * value position.
+    *
+    * Semantics run through the null-omitting struct document view (the
+    * struct-`has` doctrine): a null field ≡ absent key, so
+    *   - set_path coerces a null/non-object intermediate to {} by
+    *     building the remaining write chain fresh (setPath's VectorMap
+    *     coercion); existing keys update IN PLACE, new keys append at
+    *     the END (VectorMap `+`); a null leaf VALUE reads back as an
+    *     absent key through the bridge — same rule struct `has` pins;
+    *   - del_path keeps the receiver unchanged when the walk dies
+    *     statically (missing schema key / non-object intermediate) and
+    *     keeps a null node null at every level (delPath's non-object
+    *     identity);
+    *   - del_paths folds del_path over a LITERAL path array in order.
+    * Key-order caveat (StructPathSpec pins both halves): a typed lane
+    * has ONE field order per schema, so when a written key is
+    * null-bridged-to-absent in a ROW the interpreter re-appends it at
+    * the end while the struct keeps schema position — per-row
+    * reordering is unrepresentable columnar. On fully-defined rows the
+    * orders agree exactly (in-place update / append-at-end).
+    * Dynamic paths, empty segments, and walks into MAP values stay
+    * doc-mode. */
+  private def structPathMethod(
+      m: String, c: Column, st: StructType,
+      args: Vector[Arg]): (Column, DataType) = {
+    def segsOf(e: Expr): List[String] = e match {
+      case Lit(JStr(p)) =>
+        val segs = p.split('.').toList
+        if (p.isEmpty || segs.exists(_.isEmpty))
+          bail(s"$m path has empty segments: '$p'")
+        segs
+      case other => bail(s"$m lowers only literal paths: $other")
+    }
+    m match {
+      case "set_path" =>
+        if (args.length != 2) bail("set_path takes (path, value)")
+        val segs = segsOf(argE(args, 0))
+        val vdt = inferDt(argE(args, 1))
+          .getOrElse(bail("set_path value type unknown"))
+        val outT = setPathStructType(Some(st), segs, vdt)
+          .getOrElse(bail("set_path walks into a map lane — doc mode"))
+        (setPathStructCol(c, Some(st), segs, valueExpr(argE(args, 1))), outT)
+      case "del_path" =>
+        if (args.length != 1) bail("del_path takes (path)")
+        delPathStructCol(c, st, segsOf(argE(args, 0)))
+          .getOrElse((c, st): (Column, DataType))
+      case "del_paths" =>
+        if (args.length != 1) bail("del_paths takes (paths)")
+        argE(args, 0) match {
+          case ArrLit(elems) =>
+            val paths = elems.map {
+              case ArrElem.One(pe) => segsOf(pe)
+              case other => bail(s"del_paths lowers only literal paths: $other")
+            }
+            paths.foldLeft((c, st: DataType)) { case ((cc, cdt), segs) =>
+              cdt match {
+                case cst: StructType =>
+                  delPathStructCol(cc, cst, segs).getOrElse((cc, cdt))
+                case _ => (cc, cdt)
+              }
+            }
+          case other => bail(s"del_paths needs a literal path array: $other")
+        }
+    }
+  }
+
+  /** Column builder mirroring [[Lower.setPathStructType]] level for
+    * level (the type walk already rejected map segments). */
+  private def setPathStructCol(
+      c: Column, recvDt: Option[DataType], segs: List[String],
+      v: Column): Column = {
+    val k = segs.head
+    val fields = recvDt match {
+      case Some(s: StructType) => s.fields.toVector
+      case _                   => Vector.empty[StructField]
+    }
+    val childDt = fields.find(_.name == k).map(_.dataType)
+    val nc: Column = segs.tail match {
+      case Nil  => v
+      case rest =>
+        val childCol = if (childDt.isDefined) c.getField(k) else lit(null)
+        setPathStructCol(childCol, childDt, rest, v)
+    }
+    val names =
+      if (fields.exists(_.name == k)) fields.map(_.name)
+      else fields.map(_.name) :+ k
+    struct(names.map(n => (if (n == k) nc else c.getField(n)).as(n)): _*)
+  }
+
+  /** Column builder mirroring [[Lower.delPathStructType]]: None =
+    * provable identity (caller keeps the receiver). A null node stays
+    * null at every level — delPath's non-object identity. */
+  private def delPathStructCol(
+      c: Column, st: StructType, segs: List[String]): Option[(Column, DataType)] =
+    delPathStructType(st, segs).map { outT =>
+      def build(cc: Column, ot: StructType, ss: List[String]): Column = {
+        val k = ss.head
+        when(cc.isNull, lit(null).cast(ot)).otherwise(
+          struct(ot.fields.toIndexedSeq.map { f =>
+            (if (f.name == k && ss.tail.nonEmpty)
+               build(cc.getField(k), f.dataType.asInstanceOf[StructType], ss.tail)
+             else cc.getField(f.name)).as(f.name)
+          }: _*))
+      }
+      (letRow1(c)(cc => build(cc, outT, segs)), outT: DataType)
     }
 
   /** Object-builtin lane over `map<string, V>` columns — the map
@@ -4201,6 +4521,42 @@ object Lower {
                   }
                 case _ => None
               }
+            case Some(st: StructType)
+                if Set("set_path", "del_path", "del_paths")(m) =>
+              // mirror of structPathMethod (type walks are shared)
+              def segsOf(e: Expr): Option[List[String]] = e match {
+                case Lit(JStr(p)) if p.nonEmpty =>
+                  val segs = p.split('.').toList
+                  if (segs.exists(_.isEmpty)) None else Some(segs)
+                case _ => None
+              }
+              try m match {
+                case "set_path" if margs.length == 2 =>
+                  for {
+                    segs <- segsOf(margs(0).e)
+                    vdt  <- inferDt(margs(1).e)
+                    out  <- setPathStructType(Some(st), segs, vdt)
+                  } yield out
+                case "del_path" if margs.length == 1 =>
+                  segsOf(margs(0).e).map(segs =>
+                    delPathStructType(st, segs).getOrElse(st))
+                case "del_paths" if margs.length == 1 =>
+                  margs(0).e match {
+                    case ArrLit(elems) =>
+                      elems.foldLeft(Option(st: DataType)) { (acc, el) =>
+                        for {
+                          d    <- acc
+                          cst  <- Some(d).collect { case s: StructType => s }
+                          segs <- el match {
+                            case ArrElem.One(pe) => segsOf(pe)
+                            case _               => None
+                          }
+                        } yield delPathStructType(cst, segs).getOrElse(cst)
+                      }
+                    case _ => None
+                  }
+                case _ => None
+              } catch { case _: LowerException => None }
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))

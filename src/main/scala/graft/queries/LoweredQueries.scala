@@ -739,6 +739,46 @@ object LoweredQueries extends QueryGroup {
       _ => ev)
   }
 
+  /** Round-10 STRUCT path-write lane (Lower.structPathMethod): multi-
+    * segment literal `set_path`/`del_path`/`del_paths` over struct
+    * columns — in-place 2-segment writes, append-at-end new keys,
+    * {}-coercion through a non-object intermediate (price is a double),
+    * fresh 2-level creation, identity deletes, the del_paths fold, and
+    * `has_path` turning constant-false over schema-deleted segments.
+    * Null/order corners are pinned differentially in StructPathSpec;
+    * this row proves the lane end-to-end against DuckDB replaying each
+    * scalar read-back. */
+  private val setPathDeepL = q(
+    "q_lower_set_path_deep",
+    """SELECT o_orderkey AS okey,
+      |  o_totalprice * 2 AS disc,
+      |  TRUE AS hp,
+      |  FALSE AS np,
+      |  o_orderkey AS z,
+      |  CAST(5 AS BIGINT) AS w,
+      |  o_orderstatus AS st,
+      |  FALSE AS delp,
+      |  o_orderstatus AS st2
+      |FROM orders ORDER BY okey""".stripMargin) { (s, d) =>
+    val nested = Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"),
+      struct(col("o_totalprice").as("price"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio")).as("inner")).as("s"))
+    Lower.compile(
+      """$.orders.sort_by(okey).map({
+        |  okey: okey,
+        |  disc: s.set_path("inner.disc", s.price * 2).inner.disc,
+        |  hp: s.set_path("inner.disc", 1).has_path("inner.disc"),
+        |  np: s.del_path("inner.prio").has_path("inner.prio"),
+        |  z: s.set_path("price.z", okey).price.z,
+        |  w: s.set_path("extra.deep.w", 5).extra.deep.w,
+        |  st: s.del_path("nope.x").inner.st,
+        |  delp: s.del_paths(["inner.prio", "price"]).has_path("price"),
+        |  st2: s.del_paths(["inner.prio", "price"]).inner.st})""".stripMargin,
+      _ => nested)
+  }
+
   /** `.type()/.type_of()` — static per lane (JValue.kind) except the
     * null test; map lanes read "object", their values "number". The
     * null corners (null map → "null", missing key → "null") are pinned
@@ -1329,5 +1369,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, toJsonMapL, freeFnL, pipeL, rangeL)
+    setPathL, setPathDeepL, toJsonMapL, freeFnL, pipeL, rangeL)
 }

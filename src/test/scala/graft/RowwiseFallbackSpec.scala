@@ -140,6 +140,90 @@ class RowwiseFallbackSpec extends SparkSpec {
       "patch $ { supplier[*].s_acctbal: @.abs(), region[*].r_name: @.upper().rec(@) }").isEmpty)
   }
 
+  // ── round 10: (table, expr)-keyed LRU + static-schema shortcut ──
+
+  test("interleaved rowwise queries do not evict each other's cache") {
+    // two distinct rowwise pipelines alternate: with the (table, expr)
+    // LRU (Graft.rowwiseCache) every materialization after the first
+    // reads the persisted string cache — the single-generation slot of
+    // rounds 7-9 would re-run the interpreter once per switch
+    Graft.clearRowwiseCache()
+    val c = Graft.rowwiseCounters(spark)
+    val ea = """$.region.map({k: r_regionkey, u: r_name.title_case().rec(@)})"""
+    val eb = """$.nation.map({k: n_nationkey, u: n_name.title_case().rec(@)})"""
+    val na = graft.core.Tables(spark, sf, "region").count()
+    val nb = graft.core.Tables(spark, sf, "nation").count()
+    val before = c.evaluated.value
+    val dfa = Graft.rowwiseCompile(spark, sf, ea).get
+    val dfb = Graft.rowwiseCompile(spark, sf, eb).get
+    dfa.collect(); dfb.collect()
+    // one interpreter pass each (these chains carry rec → inference path)
+    assert(c.evaluated.value - before == na + nb,
+      s"expected ${na + nb} evaluations, got ${c.evaluated.value - before}")
+    // alternating re-materializations and re-compiles stay free
+    dfa.collect(); dfb.collect()
+    Graft.rowwiseCompile(spark, sf, ea).get.collect()
+    Graft.rowwiseCompile(spark, sf, eb).get.collect()
+    assert(c.evaluated.value - before == na + nb,
+      s"re-evaluated: ${c.evaluated.value - before} != ${na + nb}")
+  }
+
+  test("static schema shortcut matches what inference would produce") {
+    // provable pipelines: the derived schema must equal the schema
+    // spark.read.json infers from the actual interpreter output —
+    // field order (alphabetical), widths (long/double), nullability
+    val exprs = Seq(
+      """$.supplier.filter(s_acctbal >= 0).map({k: s_suppkey, nw: s_name.words().len(), half: s_acctbal / 2})""",
+      """$.customer{c_acctbal > 0}.map({k: c_custkey, w: c_mktsegment.words(), nest: {a: c_name, b: c_nationkey}})""",
+      """$.documents.filter(lang == "en").map({id: doc_id, w: text.words()}).explode("w")""",
+      """$.customer.pick("c_custkey", "c_mktsegment")""",
+      """$.nation.omit("n_comment")""",
+      """$.supplier.map({k: s_suppkey, big: s_acctbal when s_acctbal > 100})""")
+    exprs.foreach { e =>
+      val (table, evalExpr) = Graft.rowwisePlan(e).get
+      val src = graft.core.Tables(spark, sf, table)
+      val stat = graft.plans.Lower.rowwiseStaticSchema(src.schema, evalExpr)
+      assert(stat.isDefined, s"should prove: $e")
+      val inferred = spark.read.json(Graft.rowwiseJson(src, table, evalExpr)).schema
+      assert(stat.get == inferred, s"static ${stat.get.sql} != inferred ${inferred.sql} for $e")
+    }
+    // NOT provable: rec (untypeable leaf), compact (per-row shape),
+    // dynamic keys, scalar streams, chain-write rewrites
+    Seq(
+      """$.region.map({k: r_regionkey, u: r_name.upper().rec(@)})""",
+      """$.region.map({k: r_regionkey}).compact()""",
+      """$.region.map(r_regionkey)""",
+      """$.documents{lang == "en"}.n_chars.modify(@ * 2)""").foreach { e =>
+      val plan = Graft.rowwisePlan(e)
+      assert(plan.isDefined, e)
+      val src = graft.core.Tables(spark, sf, plan.get._1)
+      assert(graft.plans.Lower.rowwiseStaticSchema(src.schema, plan.get._2).isEmpty,
+        s"should NOT prove: $e")
+    }
+  }
+
+  test("provable chains compile with ZERO interpreter work (no inference scan)") {
+    Graft.clearRowwiseCache()
+    val c = Graft.rowwiseCounters(spark)
+    // the guarded field bails the relational shape lowering (shapeCols:
+    // "map shape field unsupported") but still types statically, so the
+    // chain lands on the rowwise rung WITH a proven schema
+    val e = """$.supplier.map({k: s_suppkey, nw: s_name.words().len(),
+              |               big: s_acctbal when s_acctbal > 100})""".stripMargin
+    assert(Graft.backend(spark, sf, e) == "rowwise")
+    val before = c.evaluated.value
+    val rw = Graft.rowwiseCompile(spark, sf, e).get // static schema: no inference pass
+    assert(c.evaluated.value == before,
+      s"compile ran the interpreter ${c.evaluated.value - before} times")
+    val n = graft.core.Tables(spark, sf, "supplier").count()
+    rw.collect() // the one interpreter pass, materialising the cache
+    rw.collect() // cached
+    assert(c.evaluated.value - before == n,
+      s"interpreter ran ${c.evaluated.value - before} times for $n rows")
+    // and the rows equal the document interpreter's (inference path)
+    assert(rowsOf(rw) == rowsOf(Graft.docFallback(spark, sf, e)))
+  }
+
   test("docFallback is capped by spark.graft.docFallback.maxRows") {
     val key = "spark.graft.docFallback.maxRows"
     spark.conf.set(key, "3") // supplier has 10 rows at sf0.001
