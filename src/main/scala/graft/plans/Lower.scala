@@ -99,6 +99,55 @@ object Lower {
     }
   }
 
+  /** Pure shape union of merge/deep_merge over two struct shapes
+    * (shared by the column builders and dtOf): x's fields in order,
+    * common fields' types merged, then y-only fields appended — the
+    * VectorMap `++`/deepMerge key order (Builtins.scala:110,602).
+    * Common-field type rule: struct+struct recurses when `deep` (the
+    * interpreter's (JObj, JObj) recursion) and unions shallowly
+    * otherwise (either side's value may win per row, so the union
+    * shape must embed both); any other pair must kind-unify (y wins
+    * wholesale — arrays replace, scalars overwrite). Bails on
+    * map-typed common fields under `deep` (their recursion is per-key
+    * dynamic) and on kind mismatches. */
+  private[plans] def mergeStructType(
+      x: org.apache.spark.sql.types.StructType,
+      y: org.apache.spark.sql.types.StructType,
+      deep: Boolean): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    // same-kind unification (ColLower.unifySameKind's rule, restated
+    // here because this walk is object-level for the dtOf mirror)
+    def integral(d: DataType) = d match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    def fractional(d: DataType) = d match {
+      case FloatType | DoubleType | _: DecimalType => true
+      case _                                       => false
+    }
+    def fieldType(a: DataType, b: DataType): DataType = (a, b) match {
+      case (xs: StructType, ys: StructType) =>
+        if (deep) mergeStructType(xs, ys, deep)
+        else if (xs == ys) xs
+        else mergeStructType(xs, ys, deep = false) // union shape, either side per row
+      case (xm: MapType, ym: MapType) if !deep && xm == ym => xm
+      case (_: MapType, _) | (_, _: MapType) =>
+        bail(s"${if (deep) "deep_merge" else "merge"} over map-typed fields — doc mode")
+      case (a2, b2) if a2 == b2                     => a2
+      case (a2, b2) if integral(a2) && integral(b2) => LongType
+      case (a2, b2) if fractional(a2) && fractional(b2) => DoubleType
+      case _ =>
+        bail(s"${if (deep) "deep_merge" else "merge"} mixes value kinds")
+    }
+    StructType(
+      x.fields.map { f =>
+        y.find(_.name == f.name) match {
+          case None    => f
+          case Some(g) => StructField(f.name, fieldType(f.dataType, g.dataType))
+        }
+      } ++ y.fields.filterNot(f => x.fieldNames.contains(f.name)))
+  }
+
   /** JSON-inference-equivalent schema of one ELEMENT of a rowwise
     * pipeline's output, when statically provable — the rowwise rung
     * (Graft.rowwiseCompile) parses its per-row interpreter output with
@@ -2560,6 +2609,11 @@ object Lower {
             if Set("set_path", "del_path", "del_paths")(m) =>
           val (c2, dt2) = structPathMethod(m, c, st, args)
           c = c2; dt = Some(dt2)
+        case Some(st: StructType)
+            if (m == "merge" || m == "deep_merge") && args.nonEmpty &&
+               !args.exists(_.name.nonEmpty) =>
+          val (c2, dt2) = structMergeMethod(m, c, st, args)
+          c = c2; dt = Some(dt2)
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
@@ -3237,6 +3291,101 @@ object Lower {
       }
     }
 
+  /** Re-shape a value of type `from` into the (super)shape `to`: struct
+    * fields missing from the source read null (≡ absent through the
+    * bridge), common fields re-shape recursively, scalar kinds cast. A
+    * null struct node stays null. */
+  private def asShape(c: Column, from: DataType, to: DataType): Column =
+    if (from == to) c
+    else (from, to) match {
+      case (f: StructType, t: StructType) =>
+        when(c.isNull, lit(null).cast(t)).otherwise(
+          struct(t.fields.toIndexedSeq.map { tf =>
+            (f.find(_.name == tf.name) match {
+              case Some(ff) => asShape(c.getField(tf.name), ff.dataType, tf.dataType)
+              case None     => lit(null).cast(tf.dataType)
+            }).as(tf.name)
+          }: _*))
+      case _ => c.cast(to)
+    }
+
+  /** merge/deep_merge of two NON-NULL struct values of shapes x and y
+    * into [[Lower.mergeStructType]](x, y, deep): per common field, the
+    * arg side wins when present (null ≡ absent through the bridge);
+    * `deep` recurses on struct+struct pairs where both sides are
+    * present (Builtins.deepMerge's (JObj, JObj) case). Callers guard
+    * whole-value nullness (the rules differ: merge coerces null to {},
+    * deep_merge lets a null arg win wholesale). */
+  private def mergeStructCol(
+      a: Column, b: Column, x: StructType, y: StructType,
+      deep: Boolean): Column = {
+    val out = mergeStructType(x, y, deep)
+    struct(out.fields.toIndexedSeq.map { f =>
+      val xf = x.find(_.name == f.name)
+      val yf = y.find(_.name == f.name)
+      ((xf, yf) match {
+        case (Some(ff), None) =>
+          asShape(a.getField(f.name), ff.dataType, f.dataType)
+        case (None, Some(gf)) =>
+          asShape(b.getField(f.name), gf.dataType, f.dataType)
+        case (Some(ff), Some(gf)) =>
+          val xc = a.getField(f.name)
+          val yc = b.getField(f.name)
+          (ff.dataType, gf.dataType) match {
+            case (xs: StructType, ys: StructType) if deep =>
+              val t = f.dataType.asInstanceOf[StructType]
+              when(yc.isNull, asShape(xc, xs, t))
+                .when(xc.isNull, asShape(yc, ys, t))
+                .otherwise(mergeStructCol(xc, yc, xs, ys, deep))
+            case (xd, yd) =>
+              when(yc.isNull, asShape(xc, xd, f.dataType))
+                .otherwise(asShape(yc, yd, f.dataType))
+          }
+        case (None, None) => bail("unreachable merge field")
+      }).as(f.name)
+    }: _*)
+  }
+
+  /** `merge`/`deep_merge` over a STRUCT receiver with statically
+    * struct-shaped args (object literals, struct columns): a schema-
+    * directed fold of [[mergeStructCol]]. Null rules differ
+    * (Builtins.scala:602-605): merge coerces null sides to {} (objOnly
+    * — a null arg keeps the accumulator, a null accumulator takes the
+    * arg's entries), while deep_merge's `(_, other) => other` lets a
+    * null ARG win wholesale and a null accumulator take the arg
+    * verbatim. Non-struct args stay doc-mode (scalar args would
+    * replace the whole value — a per-row kind flip no static lane
+    * holds). */
+  private def structMergeMethod(
+      m: String, c: Column, st: StructType,
+      args: Vector[Arg]): (Column, DataType) = {
+    val deep = m == "deep_merge"
+    if (args.isEmpty) bail(s"$m needs at least one argument")
+    var acc = c
+    var accT = st
+    args.foreach { a =>
+      val ys = inferDt(a.e) match {
+        case Some(s: StructType) => s
+        case Some(o) => bail(s"$m over a ${o.simpleString} arg — doc mode")
+        case None    => bail(s"$m arg type unknown")
+      }
+      val t = mergeStructType(accT, ys, deep)
+      acc = letRow(Seq(acc, valueExpr(a.e))) { case Seq(aa, oo) =>
+        val merged = mergeStructCol(aa, oo, accT, ys, deep)
+        if (deep)
+          when(oo.isNull, lit(null).cast(t))
+            .when(aa.isNull, asShape(oo, ys, t))
+            .otherwise(merged)
+        else
+          when(oo.isNull, asShape(aa, accT, t))
+            .when(aa.isNull, asShape(oo, ys, t))
+            .otherwise(merged)
+      }
+      accT = t
+    }
+    (acc, accT)
+  }
+
   /** `set_path`/`del_path`/`del_paths` over STRUCT lanes (reference
     * builtins/ops/path.rs dotted-path surface; Builtins.setPath/delPath
     * are the conformance semantics): multi-segment LITERAL paths
@@ -3489,17 +3638,81 @@ object Lower {
           accV = u
         }
         (acc, Some(outMap(accV)))
+      case "deep_merge" if vt.isInstanceOf[StructType] =>
+        // STRUCT-valued lane (round 10): the (object, object) collision
+        // recursion is schema-directed — shapes have STATIC depth, so
+        // colliding keys deep-merge via mergeStructCol into the shape
+        // union, non-colliding entries re-shape with nulls for the
+        // other side's fields (≡ absent through the bridge). Null
+        // rules are deepMerge's: a null ARG wins wholesale (result
+        // null), a null acc takes the arg verbatim, and a null VALUE
+        // at a colliding key follows `(_, other) => other` — null arg
+        // value nulls the entry, null acc value takes the arg's.
+        // Map-of-map lanes keep the doc-mode bail below (their
+        // recursion is per-key dynamic).
+        var accS = c
+        var accV = vt.asInstanceOf[StructType]
+        args.indices.foreach { i =>
+          val e = argE(args, i)
+          val (o, ys, oNull) = inferDt(e) match {
+            case Some(MapType(StringType, s: StructType, _)) =>
+              val cc = colExpr(e)
+              (cc, s, cc.isNull)
+            case Some(st2: StructType) =>
+              // object literal / struct column arg: fields are keys;
+              // one value shape only (a map lane holds one value type)
+              val ys = st2.fields.map(_.dataType).distinct.toSeq match {
+                case Seq(s: StructType) => s
+                case _ => bail("deep_merge struct arg mixes value shapes")
+              }
+              val sc = colExpr(e)
+              val entries = st2.fieldNames.map(f =>
+                struct(lit(f).as("key"), sc.getField(f).as("value")))
+              (map_from_entries(array(entries.toIndexedSeq: _*)), ys, sc.isNull)
+            case Some(o2) => bail(s"deep_merge needs an object arg, got ${o2.simpleString}")
+            case None     => bail("deep_merge arg type unknown")
+          }
+          val xs = accV
+          val t = mergeStructType(xs, ys, deep = true)
+          val mt2 = MapType(StringType, t, valueContainsNull = true)
+          def oAsT(oo: Column) = map_from_entries(transform(map_entries(oo),
+            e2 => entryOf(e2.getField("key"),
+              asShape(e2.getField("value"), ys, t))))
+          val merged = letRow(Seq(accS, o)) { case Seq(aa, oo) =>
+            when(aa.isNull, oAsT(oo)).otherwise(
+              map_from_entries(concat(
+                transform(map_entries(aa), e2 =>
+                  entryOf(e2.getField("key"),
+                    when(!map_contains_key(oo, e2.getField("key")),
+                      asShape(e2.getField("value"), xs, t))
+                      .otherwise(letRow(Seq(e2.getField("value"),
+                          element_at(oo, e2.getField("key")))) {
+                        case Seq(xv, yv) =>
+                          when(yv.isNull, lit(null).cast(t))
+                            .when(xv.isNull, asShape(yv, ys, t))
+                            .otherwise(mergeStructCol(xv, yv, xs, ys, deep = true))
+                      }))),
+                transform(filter(map_entries(oo),
+                    e2 => !map_contains_key(aa, e2.getField("key"))),
+                  e2 => entryOf(e2.getField("key"),
+                    asShape(e2.getField("value"), ys, t))))))
+          }
+          accS = when(oNull, lit(null).cast(mt2)).otherwise(merged)
+          accV = t
+        }
+        (accS, Some(outMap(accV)))
       case "deep_merge" =>
         // deepMerge recurses only on (object, object) collisions
         // (Builtins.deepMerge:110) — with statically non-object values
         // it is merge, EXCEPT its null rule: `(_, other) => other`
         // makes a null ARG win wholesale (the result goes null), and a
-        // null acc takes the next object arg verbatim. Object-valued
-        // lanes would actually recurse — doc mode keeps those.
+        // null acc takes the next object arg verbatim. Struct-valued
+        // lanes take the schema-directed case above; map-of-map lanes
+        // stay doc-mode (per-key dynamic recursion).
         def objLike(d: DataType): Boolean =
           d.isInstanceOf[StructType] || d.isInstanceOf[MapType]
         if (objLike(vt))
-          bail("deep_merge over object-valued lanes recurses — doc mode")
+          bail("deep_merge over map-of-map lanes recurses dynamically — doc mode")
         var acc: Column = c
         var accV: DataType = vt
         args.indices.foreach { i =>
@@ -4557,6 +4770,17 @@ object Lower {
                   }
                 case _ => None
               } catch { case _: LowerException => None }
+            case Some(st: StructType)
+                if (m == "merge" || m == "deep_merge") && margs.nonEmpty &&
+                   !margs.exists(_.name.nonEmpty) =>
+              // mirror of structMergeMethod (shared shape union)
+              try margs.foldLeft(Option(st)) { (acc, a) =>
+                acc.flatMap(x => inferDt(a.e) match {
+                  case Some(ys: StructType) =>
+                    Some(mergeStructType(x, ys, m == "deep_merge"))
+                  case _ => None
+                })
+              } catch { case _: LowerException => None }
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))
@@ -4597,6 +4821,24 @@ object Lower {
       }
     m match {
       case "merge" if args.nonEmpty => unifyAll.map(out)
+      case "deep_merge" if args.nonEmpty && mt.valueType.isInstanceOf[StructType] =>
+        // struct-valued lane: fold the schema-directed shape union the
+        // lowering performs (mergeStructType); args must be struct-
+        // valued maps or one-shape struct literals, like the lowering
+        def argStruct(i: Int): Option[StructType] = inferDt(args(i).e).flatMap {
+          case MapType(StringType, s: StructType, _) => Some(s)
+          case st: StructType =>
+            st.fields.map(_.dataType).distinct.toSeq match {
+              case Seq(s: StructType) => Some(s)
+              case _                  => None
+            }
+          case _ => None
+        }
+        try args.indices.foldLeft(
+          Option(mt.valueType.asInstanceOf[StructType])) { (acc, i) =>
+          acc.flatMap(x => argStruct(i).map(mergeStructType(x, _, deep = true)))
+        }.map(out)
+        catch { case _: LowerException => None }
       case "deep_merge" if args.nonEmpty =>
         unifyAll.filterNot(u => objLike(u) || objLike(mt.valueType)).map(out)
       case "defaults" if args.length == 1 => unifyAll.map(out)

@@ -779,6 +779,53 @@ object LoweredQueries extends QueryGroup {
       _ => nested)
   }
 
+  /** Round-10 object-valued merge lanes: `deep_merge` recursing
+    * schema-directed over STRUCT receivers (Lower.structMergeMethod —
+    * in-place updates, appended keys, the shape union embedding both
+    * sides) and over `map<string, struct>` columns (Lower.mapMethod),
+    * plus shallow `merge`'s whole-value replacement of a common object
+    * field. Null/order corners are pinned differentially in
+    * StructMergeSpec; this row replays every scalar read-back in
+    * DuckDB. */
+  private val deepMergeL = q(
+    "q_lower_deep_merge",
+    """SELECT n_nationkey AS id,
+      |  n_name AS nm,
+      |  n_nationkey AS ln,
+      |  n_regionkey AS d,
+      |  n_regionkey + 1 AS e,
+      |  CAST(NULL AS VARCHAR) AS mnm,
+      |  n_nationkey AS mln,
+      |  n_regionkey AS pu,
+      |  n_nationkey * 10 AS pw,
+      |  n_nationkey AS qu,
+      |  CAST(NULL AS INTEGER) AS qw
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      struct(struct(col("n_name").as("nm")).as("a"),
+        col("n_regionkey").as("dd")).as("x"),
+      struct(struct(col("n_nationkey").as("ln")).as("a"),
+        (col("n_regionkey") + 1).as("e")).as("y"),
+      map(lit("p"), struct(col("n_regionkey").as("u")),
+          lit("q"), struct(col("n_nationkey").as("u"))).as("nmap"),
+      map(lit("p"), struct((col("n_nationkey") * 10).as("w"))).as("qmap"))
+    Lower.compile(
+      """$.nation.sort_by(id).map({
+        |  id: id,
+        |  nm: x.deep_merge(y).a.nm,
+        |  ln: x.deep_merge(y).a.ln,
+        |  d: x.deep_merge(y).dd,
+        |  e: x.deep_merge(y).e,
+        |  mnm: x.merge(y).a.nm,
+        |  mln: x.merge(y).a.ln,
+        |  pu: nmap.deep_merge(qmap).get_path("p.u"),
+        |  pw: nmap.deep_merge(qmap).get_path("p.w"),
+        |  qu: nmap.deep_merge(qmap).get_path("q.u"),
+        |  qw: nmap.deep_merge(qmap).get_path("q.w")})""".stripMargin,
+      _ => nested)
+  }
+
   /** `.type()/.type_of()` — static per lane (JValue.kind) except the
     * null test; map lanes read "object", their values "number". The
     * null corners (null map → "null", missing key → "null") are pinned
@@ -1369,5 +1416,5 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, setPathDeepL, toJsonMapL, freeFnL, pipeL, rangeL)
+    setPathL, setPathDeepL, deepMergeL, toJsonMapL, freeFnL, pipeL, rangeL)
 }

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.jexpr.{JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JValue, Jetro}
+import scala.collection.immutable.{ListMap, VectorMap}
+
+/** Differential contract for `merge`/`deep_merge` over object-valued
+  * shapes (round 10): STRUCT receivers with struct-shaped args
+  * (Lower.structMergeMethod) and `map<string, struct>` lanes
+  * (Lower.mapMethod's schema-directed deep_merge). Shapes have static
+  * depth, so the interpreter's (JObj, JObj) recursion compiles to a
+  * bounded field-wise merge into the shape union.
+  *
+  * Comparison is bridge-canonical (null object entries drop from both
+  * sides — a typed null field ≡ an absent key), sorted by key in the
+  * all-rows pass and order-SENSITIVE on fully-defined rows, mirroring
+  * StructPathSpec's two-pass discipline.
+  */
+class StructMergeSpec extends SparkSpec {
+
+  private val valSt = StructType(Seq(
+    StructField("u", LongType), StructField("v", StringType)))
+  private val valSt2 = StructType(Seq(
+    StructField("u", LongType), StructField("w", LongType)))
+
+  private val docType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cfg", StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("b", LongType),
+        StructField("c", StringType))), nullable = true),
+      StructField("d", LongType))), nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("x", StringType))), nullable = true),
+    StructField("nest", MapType(StringType, valSt, valueContainsNull = true),
+      nullable = true),
+    StructField("nest2", MapType(StringType, valSt2, valueContainsNull = true),
+      nullable = true)))
+
+  /** Nulls at every level: whole cfg (3), cfg.a (6), cfg.a.b (9),
+    * meta (evens), whole nest (5), null nest ENTRY value (7), null
+    * struct field inside an entry (11), nest2 (13), overlapping and
+    * disjoint keys across nest/nest2. */
+  private lazy val docs = {
+    val keys = Vector("p", "q", "r")
+    val rows = (0 until 24).map { i =>
+      val a =
+        if (i == 6) null
+        else Row(if (i == 9) null else java.lang.Long.valueOf(i * 3L), s"c$i")
+      val cfg = if (i == 3) null else Row(a, java.lang.Long.valueOf(i % 5L))
+      val meta = if (i % 2 == 0) null else Row(s"x$i")
+      val nest =
+        if (i == 5) null
+        else ListMap((0 until i % 3).map { j =>
+          keys((i + j) % 3) -> (
+            if (i == 7 && j == 0) null
+            else Row(
+              if (i == 11) null else java.lang.Long.valueOf(i + j * 10L),
+              s"v${(i + j) % 4}"))
+        }: _*)
+      val nest2 =
+        if (i == 13) null
+        else ListMap((0 until (i + 1) % 3).map { j =>
+          keys((i + 2 * j) % 3) ->
+            Row(java.lang.Long.valueOf(i * 2L), java.lang.Long.valueOf(j.toLong))
+        }: _*)
+      Row(i.toLong, cfg, meta, nest, nest2)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), docType)
+  }
+
+  private def toJ(v: Any): JValue = v match {
+    case null => JNull
+    case r: Row =>
+      JObj(VectorMap.from(r.schema.fieldNames.zipWithIndex.map {
+        case (n, i) => n -> toJ(r.get(i))
+      }))
+    case m: scala.collection.Map[_, _] =>
+      JObj(VectorMap.from(m.toSeq.map { case (k, v) => k.toString -> toJ(v) }))
+    case s: scala.collection.Seq[_] => JArr(s.map(toJ).toVector)
+    case l: Long    => JInt(l)
+    case i: Int     => JInt(i.toLong)
+    case d: Double  => JFloat(d)
+    case s: String  => JStr(s)
+    case b: Boolean => JBool(b)
+    case other      => fail(s"unmapped Spark value $other (${other.getClass})")
+  }
+
+  private def bridgeCanon(v: JValue, sortKeys: Boolean): JValue = v match {
+    case JObj(fs) =>
+      val kept = fs.toVector.collect {
+        case (k, x) if x != JNull => k -> bridgeCanon(x, sortKeys)
+      }
+      JObj(VectorMap.from(if (sortKeys) kept.sortBy(_._1) else kept))
+    case JArr(xs) => JArr(xs.map(bridgeCanon(_, sortKeys)))
+    case other    => other
+  }
+
+  private def jEq(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JInt(x), JFloat(y)) => x.toDouble == y
+    case (JFloat(x), JInt(y)) => x == y.toDouble
+    case (JArr(xs), JArr(ys)) =>
+      xs.length == ys.length && xs.lazyZip(ys).forall(jEq)
+    case (JObj(xs), JObj(ys)) =>
+      xs.size == ys.size &&
+        xs.toVector.lazyZip(ys.toVector).forall {
+          case ((k1, v1), (k2, v2)) => k1 == k2 && jEq(v1, v2)
+        }
+    case _ => a == b
+  }
+
+  private def differential(expr: String, sortKeys: Boolean = true,
+      rows: org.apache.spark.sql.DataFrame = docs): Unit = {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    val nativeCol = Jetro.evalNative(expr, doc, docType)
+      .getOrElse(fail(s"did not lower: $expr"))
+    val both = rows
+      .select(col("id"), nativeCol.as("native"), to_json(doc).as("json"))
+      .orderBy("id")
+      .collect()
+    val compiled = Jetro.compile(expr)
+    both.foreach { r =>
+      val native = bridgeCanon(toJ(r.get(1)), sortKeys)
+      val interp = bridgeCanon(
+        try compiled.evalValue(JValue.parse(r.getString(2)))
+        catch { case _: jexpr.EvalException => JNull }, sortKeys)
+      assert(jEq(native, interp),
+        s"row id=${r.getLong(0)} expr=$expr native=${native.render} interp=${interp.render}")
+    }
+  }
+
+  // `$.cfg.deep_merge(x)` at doc root is a chain-WRITE in both engines
+  // (Interp.chainWrite / Lower.isRootChainWrite: it evaluates to the
+  // patched document) — the VALUE forms live off root paths, as in
+  // every real usage (`map({m: x.deep_merge(y)})`). The identity
+  // `del_path("zz9")` prefix is a value op, so it moves the receiver
+  // into value position without changing it — the struct analogue of
+  // MapColumnSpec's `transform_values(@)` prefix.
+  private val C = "$.cfg.del_path(\"zz9\")"
+  private val N = "$.nest.del_path(\"zz9\")"
+  private val N2 = "$.nest2.del_path(\"zz9\")"
+
+  private def refuses(expr: String): Unit = {
+    val doc = struct(docType.fieldNames.map(col): _*)
+    assert(Jetro.evalNative(expr, doc, docType).isEmpty,
+      s"should stay doc-mode: $expr")
+  }
+
+  test("deep_merge over struct receivers matches the interpreter") {
+    Seq(
+      // in-place recursive update + appended keys at both depths
+      s"$C.deep_merge({a: {b: 7}})",
+      s"$C.deep_merge({a: {z: 1}, q: 2})",
+      s"$C.deep_merge({d: 9})",
+      // struct column arg; multi-arg left fold
+      s"$C.deep_merge($$.meta)",
+      s"$C.deep_merge({d: 4}, {a: {c: \"q\"}, e: 1})",
+      // read-back through the merged type (dtOf mirror)
+      s"$C.deep_merge({a: {z: 1}}).a.z",
+      s"$C.deep_merge({q: 2}).q + 1",
+      s"$C.deep_merge($$.meta).x",
+      // multiple common fields updated in one arg
+      s"$C.deep_merge({a: {b: 5}, d: 0})"
+    ).foreach(differential(_))
+  }
+
+  test("shallow merge over struct receivers matches the interpreter") {
+    Seq(
+      // common object field: the arg side wins WHOLESALE (no recursion)
+      s"$C.merge({a: {z: 9}})",
+      s"$C.merge({a: {z: 9}}).a.z",
+      s"$C.merge({q: 1})",
+      s"$C.merge($$.meta, {d: 1})",
+      // null arg keeps the accumulator (objOnly {} coercion) — unlike
+      // deep_merge, where a null arg wins wholesale (next test)
+      s"$C.merge($$.meta).d"
+    ).foreach(differential(_))
+  }
+
+  test("deep_merge over map<string, struct> lanes matches the interpreter") {
+    Seq(
+      // colliding keys merge field-wise into the shape union; disjoint
+      // keys append in arg order; null entry VALUES follow
+      // `(_, other) => other` (arg null nulls the entry)
+      s"$N.deep_merge($N2)",
+      s"$N.deep_merge({p: {u: 9, v: \"z\"}})",
+      s"$N.deep_merge({p: {u: 9}, zz: {u: 1}})",
+      s"$N2.deep_merge($N)",
+      // read-backs through get_path (map segment then merged struct)
+      s"$N.deep_merge($$.nest2).get_path(\"p.u\")",
+      s"$N.deep_merge($$.nest2).get_path(\"p.w\")",
+      // chained with the rest of the map lane
+      s"$N.deep_merge($$.nest2).keys()",
+      s"$N.deep_merge($$.nest2).len()"
+    ).foreach(differential(_))
+  }
+
+  test("key order is pinned on fully-defined rows") {
+    val defined = docs.filter(!col("id").isin(3L, 5L, 6L, 7L, 9L, 11L, 13L))
+    Seq(
+      s"$C.deep_merge({q: 2, a: {z: 1}})",
+      s"$C.merge({a: {z: 9}, q: 1})",
+      s"$N.deep_merge($N2)"
+    ).foreach(differential(_, sortKeys = false, rows = defined))
+  }
+
+  test("unmergeable shapes stay doc-mode") {
+    refuses(s"$C.deep_merge({d: \"s\"})")       // kind mismatch on d
+    refuses(s"$C.deep_merge({a: 5})")           // struct vs scalar field
+    refuses(s"$C.deep_merge(5)")                // scalar arg replaces wholesale
+    refuses(s"$N.deep_merge({p: {u: 9}, zz: 1})") // mixed value shapes
+    refuses(s"$N.deep_merge($$.cfg)")           // cfg fields are not one shape
+    refuses(s"$C.deep_merge({a: {b: \"s\"}})")  // nested kind mismatch
+  }
+
+  test("randomized merge chains: lowered == interpreter") {
+    val rng = new scala.util.Random(fuzzSeed(20260816))
+    val structArgs = Vector(
+      "{a: {b: 1}}", "{a: {z: 2}, q: 3}", "{d: 7}", "$.meta", "{e: {f: \"g\"}}")
+    val mapArgs = Vector(
+      "$.nest2", "{p: {u: 0, w: 1}}", "{r: {u: 5, w: 5}, p: {u: 1, w: 2}}")
+    (0 until 50).foreach { _ =>
+      val (recv, pool) =
+        if (rng.nextBoolean()) (C, structArgs) else (N, mapArgs)
+      val m = if (recv == C && rng.nextBoolean()) "merge" else "deep_merge"
+      val n = 1 + rng.nextInt(2)
+      val e = s"$recv.$m(${(0 until n).map(_ => pool(rng.nextInt(pool.length))).mkString(", ")})"
+      val doc = struct(docType.fieldNames.map(col): _*)
+      if (Jetro.evalNative(e, doc, docType).isDefined) differential(e)
+      else fail(s"expected to lower: $e")
+    }
+  }
+}
