@@ -144,6 +144,38 @@ object Bench {
           "$.events.map({id: event_id, v: props.get_path(\"k\") ?? -1," +
             " h: props has \"z\", m: props.missing(\"nope\")})",
           _ => patched)
+      }),
+      // the round-10 paths at bench scale: multi-segment struct path
+      // writes/deletes and object-valued deep merges over ALL orders
+      // rows (the oracle twins run the same lanes under the gate; here
+      // the numbers track the per-row struct-rebuild cost)
+      "b_struct_path" -> ((s: SparkSession, d: String) => {
+        val f = org.apache.spark.sql.functions
+        val nested = Tables.orders(s, d).select(
+          f.col("o_orderkey").as("okey"),
+          f.struct(f.col("o_totalprice").as("price"),
+            f.struct(f.col("o_orderstatus").as("st"),
+              f.col("o_orderpriority").as("prio")).as("inner")).as("s"))
+        graft.plans.Lower.compile(
+          "$.orders.map({okey: okey," +
+            " disc: s.set_path(\"inner.disc\", s.price * 2).inner.disc," +
+            " w: s.set_path(\"extra.deep.w\", 5).extra.deep.w," +
+            " st: s.del_paths([\"inner.prio\", \"price\"]).inner.st})",
+          _ => nested)
+      }),
+      "b_struct_merge" -> ((s: SparkSession, d: String) => {
+        val f = org.apache.spark.sql.functions
+        val nested = Tables.orders(s, d).select(
+          f.col("o_orderkey").as("okey"),
+          f.struct(f.struct(f.col("o_orderstatus").as("st")).as("a"),
+            f.col("o_totalprice").as("p")).as("x"),
+          f.struct(f.struct(f.col("o_orderpriority").as("pr")).as("a"),
+            f.col("o_custkey").as("sp")).as("y"))
+        graft.plans.Lower.compile(
+          "$.orders.map({okey: okey," +
+            " st: x.deep_merge(y).a.st, pr: x.deep_merge(y).a.pr," +
+            " sp: x.merge(y).sp})",
+          _ => nested)
       }))
   }
 

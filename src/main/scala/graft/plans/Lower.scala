@@ -3480,6 +3480,59 @@ object Lower {
     struct(names.map(n => (if (n == k) nc else c.getField(n)).as(n)): _*)
   }
 
+  /** True when every value of type `from` re-shapes value-faithfully
+    * into `to` via [[asShape]]: exact match, integral widening to
+    * long, fractional to double (JSON renders agree), or recursive
+    * struct shape-widening (appended fields read null ≡ absent). The
+    * deep map-lane set_path uses this to decide whether UNTOUCHED
+    * entries can live in the written entry's widened shape. */
+  private def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (a: StructType, b: StructType) =>
+      a.fields.forall(f =>
+        b.find(_.name == f.name).exists(g => widensTo(f.dataType, g.dataType)))
+    case (a, b) => unifySameKind(a, b).contains(b)
+  }
+
+  /** Null-out builder for delPath INSIDE a map entry's struct value
+    * (the value type must stay fixed across entries, so the leaf is
+    * nulled — ≡ absent through the bridge — instead of dropped from
+    * the schema). None = the walk statically dies (missing field /
+    * non-struct intermediate): delPath's identity. Bails on map
+    * segments. A null node stays null at every level. */
+  private def nullOutStruct(
+      xs: StructType, segs: List[String]): Option[Column => Column] = {
+    val k = segs.head
+    xs.find(_.name == k) match {
+      case None => None
+      case Some(f) => segs.tail match {
+        case Nil => Some { c =>
+          letRow1(c) { cc =>
+            when(cc.isNull, cc).otherwise(
+              struct(xs.fields.toIndexedSeq.map { g =>
+                (if (g.name == k) lit(null).cast(g.dataType)
+                 else cc.getField(g.name)).as(g.name)
+              }: _*))
+          }
+        }
+        case rest => f.dataType match {
+          case cst: StructType =>
+            nullOutStruct(cst, rest).map { inner => c =>
+              letRow1(c) { cc =>
+                when(cc.isNull, cc).otherwise(
+                  struct(xs.fields.toIndexedSeq.map { g =>
+                    (if (g.name == k) inner(cc.getField(k))
+                     else cc.getField(g.name)).as(g.name)
+                  }: _*))
+              }
+            }
+          case _: MapType => bail("del_path walks into a map lane — doc mode")
+          case _          => None
+        }
+      }
+    }
+  }
+
   /** Column builder mirroring [[Lower.delPathStructType]]: None =
     * provable identity (caller keeps the receiver). A null node stays
     * null at every level — delPath's non-object identity. */
@@ -3809,21 +3862,83 @@ object Lower {
         (when(c.isNull, lit("null")).otherwise(to_json(c)), Some(StringType))
       case "set_path" if args.length == 2 =>
         // a one-segment literal path is exactly set(k, v) — setPath's
-        // VectorMap `+` (create-on-null, in-place-or-append); deeper
-        // paths create nested objects, doc mode owns those
+        // VectorMap `+` (create-on-null, in-place-or-append). Deeper
+        // literal paths over STRUCT-valued lanes (round 10) update the
+        // ONE entry's struct via the struct-path machinery: the entry
+        // updates in place (or appends fresh when the key is missing —
+        // setPath's fs.getOrElse(k, JNull) coercion), every other
+        // entry re-shapes into the widened value type with nulls for
+        // appended fields (≡ absent through the bridge). A write that
+        // re-TYPES a field shared with the old shape cannot hold the
+        // untouched entries, and non-struct value lanes would re-kind
+        // per entry — both stay doc-mode.
         argE(args, 0) match {
           case Lit(JStr(p)) if !p.contains('.') =>
             mapMethod("set", c, mt, Vector(Arg(None, Lit(JStr(p))), args(1)))
-          case other => bail(s"set_path lowers only one-segment literal paths: $other")
+          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) &&
+              vt.isInstanceOf[StructType] =>
+            val segs = p.split('.').toList
+            val (k, rest) = (segs.head, segs.tail)
+            val xs = vt.asInstanceOf[StructType]
+            val vdt = inferDt(argE(args, 1))
+              .getOrElse(bail("set_path value type unknown"))
+            val z = setPathStructType(Some(xs), rest, vdt)
+              .getOrElse(bail("set_path walks into a map lane — doc mode"))
+            xs.fields.foreach { f =>
+              if (!widensTo(f.dataType, z(f.name).dataType))
+                bail(s"set_path re-types shared field ${f.name} — doc mode")
+            }
+            val freshT = setPathStructType(None, rest, vdt).get
+            val out = letRow(Seq(m0, valueExpr(argE(args, 1)))) {
+              case Seq(aa, v) =>
+                val kLit = lit(k)
+                when(map_contains_key(aa, kLit),
+                  map_from_entries(transform(map_entries(aa), e =>
+                    entryOf(e.getField("key"),
+                      when(e.getField("key") === kLit,
+                        setPathStructCol(e.getField("value"), Some(xs), rest, v))
+                        .otherwise(asShape(e.getField("value"), xs, z))))))
+                  .otherwise(map_concat(
+                    map_from_entries(transform(map_entries(aa), e =>
+                      entryOf(e.getField("key"),
+                        asShape(e.getField("value"), xs, z)))),
+                    map_from_arrays(array(kLit),
+                      array(asShape(setPathStructCol(lit(null), None, rest, v),
+                        freshT, z)))))
+            }
+            (out, Some(outMap(z)))
+          case other => bail(s"set_path lowers only literal paths: $other")
         }
       case "del_path" if args.length == 1 =>
         // JObj(fs - k); a NULL receiver returns unchanged (delPath's
-        // non-object case keeps the value) — so no null→{} read here
+        // non-object case keeps the value) — so no null→{} read here.
+        // Deeper literal paths over STRUCT-valued lanes (round 10)
+        // null out the leaf INSIDE the one entry's struct — a typed
+        // null field ≡ an absent key through the bridge, so the value
+        // type (and every other entry) stays untouched; a walk that
+        // statically dies (missing schema field / non-struct
+        // intermediate) is delPath's identity. Map segments and
+        // non-struct value lanes stay doc-mode.
         argE(args, 0) match {
           case Lit(JStr(p)) if !p.contains('.') =>
             (map_from_entries(filter(map_entries(c),
               e => e.getField("key") =!= p)), Some(outMap(vt)))
-          case other => bail(s"del_path lowers only one-segment literal paths: $other")
+          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) &&
+              vt.isInstanceOf[StructType] =>
+            val segs = p.split('.').toList
+            val (k, rest) = (segs.head, segs.tail)
+            val xs = vt.asInstanceOf[StructType]
+            nullOutStruct(xs, rest) match {
+              case None => (c, Some(outMap(vt))) // identity walk
+              case Some(build) =>
+                (map_from_entries(transform(map_entries(c), e =>
+                  entryOf(e.getField("key"),
+                    when(e.getField("key") === lit(k),
+                      build(e.getField("value")))
+                      .otherwise(e.getField("value"))))),
+                  Some(outMap(vt)))
+            }
+          case other => bail(s"del_path lowers only literal paths: $other")
         }
       case "del_paths" if args.length == 1 =>
         // fold of del_path over a LITERAL array of one-segment paths
@@ -4842,7 +4957,27 @@ object Lower {
       case "deep_merge" if args.nonEmpty =>
         unifyAll.filterNot(u => objLike(u) || objLike(mt.valueType)).map(out)
       case "defaults" if args.length == 1 => unifyAll.map(out)
-      case "set" | "set_path" if args.length == 2 =>
+      case "set_path" if args.length == 2 =>
+        // mirror of the deep map-lane set_path: one-segment paths are
+        // set(k, v); deeper paths over struct-valued lanes widen the
+        // value shape via setPathStructType (shared with the lowering)
+        args(0).e match {
+          case Lit(JStr(p)) if !p.contains('.') =>
+            inferDt(args(1).e).flatMap(unifySameKind(mt.valueType, _)).map(out)
+          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) =>
+            mt.valueType match {
+              case xs: StructType =>
+                inferDt(args(1).e).flatMap { vdt =>
+                  setPathStructType(Some(xs), p.split('.').toList.tail, vdt)
+                    .filter(z => xs.fields.forall(f =>
+                      widensTo(f.dataType, z(f.name).dataType)))
+                    .map(out)
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case "set" if args.length == 2 =>
         inferDt(args(1).e).flatMap(unifySameKind(mt.valueType, _)).map(out)
       // body-typed lanes, via the same EBody scope mapMethod uses; a
       // body that cannot even scope (multi-param lambda) types as None

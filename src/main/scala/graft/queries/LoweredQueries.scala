@@ -826,6 +826,47 @@ object LoweredQueries extends QueryGroup {
       _ => nested)
   }
 
+  /** Round-10 follow-on: deep `set_path`/`del_path` INTO `map<string,
+    * struct>` entries (Lower.mapMethod) — first segment is the map
+    * key, the rest walks the one entry's struct; untouched entries
+    * re-shape with nulls for appended fields, del_path nulls the leaf
+    * inside the entry (≡ absent through the bridge) so the value type
+    * never changes. Null/identity corners are pinned differentially in
+    * StructMergeSpec; this row replays every scalar read-back in
+    * DuckDB. */
+  private val mapSetDeepL = q(
+    "q_lower_map_set_deep",
+    """SELECT n_nationkey AS id,
+      |  CAST(99 AS BIGINT) AS pu,
+      |  CAST(n_nationkey AS BIGINT) AS qu,
+      |  CAST(n_nationkey * 2 AS BIGINT) AS pz,
+      |  CAST(NULL AS BIGINT) AS qz,
+      |  CAST(7 AS BIGINT) AS zz,
+      |  'p,q,zz' AS ks,
+      |  CAST(NULL AS INTEGER) AS du,
+      |  n_nationkey AS dq,
+      |  FALSE AS dh
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      map(lit("p"), struct(col("n_regionkey").as("u"), col("n_name").as("v")),
+          lit("q"), struct(col("n_nationkey").as("u"), upper(col("n_name")).as("v")))
+        .as("m"))
+    Lower.compile(
+      """$.nation.sort_by(id).map({
+        |  id: id,
+        |  pu: m.set_path("p.u", 99).get_path("p.u"),
+        |  qu: m.set_path("p.u", 99).get_path("q.u"),
+        |  pz: m.set_path("p.z", id * 2).get_path("p.z"),
+        |  qz: m.set_path("p.z", id * 2).get_path("q.z"),
+        |  zz: m.set_path("zz.u", 7).get_path("zz.u"),
+        |  ks: m.set_path("zz.u", 7).keys().join(","),
+        |  du: m.del_path("p.u").get_path("p.u"),
+        |  dq: m.del_path("p.u").get_path("q.u"),
+        |  dh: m.del_path("p.u").has_path("p.u")})""".stripMargin,
+      _ => nested)
+  }
+
   /** `.type()/.type_of()` — static per lane (JValue.kind) except the
     * null test; map lanes read "object", their values "number". The
     * null corners (null map → "null", missing key → "null") are pinned
@@ -1416,5 +1457,6 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, setPathDeepL, deepMergeL, toJsonMapL, freeFnL, pipeL, rangeL)
+    setPathL, setPathDeepL, deepMergeL, mapSetDeepL, toJsonMapL, freeFnL,
+    pipeL, rangeL)
 }

@@ -474,6 +474,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s3.contains("Window") && !s3.contains("Join"), s3)
   }
 
+  test("struct path-write and merge lanes stay narrow: pruning, no window/join/extra shuffle") {
+    // the round-10 struct rebuilds are per-row projections — guarded
+    // withField-style struct construction must introduce no cross-row
+    // machinery; the only exchange is the ordered-output partitioning
+    val s = planString(graft.queries.Catalog.queries("q_lower_set_path_deep")(spark, sf))
+    val rs = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("o_orderkey") && rs.contains("o_totalprice"), rs)
+    assert(!rs.contains("o_comment") && !rs.contains("o_clerk"), rs)
+    assert(!s.contains("Window") && !s.contains("Join"), s)
+    // formatted plans list each node in the tree AND the detail section
+    assert("\\+- Exchange".r.findAllIn(s).length <= 1, s)
+    val s2 = planString(graft.queries.Catalog.queries("q_lower_deep_merge")(spark, sf))
+    assert(!s2.contains("Window") && !s2.contains("Join"), s2)
+    assert("\\+- Exchange".r.findAllIn(s2).length <= 1, s2)
+  }
+
   test("rowwise fallback query never collects the table on the driver") {
     val q = graft.queries.Catalog.queries("q_lower_rowwise_fallback")(spark, sf)
     // the interpreter runs per row on the executors: the lineage starts

@@ -197,6 +197,37 @@ class StructMergeSpec extends SparkSpec {
     ).foreach(differential(_))
   }
 
+  test("deep set_path/del_path into map<string, struct> entries matches the interpreter") {
+    // round-10 follow-on: the first segment is the map KEY, the rest
+    // walks the one entry's struct — in-place value update (or a fresh
+    // appended entry), every other entry re-shaped with nulls for
+    // appended fields; del_path nulls the leaf inside the entry (≡
+    // absent through the bridge) so the value type never changes
+    Seq(
+      // update an existing field of an existing entry (type kept)
+      s"$N.set_path(\"p.u\", 99)",
+      s"$N.set_path(\"p.u\", 99).get_path(\"p.u\")",
+      // append a NEW field inside the entry (other entries widen with nulls)
+      s"$N.set_path(\"p.z\", 7)",
+      s"$N.set_path(\"p.z\", 7).get_path(\"q.u\")",
+      // missing map key: fresh entry appended at the END
+      s"$N.set_path(\"zz.u\", 1)",
+      s"$N.set_path(\"zz.u\", 1).keys()",
+      // delete a field inside one entry; other entries keep it
+      s"$N.del_path(\"p.u\")",
+      s"$N.del_path(\"p.u\").get_path(\"q.u\")",
+      s"$N.del_path(\"p.u\").has_path(\"p.u\")",
+      // identity: field/entry missing from the walk
+      s"$N.del_path(\"p.zz\")",
+      s"$N.del_path(\"zz.u\").keys()"
+    ).foreach(differential(_))
+    // re-typing a field shared with the untouched entries stays
+    // doc-mode — whether directly (long → string) or by coercing a
+    // scalar field into a nested object mid-path
+    refuses(s"$N.set_path(\"p.u\", \"s\")")
+    refuses(s"$N.set_path(\"p.u.w\", 5)")
+  }
+
   test("key order is pinned on fully-defined rows") {
     val defined = docs.filter(!col("id").isin(3L, 5L, 6L, 7L, 9L, 11L, 13L))
     Seq(
