@@ -2614,6 +2614,9 @@ object Lower {
                !args.exists(_.name.nonEmpty) =>
           val (c2, dt2) = structMergeMethod(m, c, st, args)
           c = c2; dt = Some(dt2)
+        case Some(st: StructType) if structObjOps(m) =>
+          val (c2, dt2) = structObjMethod(m, c, st, args)
+          c = c2; dt = dt2
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
@@ -3290,6 +3293,156 @@ object Lower {
                 .getField("value").as("value")))), _.isNotNull)
       }
     }
+
+  /** Object builtins with an exact columnar lowering over a STRUCT
+    * lane (round 10): the bridged document view of a struct — a null
+    * field ≡ an absent key — makes every read a presence-filtered walk
+    * of the static fields. `has`/`missing`/`get_path`/`set_path`/
+    * `merge` families have their own struct cases above. */
+  private val structObjOps: Set[String] = Set(
+    "keys", "values", "len", "length", "entries", "to_pairs",
+    "pick", "omit", "defaults", "invert")
+
+  /** The object-builtin lane over STRUCT receivers — the struct
+    * analogue of [[mapMethod]] (interpreter Builtins.scala:582-650,
+    * objOnly coercion: a null receiver reads as {} except `len`, which
+    * keeps it, and `omit`, which returns the non-object receiver
+    * unchanged). Key presence is the bridge rule (non-null field);
+    * entry order is the struct field order. */
+  private def structObjMethod(
+      m: String, c: Column, st: StructType,
+      args: Vector[Arg]): (Column, Option[DataType]) = {
+    val names = st.fieldNames.toVector
+    def present(n: String) = c.getField(n).isNotNull
+    def presentKeys: Column =
+      filter(array(names.map(n => when(present(n), lit(n))): _*), _.isNotNull)
+    def litName(a: Arg): String = a.e match {
+      case Lit(JStr(s)) if a.name.isEmpty => s
+      case Ident(n) if a.name.isEmpty     => n
+      case other => bail(s"$m needs literal key names, got $other")
+    }
+    m match {
+      case "keys" =>
+        (presentKeys, Some(ArrayType(StringType)))
+      case "len" | "length" =>
+        // JObj → PRESENT-key count; null receiver keeps null (len_apply
+        // non-collection rows return the receiver unchanged)
+        (when(c.isNull, lit(null).cast(LongType))
+          .otherwise(size(presentKeys).cast(LongType)), Some(LongType))
+      case "values" =>
+        val u = st.fields.map(_.dataType).reduceLeft { (a, d) =>
+          unifySameKind(a, d).getOrElse(bail("values mixes field kinds"))
+        }
+        (filter(array(names.map(n => c.getField(n).cast(u)): _*), _.isNotNull),
+          Some(ArrayType(u, containsNull = true)))
+      case "entries" | "to_pairs" =>
+        if (st.fields.exists(_.dataType != StringType))
+          bail("entries pairs are heterogeneous off string objects")
+        (filter(array(names.map(n =>
+          when(present(n), array(lit(n), c.getField(n)))): _*), _.isNotNull),
+          Some(ArrayType(ArrayType(StringType, containsNull = true))))
+      case "pick" =>
+        // every named key emits (a miss emits null — Builtins.pick
+        // fieldOf), in ARG order; a NULL receiver stays null (pick's
+        // JNull dispatch row, Builtins.scala:760)
+        if (args.isEmpty) bail("pick needs key names")
+        val picked = args.map(litName)
+        val outT = StructType(picked.map(n =>
+          st.find(_.name == n).getOrElse(StructField(n, StringType))))
+        (when(c.isNull, lit(null).cast(outT)).otherwise(
+          struct(picked.map(n =>
+            (if (st.fieldNames.contains(n)) c.getField(n)
+             else lit(null).cast(StringType)).as(n)): _*)),
+          Some(outT))
+      case "omit" =>
+        if (args.isEmpty) bail("omit needs key names")
+        val dropped = args.map(litName).toSet
+        val kept = st.fields.filterNot(f => dropped(f.name))
+        if (kept.isEmpty) bail("omit would drop every struct field")
+        val outT = StructType(kept)
+        // a null (non-object) receiver returns unchanged
+        (when(c.isNull, lit(null).cast(outT)).otherwise(
+          struct(kept.toIndexedSeq.map(f => c.getField(f.name).as(f.name)): _*)),
+          Some(outT))
+      case "defaults" =>
+        // fill only MISSING keys from the arg, appended in arg order —
+        // the precedence mirror of shallow merge (x wins when present)
+        if (args.length != 1) bail("defaults takes one object arg")
+        val ys = inferDt(args(0).e) match {
+          case Some(s: StructType) => s
+          case Some(o) => bail(s"defaults needs an object arg, got ${o.simpleString}")
+          case None    => bail("defaults arg type unknown")
+        }
+        val t = mergeStructType(st, ys, deep = false)
+        (letRow(Seq(c, valueExpr(args(0).e))) { case Seq(aa, dd) =>
+          struct(t.fields.toIndexedSeq.map { f =>
+            val inX = st.find(_.name == f.name)
+            val inY = ys.find(_.name == f.name)
+            ((inX, inY) match {
+              case (Some(xf), None) => asShape(aa.getField(f.name), xf.dataType, f.dataType)
+              case (None, Some(yf)) => asShape(dd.getField(f.name), yf.dataType, f.dataType)
+              case (Some(xf), Some(yf)) =>
+                val xc = aa.getField(f.name)
+                when(xc.isNull, asShape(dd.getField(f.name), yf.dataType, f.dataType))
+                  .otherwise(asShape(xc, xf.dataType, f.dataType))
+              case (None, None) => bail("unreachable defaults field")
+            }).as(f.name)
+          }: _*)
+        }, Some(t))
+      case "invert" =>
+        // value's display becomes the key (val_to_key), original key the
+        // value; first-position-last-value collisions over PRESENT keys
+        st.fields.foreach(f =>
+          if (!atomicElem(f.dataType)) bail("invert values must be atomic (val_to_key)"))
+        (map_from_entries(dedupEntriesFPLV(
+          filter(array(names.map(n =>
+            when(present(n),
+              struct(keyOf(c.getField(n), st(n).dataType).as("key"),
+                lit(n).as("value")))): _*), _.isNotNull))),
+          Some(MapType(StringType, StringType, valueContainsNull = true)))
+      case other => bail(s"no struct-lane lowering for .$other()")
+    }
+  }
+
+  /** Static return type of [[structObjMethod]], for chain typing. */
+  private def structObjReturn(
+      m: String, st: StructType, margs: Vector[Arg]): Option[DataType] = {
+    def litName(a: Arg): Option[String] = a.e match {
+      case Lit(JStr(s)) if a.name.isEmpty => Some(s)
+      case Ident(n) if a.name.isEmpty     => Some(n)
+      case _                              => None
+    }
+    try m match {
+      case "keys" => Some(ArrayType(StringType))
+      case "len" | "length" => Some(LongType)
+      case "values" =>
+        st.fields.map(_.dataType).foldLeft(Option.empty[DataType]) {
+          case (None, d)    => Some(d)
+          case (Some(a), d) => unifySameKind(a, d) match {
+            case Some(u) => Some(u)
+            case None    => return None
+          }
+        }.map(ArrayType(_, containsNull = true))
+      case "entries" | "to_pairs" if st.fields.forall(_.dataType == StringType) =>
+        Some(ArrayType(ArrayType(StringType, containsNull = true)))
+      case "pick" if margs.nonEmpty =>
+        val picked = margs.map(a => litName(a).getOrElse(return None))
+        Some(StructType(picked.map(n =>
+          st.find(_.name == n).getOrElse(StructField(n, StringType)))))
+      case "omit" if margs.nonEmpty =>
+        val dropped = margs.map(a => litName(a).getOrElse(return None)).toSet
+        val kept = st.fields.filterNot(f => dropped(f.name))
+        if (kept.isEmpty) None else Some(StructType(kept))
+      case "defaults" if margs.length == 1 =>
+        inferDt(margs(0).e) match {
+          case Some(ys: StructType) => Some(mergeStructType(st, ys, deep = false))
+          case _                    => None
+        }
+      case "invert" if st.fields.forall(f => atomicElem(f.dataType)) =>
+        Some(MapType(StringType, StringType, valueContainsNull = true))
+      case _ => None
+    } catch { case _: LowerException => None }
+  }
 
   /** Re-shape a value of type `from` into the (super)shape `to`: struct
     * fields missing from the source read null (≡ absent through the
@@ -4896,6 +5049,8 @@ object Lower {
                   case _ => None
                 })
               } catch { case _: LowerException => None }
+            case Some(st: StructType) if structObjOps(m) =>
+              structObjReturn(m, st, margs)
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))

@@ -867,6 +867,44 @@ object LoweredQueries extends QueryGroup {
       _ => nested)
   }
 
+  /** Round-10 object builtins over STRUCT lanes
+    * (Lower.structObjMethod): keys/len/values/entries as presence-
+    * filtered walks of the static fields, pick/omit as typed subsets,
+    * defaults as the precedence mirror of shallow merge, invert via
+    * val_to_key display keys. Null/bridge corners pinned differentially
+    * in StructMergeSpec; this row replays the scalar read-backs in
+    * DuckDB. */
+  private val structObjL = q(
+    "q_lower_struct_obj",
+    """SELECT n_nationkey AS id,
+      |  'a,dd' AS ks,
+      |  CAST(2 AS BIGINT) AS ln,
+      |  n_name || '|' || upper(n_name) AS vs,
+      |  CAST(4 AS BIGINT) AS es,
+      |  'dd' AS pd,
+      |  CAST(1 AS BIGINT) AS om,
+      |  CAST(7 AS BIGINT) AS df,
+      |  CAST(n_regionkey AS VARCHAR) AS iv
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      struct(struct(col("n_name").as("nm")).as("a"),
+        col("n_regionkey").as("dd")).as("x"),
+      struct(col("n_name").as("s1"), upper(col("n_name")).as("s2")).as("m2"))
+    Lower.compile(
+      """$.nation.sort_by(id).map({
+        |  id: id,
+        |  ks: x.keys().join(","),
+        |  ln: x.len(),
+        |  vs: m2.values().join("|"),
+        |  es: m2.entries().flatten().len(),
+        |  pd: x.pick("dd").keys().join(","),
+        |  om: x.omit("a").len(),
+        |  df: x.defaults({q: 7}).q,
+        |  iv: x.pick("dd").invert().keys().first()})""".stripMargin,
+      _ => nested)
+  }
+
   /** `.type()/.type_of()` — static per lane (JValue.kind) except the
     * null test; map lanes read "object", their values "number". The
     * null corners (null map → "null", missing key → "null") are pinned
@@ -1457,6 +1495,6 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, setPathDeepL, deepMergeL, mapSetDeepL, toJsonMapL, freeFnL,
-    pipeL, rangeL)
+    setPathL, setPathDeepL, deepMergeL, mapSetDeepL, structObjL,
+    toJsonMapL, freeFnL, pipeL, rangeL)
 }

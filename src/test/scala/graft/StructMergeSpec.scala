@@ -228,6 +228,51 @@ class StructMergeSpec extends SparkSpec {
     refuses(s"$N.set_path(\"p.u.w\", 5)")
   }
 
+  test("object builtins over struct receivers match the interpreter") {
+    // round-10 widening (Lower.structObjMethod): presence-filtered
+    // reads of the static fields — key presence is the bridge rule
+    // (non-null field), entry order the struct field order. These are
+    // read ops, so bare `$.cfg` receivers are fine (no chain-write
+    // shape).
+    Seq(
+      "$.cfg.keys()",
+      "$.meta.keys()",
+      "$.cfg.len()",
+      "$.cfg.len() + 1 ?? -1",
+      "$.meta.len()",
+      "$.meta.values()",
+      "$.cfg.pick(\"d\").values()",
+      "$.meta.entries()",
+      "$.meta.to_pairs()",
+      "$.cfg.pick(\"d\", \"nope\")",
+      "$.cfg.pick(\"d\").keys()",
+      "$.cfg.omit(\"a\")",
+      "$.cfg.omit(\"nope\")",
+      "$.cfg.omit(\"a\").len()",
+      "$.cfg.defaults({q: 1, d: 9})",
+      "$.cfg.defaults({q: 1, d: 9}).q",
+      "$.cfg.defaults($.meta)",
+      "$.meta.invert()",
+      "$.cfg.pick(\"d\").invert()"
+    ).foreach(differential(_))
+    // DOCTRINE PIN (the struct-`has` bridge rule): pick manufactures
+    // present-with-null keys from misses ({a: null} where cfg.a is
+    // null), which a typed struct cannot represent — downstream
+    // keys()/len() on the lane see the BRIDGE view (null ≡ absent),
+    // [] where the interpreter reports ["a"]. Pinned, not hidden.
+    locally {
+      val doc = struct(docType.fieldNames.map(col): _*)
+      val kc = Jetro.evalNative("$.cfg.pick(\"a\").keys()", doc, docType).get
+      val row6 = docs.filter(col("id") === 6L).select(kc).head.getSeq[String](0)
+      assert(row6 == Seq.empty, s"bridge view expected [] on the null-a row, got $row6")
+    }
+    // heterogeneous kinds stay doc-mode
+    refuses("$.cfg.values()")
+    refuses("$.cfg.entries()")
+    refuses("$.cfg.invert()")
+    refuses("$.cfg.omit(\"a\", \"d\")") // would drop every field
+  }
+
   test("key order is pinned on fully-defined rows") {
     val defined = docs.filter(!col("id").isin(3L, 5L, 6L, 7L, 9L, 11L, 13L))
     Seq(
