@@ -2675,6 +2675,7 @@ object Lower {
     "has", "missing", "join",
     "sort", "sort_by",
     "collect", "append", "prepend", "flatten", "slice", "remove",
+    "pick", "omit",
     "index", "index_of", "indices_of", "find_first", "find_one",
     "take_while", "takewhile", "drop_while", "dropwhile",
     "window", "chunk", "batch", "pairwise", "enumerate", "partition",
@@ -2790,6 +2791,34 @@ object Lower {
           case None => bail("flat_map body type unknown")
         }
       case "compact" => (filter(c, _.isNotNull), someArr) // null passes through (no elems)
+      case "pick" | "omit" =>
+        // the interpreter MAPS pick/omit over array ELEMENTS
+        // (Builtins.pick/omit JArr rows). The element rules differ
+        // from the receiver forms: pick applies `one` to EVERY element
+        // — a null element still builds the object of nulls (the JNull
+        // dispatch row guards only the RECEIVER) — while omit's
+        // non-object row keeps null elements unchanged. Non-struct
+        // element lanes stay doc-mode.
+        at.elementType match {
+          case st: StructType =>
+            val outEt = structObjReturn(name, st, args)
+              .getOrElse(bail(s"$name element shape untypeable"))
+            if (name == "omit")
+              (transform(nz(c), e => structObjMethod(name, e, st, args)._1),
+                Some(ArrayType(outEt, containsNull = true)))
+            else {
+              val picked = args.map(a => a.e match {
+                case Lit(JStr(s)) if a.name.isEmpty => s
+                case Ident(n) if a.name.isEmpty     => n
+                case other => bail(s"pick needs literal key names, got $other")
+              })
+              (transform(nz(c), e => struct(picked.map(n =>
+                (if (st.fieldNames.contains(n)) e.getField(n)
+                 else lit(null).cast(StringType)).as(n)): _*)),
+                Some(ArrayType(outEt, containsNull = true)))
+            }
+          case other => bail(s"$name over ${other.simpleString} elements — doc mode")
+        }
       case "count" =>
         // bare count() is len(): null receiver stays null (the
         // reference's shared len arm leaves non-arrays unchanged);
@@ -5051,6 +5080,13 @@ object Lower {
               } catch { case _: LowerException => None }
             case Some(st: StructType) if structObjOps(m) =>
               structObjReturn(m, st, margs)
+            case Some(at: ArrayType) if (m == "pick" || m == "omit") =>
+              at.elementType match {
+                case st: StructType =>
+                  structObjReturn(m, st, margs)
+                    .map(ArrayType(_, containsNull = true))
+                case _ => None
+              }
             case Some(at: ArrayType) if arrayOps(m) => arrayMethodReturn(m, at)
             case Some(mt: MapType) if mapOps(m)     =>
               mapMethodReturn(m, mt).orElse(mapMethodArgReturn(m, mt, margs))

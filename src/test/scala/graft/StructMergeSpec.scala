@@ -273,6 +273,20 @@ class StructMergeSpec extends SparkSpec {
     refuses("$.cfg.omit(\"a\", \"d\")") // would drop every field
   }
 
+  test("pick/omit map over array<struct> elements like the interpreter") {
+    // Builtins.pick/omit JArr rows: per-element application, null
+    // elements pass through both
+    Seq(
+      "$.nest.values().pick(\"u\")",
+      "$.nest.values().pick(\"u\", \"nope\")",
+      "$.nest.values().omit(\"v\")",
+      "$.nest.values().omit(\"v\").map(@.u ?? -1)",
+      "$.nest.values().pick(\"v\").len()"
+    ).foreach(differential(_))
+    refuses("$.meta.keys().pick(\"x\")") // non-struct elements stay doc-mode
+    refuses("$.nest.values().omit(\"u\", \"v\")")
+  }
+
   test("key order is pinned on fully-defined rows") {
     val defined = docs.filter(!col("id").isin(3L, 5L, 6L, 7L, 9L, 11L, 13L))
     Seq(
