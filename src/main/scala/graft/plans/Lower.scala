@@ -2532,6 +2532,18 @@ object Lower {
             case _ => c.cast("string")
           }
           c = coalesce(s, lit("null")); dt = Some(StringType)
+        case Some(st: StructType)
+            if (m == "to_json" || m == "to_string") && args.isEmpty =>
+          // recv.render over the bridged document: Spark's to_json
+          // omits null STRUCT fields (the bridge view the interpreter
+          // leg reads), keeps null map entries and array elements, and
+          // escapes like JValue.writeString (RowBridge fidelity
+          // contract). Fractional/date lanes render differently
+          // (shortest-form vs Jackson) and bail, like the map lane.
+          if (!jsonSafeShape(st))
+            bail(s"$m lowers only integral/string/bool struct shapes")
+          c = when(c.isNull, lit("null")).otherwise(to_json(c))
+          dt = Some(StringType)
         case Some(t) if (m == "type" || m == "type_of") && args.isEmpty =>
           // JValue.kind is static per lane except the null case — one
           // null test against an otherwise-constant string
@@ -3473,6 +3485,22 @@ object Lower {
     } catch { case _: LowerException => None }
   }
 
+  /** Shapes whose Spark `to_json` text is byte-identical to the
+    * interpreter's render of the bridged document: integral/string/
+    * bool leaves (longs render the same both sides), structs (null
+    * fields omitted — the bridge rule — by jsonGenerator default),
+    * arrays and string-keyed maps (null entries kept, both sides).
+    * Fractional (shortest-form vs Jackson 1.0), dates, and binary
+    * render differently and stay doc-mode. */
+  private def jsonSafeShape(d: DataType): Boolean = d match {
+    case LongType | IntegerType | ShortType | ByteType |
+         StringType | BooleanType => true
+    case s2: StructType            => s2.fields.forall(f => jsonSafeShape(f.dataType))
+    case ArrayType(e, _)           => jsonSafeShape(e)
+    case MapType(StringType, v, _) => jsonSafeShape(v)
+    case _                         => false
+  }
+
   /** Re-shape a value of type `from` into the (super)shape `to`: struct
     * fields missing from the source read null (≡ absent through the
     * bridge), common fields re-shape recursively, scalar kinds cast. A
@@ -4039,8 +4067,8 @@ object Lower {
         // struct fields honor ignoreNullFields — RowBridge.scala:17)
         // and escapes like JValue.writeString; fractional lanes are
         // excluded (shortest-form render vs Jackson's 1.0)
-        if (!(integralDt(vt) || vt == StringType || vt == BooleanType))
-          bail(s"$name lowers only integral/string/bool map lanes")
+        if (!jsonSafeShape(vt))
+          bail(s"$name lowers only integral/string/bool map shapes")
         (when(c.isNull, lit("null")).otherwise(to_json(c)), Some(StringType))
       case "set_path" if args.length == 2 =>
         // a one-segment literal path is exactly set(k, v) — setPath's

@@ -884,7 +884,8 @@ object LoweredQueries extends QueryGroup {
       |  'dd' AS pd,
       |  CAST(1 AS BIGINT) AS om,
       |  CAST(7 AS BIGINT) AS df,
-      |  CAST(n_regionkey AS VARCHAR) AS iv
+      |  CAST(n_regionkey AS VARCHAR) AS iv,
+      |  '{"a":{"nm":"' || n_name || '"},"dd":' || n_regionkey || '}' AS tj
       |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
     val nested = Tables.nation(s, d).select(
       col("n_nationkey").as("id"),
@@ -901,7 +902,8 @@ object LoweredQueries extends QueryGroup {
         |  pd: x.pick("dd").keys().join(","),
         |  om: x.omit("a").len(),
         |  df: x.defaults({q: 7}).q,
-        |  iv: x.pick("dd").invert().keys().first()})""".stripMargin,
+        |  iv: x.pick("dd").invert().keys().first(),
+        |  tj: x.to_json()})""".stripMargin,
       _ => nested)
   }
 

@@ -273,6 +273,21 @@ class StructMergeSpec extends SparkSpec {
     refuses("$.cfg.omit(\"a\", \"d\")") // would drop every field
   }
 
+  test("to_json/to_string over struct and struct-valued map lanes match render") {
+    // Spark's to_json vs the interpreter's render of the bridged doc:
+    // null struct fields omitted both sides, null map entries kept
+    // both sides, identical escaping (RowBridge fidelity contract)
+    Seq(
+      "$.cfg.to_json()",
+      "$.cfg.to_string()",
+      "$.meta.to_json()",
+      "$.cfg.pick(\"d\").to_json()",
+      "$.nest.to_json()",
+      "$.nest.del_path(\"zz9\").deep_merge($.nest2).to_json()",
+      "$.cfg.to_json().len()"
+    ).foreach(differential(_))
+  }
+
   test("pick/omit map over array<struct> elements like the interpreter") {
     // Builtins.pick/omit JArr rows: per-element application, null
     // elements pass through both
