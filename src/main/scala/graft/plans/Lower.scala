@@ -3342,7 +3342,72 @@ object Lower {
     * `merge` families have their own struct cases above. */
   private val structObjOps: Set[String] = Set(
     "keys", "values", "len", "length", "entries", "to_pairs",
-    "pick", "omit", "defaults", "invert")
+    "pick", "omit", "defaults", "invert",
+    "flatten_keys", "unflatten_keys")
+
+  /** Segment trie of a flat dotted-name shape for unflatten_keys. */
+  private sealed trait UnflatTrie {
+    def leafFields: Vector[String] = this match {
+      case UnflatLeaf(f, _)  => Vector(f)
+      case UnflatBranch(cs)  => cs.flatMap(_._2.leafFields)
+    }
+  }
+  private final case class UnflatLeaf(field: String, dt: DataType) extends UnflatTrie
+  private final case class UnflatBranch(
+      children: Vector[(String, UnflatTrie)]) extends UnflatTrie
+
+  /** Build the unflatten trie in field order (the interpreter's
+    * setPath fold order — branches appear where their prefix is first
+    * written). Prefix collisions re-order through setPath's coercion
+    * and bail to doc mode. */
+  private def unflattenTrie(st: StructType): UnflatBranch = {
+    def insert(b: UnflatBranch, segs: List[String],
+               field: String, d: DataType): UnflatBranch = segs match {
+      case Nil => bail("unreachable unflatten segment")
+      case k :: Nil =>
+        if (b.children.exists(_._1 == k))
+          bail(s"unflatten_keys prefix collision at '$k' — doc mode")
+        UnflatBranch(b.children :+ (k -> UnflatLeaf(field, d)))
+      case k :: rest =>
+        b.children.indexWhere(_._1 == k) match {
+          case -1 =>
+            UnflatBranch(b.children :+
+              (k -> insert(UnflatBranch(Vector.empty), rest, field, d)))
+          case i => b.children(i)._2 match {
+            case cb: UnflatBranch =>
+              UnflatBranch(b.children.updated(i, k -> insert(cb, rest, field, d)))
+            case _: UnflatLeaf =>
+              bail(s"unflatten_keys prefix collision at '$k' — doc mode")
+          }
+        }
+    }
+    st.fields.foldLeft(UnflatBranch(Vector.empty)) { (acc, f) =>
+      val segs = f.name.split('.').toList
+      if (f.name.isEmpty || segs.exists(_.isEmpty))
+        bail(s"unflatten_keys: empty path segment in '${f.name}'")
+      insert(acc, segs, f.name, f.dataType)
+    }
+  }
+
+  /** DFS pre-order leaves of a struct shape for flatten_keys: dotted
+    * name, getField path, leaf type. Arrays are LEAVES (Builtins
+    * flatten_keys recurses only into objects); map values descend
+    * dynamically and bail. Boundary note: an all-null nested struct is
+    * a present `{}` LEAF to the interpreter but bridges to absent
+    * here — the same typed-lane limit the struct-`has` doctrine pins. */
+  private def flattenLeaves(
+      st: StructType, prefix: String = "",
+      path: List[String] = Nil): Vector[(String, List[String], DataType)] =
+    st.fields.toVector.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case s2: StructType if s2.fields.nonEmpty =>
+          flattenLeaves(s2, p, path :+ f.name)
+        case _: MapType =>
+          bail("flatten_keys descends map values dynamically — doc mode")
+        case d2 => Vector((p, path :+ f.name, d2))
+      }
+    }
 
   /** The object-builtin lane over STRUCT receivers — the struct
     * analogue of [[mapMethod]] (interpreter Builtins.scala:582-650,
@@ -3441,6 +3506,43 @@ object Lower {
               struct(keyOf(c.getField(n), st(n).dataType).as("key"),
                 lit(n).as("value")))): _*), _.isNotNull))),
           Some(MapType(StringType, StringType, valueContainsNull = true)))
+      case "flatten_keys" if args.isEmpty =>
+        // dotted leaf keys in DFS pre-order (Builtins.scala:668):
+        // static schema walk, getField chains are null-safe so a null
+        // intermediate yields null leaves (≡ absent through the bridge)
+        val ls = flattenLeaves(st)
+        if (ls.isEmpty) bail("flatten_keys: no leaf fields")
+        (struct(ls.map { case (n, path, _) =>
+          path.foldLeft(c)(_.getField(_)).as(n)
+        }: _*),
+          Some(StructType(ls.map { case (n, _, d2) => StructField(n, d2) })))
+      case "unflatten_keys" if args.isEmpty =>
+        // setPath fold over the dotted field names (Builtins.scala:677)
+        // built as a segment TRIE: the interpreter folds only over the
+        // bridged object's PRESENT keys, so a branch whose contributing
+        // receiver fields are all null per row must come out null (the
+        // keys were never written) — except the ROOT, which is always
+        // the fold's (possibly empty) object. Prefix collisions (a
+        // leaf name that is also another name's branch) re-order
+        // through setPath coercion and stay doc-mode.
+        val tr = unflattenTrie(st)
+        def build(node: UnflatTrie, root: Boolean): (Column, DataType) = node match {
+          case UnflatLeaf(field, d2) => (c.getField(field), d2)
+          case UnflatBranch(children) =>
+            val built = children.map { case (seg, n2) =>
+              val (cc, d2) = build(n2, root = false)
+              (seg, cc, d2)
+            }
+            val t = StructType(built.map { case (seg, _, d2) => StructField(seg, d2) })
+            val s2 = struct(built.map { case (seg, cc, _) => cc.as(seg) }: _*)
+            if (root) (s2, t)
+            else {
+              val contrib = node.leafFields.map(f => c.getField(f).isNull)
+              (when(contrib.reduce(_ && _), lit(null).cast(t)).otherwise(s2), t)
+            }
+        }
+        val (out, t) = build(tr, root = true)
+        (out, Some(t))
       case other => bail(s"no struct-lane lowering for .$other()")
     }
   }
@@ -3481,6 +3583,17 @@ object Lower {
         }
       case "invert" if st.fields.forall(f => atomicElem(f.dataType)) =>
         Some(MapType(StringType, StringType, valueContainsNull = true))
+      case "flatten_keys" if margs.isEmpty =>
+        val ls = flattenLeaves(st)
+        if (ls.isEmpty) None
+        else Some(StructType(ls.map { case (n, _, d2) => StructField(n, d2) }))
+      case "unflatten_keys" if margs.isEmpty =>
+        def ty(n: UnflatTrie): DataType = n match {
+          case UnflatLeaf(_, d)  => d
+          case UnflatBranch(cs) =>
+            StructType(cs.map { case (s2, c2) => StructField(s2, ty(c2)) })
+        }
+        Some(ty(unflattenTrie(st))).collect { case t: StructType => t }
       case _ => None
     } catch { case _: LowerException => None }
   }

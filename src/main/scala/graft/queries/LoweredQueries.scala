@@ -885,7 +885,9 @@ object LoweredQueries extends QueryGroup {
       |  CAST(1 AS BIGINT) AS om,
       |  CAST(7 AS BIGINT) AS df,
       |  CAST(n_regionkey AS VARCHAR) AS iv,
-      |  '{"a":{"nm":"' || n_name || '"},"dd":' || n_regionkey || '}' AS tj
+      |  '{"a":{"nm":"' || n_name || '"},"dd":' || n_regionkey || '}' AS tj,
+      |  CAST(2 AS BIGINT) AS fk,
+      |  n_name AS uf
       |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
     val nested = Tables.nation(s, d).select(
       col("n_nationkey").as("id"),
@@ -903,7 +905,9 @@ object LoweredQueries extends QueryGroup {
         |  om: x.omit("a").len(),
         |  df: x.defaults({q: 7}).q,
         |  iv: x.pick("dd").invert().keys().first(),
-        |  tj: x.to_json()})""".stripMargin,
+        |  tj: x.to_json(),
+        |  fk: x.flatten_keys().len(),
+        |  uf: x.flatten_keys().unflatten_keys().a.nm})""".stripMargin,
       _ => nested)
   }
 

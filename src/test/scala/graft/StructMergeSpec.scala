@@ -288,6 +288,36 @@ class StructMergeSpec extends SparkSpec {
     ).foreach(differential(_))
   }
 
+  test("flatten_keys/unflatten_keys over struct lanes match the interpreter") {
+    // static schema walk: dotted leaf keys in DFS pre-order; the
+    // inverse is a setPath fold over the dotted names (shared with the
+    // set_path lane). Null intermediates yield null leaves ≡ absent.
+    Seq(
+      "$.cfg.flatten_keys()",
+      "$.meta.flatten_keys()",
+      "$.cfg.unflatten_keys()", // no dotted names: rebuilds the shape
+      "$.cfg.flatten_keys().unflatten_keys()", // round trip
+      "$.cfg.flatten_keys().unflatten_keys().a.b"
+    ).foreach(differential(_))
+    // keys()/len() downstream surface manufactured present-null keys:
+    // a NULL receiver is the degenerate {"": null} leaf to the
+    // interpreter, whose empty-string key keys() reports — the typed
+    // lane sees the bridge view ({} → []). Differential on the defined
+    // rows, bridge view pinned on the null-receiver row (the struct-
+    // `has` doctrine again).
+    val defined = docs.filter(col("id") =!= 3L)
+    Seq(
+      "$.cfg.flatten_keys().keys()",
+      "$.cfg.flatten_keys().len()"
+    ).foreach(differential(_, rows = defined))
+    locally {
+      val doc = struct(docType.fieldNames.map(col): _*)
+      val kc = Jetro.evalNative("$.cfg.flatten_keys().keys()", doc, docType).get
+      val row3 = docs.filter(col("id") === 3L).select(kc).head.getSeq[String](0)
+      assert(row3 == Seq.empty, s"bridge view expected [] on the null-cfg row, got $row3")
+    }
+  }
+
   test("pick/omit map over array<struct> elements like the interpreter") {
     // Builtins.pick/omit JArr rows: per-element application, null
     // elements pass through both
