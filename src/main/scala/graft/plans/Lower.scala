@@ -2621,6 +2621,27 @@ object Lower {
             if Set("set_path", "del_path", "del_paths")(m) =>
           val (c2, dt2) = structPathMethod(m, c, st, args)
           c = c2; dt = Some(dt2)
+        case Some(st: StructType) if m == "set" && args.length == 2 =>
+          // JObj(objOnly(recv) + (k -> v)) — exactly one-segment
+          // set_path (Builtins.scala:635; null receiver coerces to {})
+          val (c2, dt2) = structPathMethod("set_path", c, st, args)
+          c = c2; dt = Some(dt2)
+        case Some(st: StructType) if m == "update" && args.length == 2 =>
+          // fs + (k -> f(fs.getOrElse(k, JNull))) — the body reads the
+          // (possibly null ≡ absent) field, the write is one-segment
+          // set_path. Keys outside the schema would hand the body an
+          // untypeable null — doc mode keeps those.
+          val k = argE(args, 0) match {
+            case Lit(JStr(s)) => s
+            case other        => bail(s"update lowers only literal keys: $other")
+          }
+          val fdt = st.find(_.name == k).map(_.dataType)
+            .getOrElse(bail(s"update key $k not in ${st.simpleString} — doc mode"))
+          val b = new EBody(ArrayType(fdt, containsNull = true), args(1).e)
+          val bdt = b.dt.getOrElse(bail("update body type unknown"))
+          val v = letRow1(c.getField(k))(b(_))
+          c = setPathStructCol(c, Some(st), List(k), v)
+          dt = setPathStructType(Some(st), List(k), bdt)
         case Some(st: StructType)
             if (m == "merge" || m == "deep_merge") && args.nonEmpty &&
                !args.exists(_.name.nonEmpty) =>
@@ -3342,7 +3363,7 @@ object Lower {
     * `merge` families have their own struct cases above. */
   private val structObjOps: Set[String] = Set(
     "keys", "values", "len", "length", "entries", "to_pairs",
-    "pick", "omit", "defaults", "invert",
+    "pick", "omit", "defaults", "invert", "rename",
     "flatten_keys", "unflatten_keys")
 
   /** Segment trie of a flat dotted-name shape for unflatten_keys. */
@@ -3506,6 +3527,41 @@ object Lower {
               struct(keyOf(c.getField(n), st(n).dataType).as("key"),
                 lit(n).as("value")))): _*), _.isNotNull))),
           Some(MapType(StringType, StringType, valueContainsNull = true)))
+      case "rename" =>
+        // positional rename(old, new) only (Builtins.scala:610-614):
+        // a present `from` moves to `to` — in place when `to` survives
+        // the removal, else appended at the END; a missing/null `from`
+        // keeps the object unchanged. A null receiver reads as {}.
+        if (args.length != 2 || args.exists(_.name.nonEmpty))
+          bail("only rename(old, new) lowers")
+        val from = litName(args(0)); val to = litName(args(1))
+        if (!st.fieldNames.contains(from))
+          // schema-miss identity — but rename ALWAYS returns JObj(fs),
+          // so a null receiver still coerces to {} (≡ struct of nulls)
+          (struct(st.fieldNames.toIndexedSeq.map(n => c.getField(n).as(n)): _*),
+            Some(st): Option[DataType])
+        else {
+          val fromDt = st(from).dataType
+          val remaining = st.fields.filterNot(_.name == from)
+          val toExisting = remaining.find(_.name == to)
+          val toDt = toExisting match {
+            case Some(f) => unifySameKind(fromDt, f.dataType)
+              .getOrElse(bail("rename target kind differs from source"))
+            case None => fromDt
+          }
+          val outFields =
+            if (toExisting.isDefined)
+              remaining.map(f => if (f.name == to) StructField(to, toDt) else f)
+            else remaining :+ StructField(to, toDt)
+          val outT = StructType(outFields)
+          val fromC = c.getField(from)
+          val toVal = when(fromC.isNotNull, fromC.cast(toDt)).otherwise(
+            if (toExisting.isDefined) c.getField(to).cast(toDt)
+            else lit(null).cast(toDt))
+          (struct(outFields.toIndexedSeq.map { f =>
+            (if (f.name == to) toVal else c.getField(f.name)).as(f.name)
+          }: _*), Some(outT): Option[DataType])
+        }
       case "flatten_keys" if args.isEmpty =>
         // dotted leaf keys in DFS pre-order (Builtins.scala:668):
         // static schema walk, getField chains are null-safe so a null
@@ -3583,6 +3639,27 @@ object Lower {
         }
       case "invert" if st.fields.forall(f => atomicElem(f.dataType)) =>
         Some(MapType(StringType, StringType, valueContainsNull = true))
+      case "rename" if margs.length == 2 && !margs.exists(_.name.nonEmpty) =>
+        for {
+          from <- litName(margs(0))
+          to   <- litName(margs(1))
+          out  <- if (!st.fieldNames.contains(from)) Some(st)
+                  else {
+                    val fromDt = st(from).dataType
+                    val remaining = st.fields.filterNot(_.name == from)
+                    val toDt = remaining.find(_.name == to) match {
+                      case Some(f) => unifySameKind(fromDt, f.dataType)
+                      case None    => Some(fromDt)
+                    }
+                    toDt.map { d =>
+                      StructType(
+                        if (remaining.exists(_.name == to))
+                          remaining.map(f =>
+                            if (f.name == to) StructField(to, d) else f)
+                        else remaining :+ StructField(to, d))
+                    }
+                  }
+        } yield out
       case "flatten_keys" if margs.isEmpty =>
         val ls = flattenLeaves(st)
         if (ls.isEmpty) None
@@ -5173,7 +5250,7 @@ object Lower {
                 case _ => None
               }
             case Some(st: StructType)
-                if Set("set_path", "del_path", "del_paths")(m) =>
+                if Set("set_path", "del_path", "del_paths", "set", "update")(m) =>
               // mirror of structPathMethod (type walks are shared)
               def segsOf(e: Expr): Option[List[String]] = e match {
                 case Lit(JStr(p)) if p.nonEmpty =>
@@ -5204,6 +5281,21 @@ object Lower {
                           }
                         } yield delPathStructType(cst, segs).getOrElse(cst)
                       }
+                    case _ => None
+                  }
+                case "set" if margs.length == 2 =>
+                  margs(0).e match {
+                    case Lit(JStr(k)) if k.nonEmpty =>
+                      inferDt(margs(1).e)
+                        .flatMap(vdt => setPathStructType(Some(st), List(k), vdt))
+                    case _ => None
+                  }
+                case "update" if margs.length == 2 =>
+                  margs(0).e match {
+                    case Lit(JStr(k)) if st.fieldNames.contains(k) =>
+                      new EBody(ArrayType(st(k).dataType, containsNull = true),
+                        margs(1).e).dt
+                        .flatMap(bdt => setPathStructType(Some(st), List(k), bdt))
                     case _ => None
                   }
                 case _ => None

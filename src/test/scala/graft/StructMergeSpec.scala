@@ -288,6 +288,26 @@ class StructMergeSpec extends SparkSpec {
     ).foreach(differential(_))
   }
 
+  test("set/update/rename over struct receivers match the interpreter") {
+    Seq(
+      // set(k, v) ≡ one-segment set_path: in-place or append, {} on null
+      "$.cfg.set(\"d\", 42)",
+      "$.cfg.set(\"q\", 1).q",
+      "$.cfg.set(\"a\", {z: 3}).a",
+      // update(k, λ): body reads the (bridge-absent → null) field
+      "$.cfg.update(\"d\", @ ?? -1)",
+      "$.cfg.update(\"d\", (@ ?? 0) * 2).d",
+      "$.meta.update(\"x\", @.upper() ?? \"-\")",
+      // rename: in-place-at-target vs append-at-end; identity on miss
+      "$.cfg.rename(\"d\", \"dd\")",
+      "$.cfg.rename(\"d\", \"dd\").dd",
+      "$.cfg.rename(\"nope\", \"x\")",
+      "$.cfg.rename(\"a\", \"b\").b.c ?? \"-\""
+    ).foreach(differential(_))
+    refuses("$.cfg.update(\"nope\", @ ?? 1)") // key outside the schema
+    refuses("$.cfg.rename(\"a\", \"d\")")     // struct-vs-long target kind
+  }
+
   test("flatten_keys/unflatten_keys over struct lanes match the interpreter") {
     // static schema walk: dotted leaf keys in DFS pre-order; the
     // inverse is a setPath fold over the dotted names (shared with the
