@@ -140,6 +140,28 @@ class StreamingSpec extends SparkSpec with org.scalactic.Tolerance {
       === want.agg(sum("value")).head.getLong(0))
   }
 
+  test("struct path writes and merges lower on streams (batch parity)") {
+    // round-10 batch lowerings (structPathMethod / structMergeMethod /
+    // structObjMethod): guarded struct rebuilds are stateless per-row
+    // projections, so the same plans must lower and run on a stream
+    def shaped(df: DataFrame) = df.select(col("event_id"),
+      struct(col("event_type").as("et"),
+        struct(col("value").as("v"),
+          col("user_id").as("u")).as("inner")).as("s"))
+    val e = """$.events{event_id < 3000}.map({
+              |  id: event_id,
+              |  w: s.set_path("inner.w", 5).inner.w,
+              |  et2: s.del_path("inner.v").et,
+              |  n: s.deep_merge({inner: {z: 1}}).keys().len()})""".stripMargin
+    val lowered = StreamOps.lowerStream(e, "events", shaped(streamEvents))
+    assert(lowered.isDefined && lowered.get.isStreaming)
+    val got = runToTable(lowered.get, "t_struct_path_stream")
+    val want = graft.plans.Lower.compile(e, _ => shaped(batchEvents))
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.agg(sum("w"), sum("n")).head.toSeq
+      === want.agg(sum("w"), sum("n")).head.toSeq)
+  }
+
   test("spread-of-row shapes lower on streams (batch parity)") {
     // round-8 batch lowering (q_lower_spread): `{...@, k: v}` inserts
     // every row column in schema order with in-place override — one
