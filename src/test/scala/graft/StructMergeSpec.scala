@@ -370,6 +370,58 @@ class StructMergeSpec extends SparkSpec {
     refuses(s"$C.deep_merge({a: {b: \"s\"}})")  // nested kind mismatch
   }
 
+  test("randomized MIXED struct-op chains: lowered == interpreter") {
+    // chains of 1-3 object ops over the struct receiver — the type
+    // evolves step to step, so this stresses the dtOf mirrors (an
+    // un-mirrored output type flips downstream dispatch and surfaces
+    // as an AnalysisException at collect, not a bail)
+    val rng = new scala.util.Random(fuzzSeed(20260820))
+    val ops = Vector(
+      ".set_path(\"a.b\", 9)", ".set_path(\"a.z\", $.id)", ".set_path(\"q.w\", 1)",
+      ".set_path(\"d\", 0)", ".del_path(\"a.b\")", ".del_path(\"d\")",
+      ".del_path(\"nope.x\")", ".merge({a: {z: 2}})", ".merge({q: 3})",
+      ".deep_merge({a: {c: \"z\"}})", ".deep_merge($.meta)",
+      ".defaults({q: 5, d: 4})", ".pick(\"a\", \"d\")", ".omit(\"a\")",
+      ".rename(\"d\", \"dd\")", ".set(\"e\", 2)", ".update(\"d\", (@ ?? 0) + 1)")
+    val readers = Vector("", ".keys()", ".len()", ".flatten_keys().len()",
+      ".to_json().len()", ".has_path(\"a.b\")")
+    // DEFINED rows only: writes re-append null-bridged keys in the
+    // interpreter where a typed lane keeps schema position (the pinned
+    // order doctrine) — keys()/to_json() readers surface that order,
+    // so the mixed sweep runs where order semantics fully agree; the
+    // null-receiver corners are pinned by the dedicated tests above
+    val definedRows = docs.filter(!col("id").isin(3L, 6L, 9L))
+    var lowered = 0
+    (0 until 80).foreach { _ =>
+      val n = 1 + rng.nextInt(3)
+      val chain = (0 until n).map(_ => ops(rng.nextInt(ops.length))).mkString
+      // presence-leaking readers (keys/len/flatten/to_json) see the
+      // bridge view where the interpreter can observe manufactured
+      // nulls — pick writes missed keys as "k":null, and a null-able
+      // deep_merge arg ($.meta on even rows) nulls the accumulator,
+      // whose flatten_keys is the degenerate {"":null}. Those chains
+      // pair with the raw-object compare (bridge-canonical) and
+      // has_path (a non-null test both sides) only — the pinned
+      // struct-`has` doctrine, exercised rather than hidden.
+      val presenceUnsafe =
+        chain.contains(".pick(") || chain.contains("deep_merge($.meta)")
+      val safeReaders =
+        if (presenceUnsafe) Vector("", ".has_path(\"a.b\")")
+        else readers
+      val e = s"$C$chain${safeReaders(rng.nextInt(safeReaders.length))}"
+      val doc = struct(docType.fieldNames.map(col): _*)
+      // some chains legitimately bail (e.g. a fold that empties a
+      // struct, update after d was deleted/renamed, to_json over a
+      // shape that picked up a double) — every chain that lowers must
+      // match the interpreter
+      if (Jetro.evalNative(e, doc, docType).isDefined) {
+        lowered += 1
+        differential(e, rows = definedRows)
+      }
+    }
+    assert(lowered >= 40, s"only $lowered/80 chains lowered — generator drifted")
+  }
+
   test("randomized merge chains: lowered == interpreter") {
     val rng = new scala.util.Random(fuzzSeed(20260816))
     val structArgs = Vector(
