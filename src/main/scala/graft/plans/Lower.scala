@@ -3364,6 +3364,7 @@ object Lower {
   private val structObjOps: Set[String] = Set(
     "keys", "values", "len", "length", "entries", "to_pairs",
     "pick", "omit", "defaults", "invert", "rename",
+    "filter_keys", "filter_values", "transform_keys", "transform_values",
     "flatten_keys", "unflatten_keys")
 
   /** Segment trie of a flat dotted-name shape for unflatten_keys. */
@@ -3527,6 +3528,75 @@ object Lower {
               struct(keyOf(c.getField(n), st(n).dataType).as("key"),
                 lit(n).as("value")))): _*), _.isNotNull))),
           Some(MapType(StringType, StringType, valueContainsNull = true)))
+      case "filter_values" | "transform_values" =>
+        // per-field body application over PRESENT keys (objOnly walks
+        // the bridged object): a filtered-out / absent key reads null
+        // (≡ absent); the body must type against EVERY field's lane.
+        // transform_values keeps each field's own body-typed lane
+        // (struct fields are independent — no cross-field unification).
+        if (args.length != 1) bail(s"$m takes one body")
+        val perField = st.fields.toVector.map { f =>
+          val b = new EBody(ArrayType(f.dataType, containsNull = true), args(0).e)
+          if (m == "filter_values")
+            (f.name, f.dataType,
+              (v: Column) => when(b.predStrict(v), v).otherwise(lit(null).cast(f.dataType)))
+          else {
+            val bdt = b.dt.getOrElse(bail(s"$m body type unknown for field ${f.name}"))
+            (f.name, bdt, (v: Column) => when(v.isNotNull, b(v)))
+          }
+        }
+        (struct(perField.map { case (n, _, fn) => fn(c.getField(n)).as(n) }: _*),
+          Some(StructType(perField.map { case (n, d2, _) => StructField(n, d2) })))
+      case "filter_keys" | "transform_keys" =>
+        // the body is a pure function of the KEY — static strings — so
+        // it evaluates ONCE per schema field at plan time through the
+        // interpreter itself (the schema-directed analogue of the map
+        // lane's per-entry lambda). Row references in the body bail.
+        if (args.length != 1) bail(s"$m takes one body")
+        val raw = args(0).e
+        val param: Option[String] = raw match {
+          case Lambda(ps, _) if ps.length == 1 => Some(ps(0))
+          case Lambda(_, _)                    => bail("multi-param lambda at row scope")
+          case _                               => None
+        }
+        var rowRef = false
+        rewrite(raw) {
+          case i @ Ident(n) if !param.contains(n) => rowRef = true; i
+          case r @ Root                           => rowRef = true; r
+          case cur @ Current if param.isDefined   => rowRef = true; cur
+        }
+        if (rowRef) bail(s"$m key body references row state — doc mode")
+        val f =
+          try graft.jexpr.Interp.body(raw,
+            graft.jexpr.Env(graft.jexpr.JNull, graft.jexpr.JNull, Map.empty))
+          catch { case _: graft.jexpr.EvalException => bail(s"$m body errors") }
+        def evalKey(k: String): JValue =
+          try f(JStr(k))
+          catch { case _: graft.jexpr.EvalException => bail(s"$m body errors on '$k'") }
+        if (m == "filter_keys") {
+          val kept = st.fields.filter(g => evalKey(g.name).truthy)
+          if (kept.isEmpty) bail("filter_keys would drop every struct field")
+          (struct(kept.toIndexedSeq.map(g => c.getField(g.name).as(g.name)): _*),
+            Some(StructType(kept)))
+        } else {
+          // new key = keyStr(f(k)) — FPLV collisions: first STATIC
+          // position, value = last PRESENT collider (interpreter maps
+          // only present keys, so later null colliders fall through)
+          val renamed = st.fields.toVector.map(g =>
+            (graft.jexpr.Builtins.keyStr(evalKey(g.name)), g))
+          val outNames = renamed.map(_._1).distinct
+          val outFields = outNames.map { n =>
+            val colliders = renamed.filter(_._1 == n).map(_._2)
+            val d2 = colliders.map(_.dataType).reduceLeft { (a, b2) =>
+              unifySameKind(a, b2).getOrElse(bail("transform_keys collides mixed kinds"))
+            }
+            (n, colliders, d2)
+          }
+          (struct(outFields.map { case (n, colliders, d2) =>
+            coalesce(colliders.reverse.map(g => c.getField(g.name).cast(d2)): _*).as(n)
+          }: _*),
+            Some(StructType(outFields.map { case (n, _, d2) => StructField(n, d2) })))
+        }
       case "rename" =>
         // positional rename(old, new) only (Builtins.scala:610-614):
         // a present `from` moves to `to` — in place when `to` survives
@@ -3639,6 +3709,11 @@ object Lower {
         }
       case "invert" if st.fields.forall(f => atomicElem(f.dataType)) =>
         Some(MapType(StringType, StringType, valueContainsNull = true))
+      case "filter_keys" | "filter_values" |
+           "transform_keys" | "transform_values" if margs.length == 1 =>
+        // zero-drift mirror: run the lowering on a dummy column and
+        // keep only its reported type (columns are lazy, never analyzed)
+        structObjMethod(m, lit(null).cast(st), st, margs)._2
       case "rename" if margs.length == 2 && !margs.exists(_.name.nonEmpty) =>
         for {
           from <- litName(margs(0))

@@ -288,6 +288,36 @@ class StructMergeSpec extends SparkSpec {
     ).foreach(differential(_))
   }
 
+  test("filter/transform keys/values over struct receivers match the interpreter") {
+    Seq(
+      // filter_values: per-field predicate, filtered-out ≡ absent
+      "$.meta.filter_values(@.starts_with(\"x\"))",
+      "$.meta.filter_values(@ != null and @.len() > 2)",
+      "$.cfg.pick(\"d\").filter_values(@ > 2)",
+      // transform_values: per-field body lanes (fields independent)
+      "$.meta.transform_values(@.upper())",
+      "$.cfg.pick(\"d\").transform_values((@ ?? 0) * 2)",
+      "$.meta.transform_values(@.upper()).x",
+      // filter_keys / transform_keys: static key bodies evaluated at
+      // plan time through the interpreter itself
+      "$.cfg.filter_keys(@ == \"d\")",
+      "$.cfg.filter_keys(@.len() == 1).keys()",
+      "$.cfg.transform_keys(@.upper())",
+      "$.cfg.transform_keys(@.upper()).D",
+      "$.meta.transform_keys(lambda k: k + \"2\")",
+      // constant-key collision among SAME-kind fields: FPLV — value is
+      // the last PRESENT collider (reverse coalesce)
+      "$.cfg.pick(\"d\").set(\"e\", 5).transform_keys(\"k\")",
+      "$.cfg.pick(\"d\").set(\"e\", 5).transform_keys(\"k\").k"
+    ).foreach(differential(_))
+    // row references in key bodies, whole-object drops, and bodies
+    // that cannot type against every field stay doc-mode
+    refuses("$.cfg.filter_keys(@ == $.meta.x)")
+    refuses("$.cfg.filter_keys(@ == \"nope\")")
+    refuses("$.cfg.transform_values(@.upper())") // body cannot type on a/d
+    refuses("$.cfg.transform_keys(\"k\")")       // struct+long collision
+  }
+
   test("set/update/rename over struct receivers match the interpreter") {
     Seq(
       // set(k, v) ≡ one-segment set_path: in-place or append, {} on null
