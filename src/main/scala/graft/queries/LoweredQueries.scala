@@ -887,7 +887,10 @@ object LoweredQueries extends QueryGroup {
       |  CAST(n_regionkey AS VARCHAR) AS iv,
       |  '{"a":{"nm":"' || n_name || '"},"dd":' || n_regionkey || '}' AS tj,
       |  CAST(2 AS BIGINT) AS fk,
-      |  n_name AS uf
+      |  n_name AS uf,
+      |  CAST(1 AS BIGINT) AS fky,
+      |  upper(n_name) AS tv,
+      |  n_regionkey AS tk
       |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
     val nested = Tables.nation(s, d).select(
       col("n_nationkey").as("id"),
@@ -907,7 +910,10 @@ object LoweredQueries extends QueryGroup {
         |  iv: x.pick("dd").invert().keys().first(),
         |  tj: x.to_json(),
         |  fk: x.flatten_keys().len(),
-        |  uf: x.flatten_keys().unflatten_keys().a.nm})""".stripMargin,
+        |  uf: x.flatten_keys().unflatten_keys().a.nm,
+        |  fky: x.filter_keys(@ == "dd").len(),
+        |  tv: m2.transform_values(@.upper()).s1,
+        |  tk: x.transform_keys(@.upper()).DD})""".stripMargin,
       _ => nested)
   }
 
