@@ -2725,7 +2725,7 @@ object Lower {
     "keys", "values", "entries", "to_pairs", "len", "length",
     "filter_keys", "filter_values", "transform_values", "transform_keys",
     "merge", "deep_merge", "defaults", "invert", "set", "update", "rename",
-    "has", "missing", "includes", "contains",
+    "has", "missing", "includes", "contains", "pick", "omit",
     "set_path", "del_path", "del_paths", "to_json", "to_string")
 
   /** One per-element body (lambda or shorthand) over an array lane. */
@@ -4335,6 +4335,29 @@ object Lower {
         if (!jsonSafeShape(vt))
           bail(s"$name lowers only integral/string/bool map shapes")
         (when(c.isNull, lit("null")).otherwise(to_json(c)), Some(StringType))
+      case "pick" | "omit" =>
+        // pick: JObj of the named keys in ARG order — a miss reads
+        // null (Builtins.pick fieldOf), a NULL receiver stays null
+        // (the JNull dispatch row). omit: entry filter — a null
+        // receiver returns unchanged (the non-object row). Aliased or
+        // computed selectors stay doc-mode.
+        if (args.isEmpty) bail(s"$name needs key names")
+        val names = args.map { a => a.e match {
+          case Lit(JStr(s)) if a.name.isEmpty => s
+          case Ident(n) if a.name.isEmpty     => n
+          case other => bail(s"$name needs literal key names, got $other")
+        }}
+        if (name == "pick")
+          // distinct: duplicate selectors collapse in the interpreter's
+          // VectorMap (same value), while map_from_entries would throw
+          (when(c.isNull, lit(null).cast(outMap(vt))).otherwise(
+            map_from_entries(array(names.distinct.map(n =>
+              entryOf(lit(n), element_at(c, lit(n)))): _*))),
+            Some(outMap(vt)))
+        else
+          (map_from_entries(filter(map_entries(c),
+            e => !names.map(n => e.getField("key") === lit(n))
+              .foldLeft(lit(false))(_ || _))), Some(outMap(vt)))
       case "set_path" if args.length == 2 =>
         // a one-segment literal path is exactly set(k, v) — setPath's
         // VectorMap `+` (create-on-null, in-place-or-append). Deeper
@@ -4464,7 +4487,7 @@ object Lower {
     case "entries" | "to_pairs"         =>
       Some(ArrayType(ArrayType(StringType, containsNull = true)))
     case "filter_keys" | "filter_values" | "transform_keys" | "rename" |
-         "del_path" | "del_paths" =>
+         "del_path" | "del_paths" | "pick" | "omit" =>
       Some(MapType(StringType, mt.valueType, valueContainsNull = true))
     case "invert"                       =>
       Some(MapType(StringType, StringType, valueContainsNull = true))

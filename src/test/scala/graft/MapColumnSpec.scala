@@ -176,6 +176,17 @@ class MapColumnSpec extends SparkSpec {
     // from_pairs over the pairs lane: malformed skipped, dups collapse
     "$.pairs.from_pairs().entries()",
     "$.pairs.from_pairs().keys()",
+    // pick/omit over map lanes (round 10): pick emits the named keys
+    // in ARG order (miss → null entry, null receiver → null); omit is
+    // an order-keeping entry filter (null receiver unchanged)
+    "$.props.pick(\"alpha\", \"nope\").keys()",
+    "$.props.pick(\"alpha\", \"nope\").values()",
+    "$.props.pick(\"alpha\", \"k\", \"alpha\").keys()",
+    "$.props.pick(\"nope\").values()",
+    "$.attrs.pick(\"beta\").entries()",
+    "$.props.omit(\"alpha\").keys()",
+    "$.props.omit(\"alpha\", \"k\").values()",
+    "$.props.omit(\"nope\").len()",
     // static field access over a map lane: null on missing, value
     // type statically known (string methods lower on string values)
     "$.props.alpha",
