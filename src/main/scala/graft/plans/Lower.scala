@@ -282,7 +282,100 @@ object Lower {
           case _ => return None // compact, walks, writes, deep stages…
         }
         structEq(elem)
-      case _ => None // chain-write/patch rewrites keep the inference path
+      case Chain(inner, Vector(Step.Field(t2))) =>
+        // the rowwise rewrite `(expr).t` for chain-writes and `patch $`
+        // batches: output rows are the patched TABLE rows, so the
+        // schema is the table's with the written fields' types
+        // adjusted. JSON-numeric mixing rule: unmatched rows keep the
+        // old value, so a long column written with doubles infers
+        // DOUBLE (inference unions int and fractional lines).
+        def numMix(a: org.apache.spark.sql.types.DataType,
+                   b: org.apache.spark.sql.types.DataType)
+            : Option[org.apache.spark.sql.types.DataType] =
+          (jsonEq(a), jsonEq(b)) match {
+            case (Some(x), Some(y)) if x == y => Some(x)
+            case (Some(x), Some(y))
+                if Set[org.apache.spark.sql.types.DataType](x, y).subsetOf(
+                  Set(org.apache.spark.sql.types.LongType,
+                      org.apache.spark.sql.types.DoubleType)) =>
+              Some(org.apache.spark.sql.types.DoubleType)
+            case _ => None
+          }
+        // patch leaves bind ONLY `@` (PatchEval leafEnv) — a bare
+        // identifier there is env-scoped, never a row column
+        def leafType(fld: StructField, raw: Expr): Option[org.apache.spark.sql.types.DataType] = {
+          val vE = raw match {
+            case Lambda(Vector(p), body) =>
+              rewrite(body) {
+                case Ident(`p`)              => Current
+                case Chain(Ident(`p`), rest) => Chain(Current, rest)
+              }
+            case e => e
+          }
+          var bare = false
+          rewrite(vE) { case i @ Ident(_) => bare = true; i }
+          if (bare) return None
+          typeIn2(fld, vE)
+        }
+        def typeIn2(fld: StructField, e: Expr): Option[org.apache.spark.sql.types.DataType] =
+          try new ColLower(Some(tableSchema),
+            current = Some(org.apache.spark.sql.functions.col(fld.name)),
+            currentDt = Some(fld.dataType)).inferDt(e)
+          catch { case _: LowerException => None }
+        def adjusted(writes: Seq[(String, org.apache.spark.sql.types.DataType)])
+            : Option[org.apache.spark.sql.types.StructType] = {
+          var fields = tableSchema.fields.toVector
+          writes.foreach { case (f, vt) =>
+            val i = fields.indexWhere(_.name == f)
+            if (i < 0) return None
+            numMix(fields(i).dataType, vt) match {
+              case Some(d) => fields = fields.updated(i, StructField(f, d))
+              case None    => return None
+            }
+          }
+          structEq(StructType(fields))
+        }
+        def fanOk(s: Step): Boolean = s match {
+          case Step.InlineFilter(_)            => true
+          case Step.MapShape(None, Current)    => true
+          case _                               => false
+        }
+        inner match {
+          case Chain(Root, steps)
+              if steps.headOption.contains(Step.Field(t2)) =>
+            steps.tail.toList match {
+              case fan :: Step.Method("delete", as) :: Nil
+                  if fanOk(fan) && as.isEmpty =>
+                structEq(tableSchema) // rows filtered, schema untouched
+              case fan :: Step.Field(f) :: Step.Method("set" | "modify", as) :: Nil
+                  if fanOk(fan) && as.length == 1 =>
+                for {
+                  fld <- tableSchema.find(_.name == f)
+                  vt  <- leafType(fld, as(0).e)
+                  out <- adjusted(Seq(f -> vt))
+                } yield out
+              case _ => None // unset/merge/nested paths keep inference
+            }
+          case Patch(Root, pfields) =>
+            // every path t[*].f (top-level field, any row guard), every
+            // leaf a value WRITE — DELETEs change column presence and
+            // keep the inference path
+            val writes = pfields.map { pf =>
+              (pf.path.toList, pf.value) match {
+                case (PatchStep.Field(`t2`) :: (PatchStep.Wild | PatchStep.WildIf(_)) ::
+                      PatchStep.Field(f) :: Nil, Some(v)) =>
+                  for {
+                    fld <- tableSchema.find(_.name == f)
+                    vt  <- leafType(fld, v)
+                  } yield f -> vt
+                case _ => None
+              }
+            }
+            if (writes.exists(_.isEmpty)) None
+            else adjusted(writes.flatten)
+          case _ => None
+        }
+      case _ => None // other rewrites keep the inference path
     }
   }
 

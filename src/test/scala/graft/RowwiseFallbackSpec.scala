@@ -178,7 +178,14 @@ class RowwiseFallbackSpec extends SparkSpec {
       """$.documents.filter(lang == "en").map({id: doc_id, w: text.words()}).explode("w")""",
       """$.customer.pick("c_custkey", "c_mktsegment")""",
       """$.nation.omit("n_comment")""",
-      """$.supplier.map({k: s_suppkey, big: s_acctbal when s_acctbal > 100})""")
+      """$.supplier.map({k: s_suppkey, big: s_acctbal when s_acctbal > 100})""",
+      // chain-write / patch rewrites `(expr).table` (round-10 widening):
+      // table schema with the written fields' types adjusted — a long
+      // column written with doubles unions to DOUBLE like inference
+      """$.documents{lang == "en"}.n_chars.modify(@ * 2)""",
+      """$.documents{lang == "en"}.n_chars.set(@ * 1.5)""",
+      """$.supplier{s_acctbal < 0}.delete()""",
+      """patch $ { documents[*].n_chars: @ * 2 when @ < 50, documents[*].lang: @.upper() }""")
     exprs.foreach { e =>
       val (table, evalExpr) = Graft.rowwisePlan(e).get
       val src = graft.core.Tables(spark, sf, table)
@@ -188,12 +195,14 @@ class RowwiseFallbackSpec extends SparkSpec {
       assert(stat.get == inferred, s"static ${stat.get.sql} != inferred ${inferred.sql} for $e")
     }
     // NOT provable: rec (untypeable leaf), compact (per-row shape),
-    // dynamic keys, scalar streams, chain-write rewrites
+    // dynamic keys, scalar streams, presence-changing writes (unset
+    // drops a column from every matched line), kind-flipping writes
     Seq(
       """$.region.map({k: r_regionkey, u: r_name.upper().rec(@)})""",
       """$.region.map({k: r_regionkey}).compact()""",
       """$.region.map(r_regionkey)""",
-      """$.documents{lang == "en"}.n_chars.modify(@ * 2)""").foreach { e =>
+      """$.documents[*].unset("lang")""",
+      """$.documents{lang == "en"}.n_chars.modify("s")""").foreach { e =>
       val plan = Graft.rowwisePlan(e)
       assert(plan.isDefined, e)
       val src = graft.core.Tables(spark, sf, plan.get._1)
