@@ -378,12 +378,19 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for the driver's parser: also leave the raw line
-    // in a file so a logger prefix on stdout can never hide it again
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/tmp/graft_bench.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // in files so a logger prefix on stdout can never hide it again —
+    // one at the env-chosen path, one committed-adjacent in the repo
+    // root (the driver's artifact keeps only a ~2 KB stdout tail, which
+    // used to cut the spread mid-stream)
+    def writeLine(path: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
+    writeLine("bench_latest.json")
     spark.stop()
+    // re-print AFTER shutdown so the JSON is the LAST stdout line — the
+    // tail capture then always contains one complete copy
+    println(line)
   }
 }

@@ -313,8 +313,15 @@ object Graft {
       case (table, evalExpr) =>
         val key = RowwiseKey(spark, sfDir, table, evalExpr)
         val hit = rowwiseCache.synchronized {
-          Option(rowwiseCache.get(key))
-        }.filter(g => !g.ds.sparkSession.sparkContext.isStopped)
+          Option(rowwiseCache.get(key)) match {
+            case Some(g) if g.ds.sparkSession.sparkContext.isStopped =>
+              // purge on access: a stopped session's blocks are gone,
+              // but the entry would otherwise hold the dead session
+              // until capacity eviction
+              rowwiseCache.remove(key); None
+            case other => other
+          }
+        }
         val gen = hit.getOrElse {
           // ONE distributed interpreter pass, not two: schema inference
           // over spark.read.json is a full scan of the UDF output, and
@@ -336,8 +343,23 @@ object Graft {
           val schema = Lower.rowwiseStaticSchema(src.schema, evalExpr)
             .getOrElse(spark.read.json(ds).schema)
           val g = RowwiseGen(ds, schema)
-          rowwiseCache.synchronized { rowwiseCache.put(key, g) }
-          g
+          // two concurrent misses on the same key can both reach here;
+          // re-check under the lock so exactly one generation survives
+          // and the loser's persisted blocks are released (a bare
+          // put-over-existing would strand the overwritten generation —
+          // removeEldestEntry never sees it)
+          rowwiseCache.synchronized {
+            Option(rowwiseCache.get(key))
+              .filter(w => !w.ds.sparkSession.sparkContext.isStopped) match {
+              case Some(winner) =>
+                safeUnpersist(g.ds)
+                winner
+              case None =>
+                val prev = rowwiseCache.put(key, g)
+                if (prev != null) safeUnpersist(prev.ds)
+                g
+            }
+          }
         }
         spark.read.schema(gen.schema).json(gen.ds)
     }

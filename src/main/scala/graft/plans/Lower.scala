@@ -3,6 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, NumericType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 import graft.jexpr.{Expr, JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JValue, Parser}
 import Expr._
 
@@ -40,34 +42,57 @@ object Lower {
     * FoldablePropagation feeds it back to the eliminator. pmod(x, 1)
     * is 0 for every x with no simplification rule; the coalesce keeps
     * null rows in the same (only) partition. */
-  /** Pure type walk of setPath over a struct lane (shared by the column
-    * builder and dtOf so the two can never drift): the written key
-    * updates IN PLACE when present, appends at the END when new
-    * (VectorMap `+`, Builtins.setPath:943-948); a statically non-object
-    * intermediate coerces to the fresh nested write chain. None = not
-    * provable (a map segment: per-key value rewrites don't type). */
-  private[plans] def setPathStructType(
+  /** Pure type walk of setPath over typed lanes (shared by the column
+    * builder and dtOf so the two can never drift). At a STRUCT node the
+    * written key updates IN PLACE when present, appends at the END when
+    * new (VectorMap `+`, Builtins.setPath:943-948); a statically
+    * non-object intermediate coerces to the fresh nested write chain.
+    * At a string-keyed MAP node (round 11) the LITERAL segment
+    * addresses ONE entry whose new type widens the lane's shared value
+    * type — provable only when every untouched entry re-shapes
+    * faithfully into the widened shape ([[Lower.widensTo]]); a leaf AT
+    * a map entry replaces the value (same-kind unification, a per-entry
+    * kind flip has no static lane). None = not provable (doc mode). */
+  private[plans] def setPathDeepType(
       recvDt: Option[org.apache.spark.sql.types.DataType], segs: List[String],
-      vdt: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.StructType] = {
+      vdt: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     val k = segs.head
-    val fields = recvDt match {
-      case Some(s: StructType) => s.fields.toVector
-      case Some(_: MapType)    => return None
-      case _                   => Vector.empty[StructField]
-    }
-    val childDt = fields.find(_.name == k).map(_.dataType)
-    val ndtO: Option[DataType] = segs.tail match {
-      case Nil  => Some(vdt)
-      case rest => setPathStructType(childDt, rest, vdt)
-    }
-    ndtO.map { ndt =>
-      StructType(
-        if (fields.exists(_.name == k))
-          fields.map(f => if (f.name == k) StructField(k, ndt) else f)
-        else fields :+ StructField(k, ndt))
+    recvDt match {
+      case Some(mt: MapType) =>
+        if (mt.keyType != StringType) return None
+        val entryNew: DataType = segs.tail match {
+          case Nil  => unifySameKind(mt.valueType, vdt).getOrElse(return None)
+          case rest => setPathDeepType(Some(mt.valueType), rest, vdt).getOrElse(return None)
+        }
+        if (!widensTo(mt.valueType, entryNew)) return None
+        Some(MapType(StringType, entryNew, valueContainsNull = true))
+      case _ =>
+        val fields = recvDt match {
+          case Some(s: StructType) => s.fields.toVector
+          case _                   => Vector.empty[StructField]
+        }
+        val childDt = fields.find(_.name == k).map(_.dataType)
+        val ndtO: Option[DataType] = segs.tail match {
+          case Nil  => Some(vdt)
+          case rest => setPathDeepType(childDt, rest, vdt)
+        }
+        ndtO.map { ndt =>
+          StructType(
+            if (fields.exists(_.name == k))
+              fields.map(f => if (f.name == k) StructField(k, ndt) else f)
+            else fields :+ StructField(k, ndt))
+        }
     }
   }
+
+  /** [[setPathDeepType]] restricted to struct receivers (their result
+    * is always a struct) — the patch compiler / dtOf entry point. */
+  private[plans] def setPathStructType(
+      recvDt: Option[org.apache.spark.sql.types.DataType], segs: List[String],
+      vdt: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.StructType] =
+    setPathDeepType(recvDt, segs, vdt)
+      .collect { case s: org.apache.spark.sql.types.StructType => s }
 
   /** Pure type walk of delPath over a struct lane: Some(newType) when a
     * drop statically happens, None when provably identity (missing key
@@ -93,8 +118,13 @@ object Lower {
             StructType(st.fields.map(f =>
               if (f.name == k) StructField(k, nt, f.nullable) else f))
           }
-        case _: MapType => bail("del_path walks into a map lane — doc mode")
-        case _          => None
+        case mt: MapType =>
+          // round 11: the delete continues THROUGH the map — entries
+          // filter / leaves null out inside the shared value shape, so
+          // the TYPE is unchanged; None when the inner walk statically
+          // dies (delPath's identity)
+          delDeepTP(mt, rest).map(_ => st)
+        case _ => None
       }
     }
   }
@@ -131,6 +161,11 @@ object Lower {
         else if (xs == ys) xs
         else mergeStructType(xs, ys, deep = false) // union shape, either side per row
       case (xm: MapType, ym: MapType) if !deep && xm == ym => xm
+      case (xm: MapType, ym: MapType) if deep =>
+        // round 11: (object, object) collisions recurse — a map field's
+        // value type is static, so the recursion is schema-directed
+        deepMergeType(xm, ym).getOrElse(
+          bail("deep_merge over mixed map value shapes — doc mode"))
       case (_: MapType, _) | (_, _: MapType) =>
         bail(s"${if (deep) "deep_merge" else "merge"} over map-typed fields — doc mode")
       case (a2, b2) if a2 == b2                     => a2
@@ -146,6 +181,30 @@ object Lower {
           case Some(g) => StructField(f.name, fieldType(f.dataType, g.dataType))
         }
       } ++ y.fields.filterNot(f => x.fieldNames.contains(f.name)))
+  }
+
+  /** Pure type walk of deepMerge's VALUE-level collision over two
+    * static types (round 11; shared by the column builders and the
+    * dtOf mirrors): struct+struct and string-keyed map+map pairs
+    * recurse (the interpreter's (JObj, JObj) case), any other pair
+    * takes `other` wholesale — so the lane must same-kind unify to
+    * hold both the surviving x-only values and the y winners. None =
+    * not statically mergeable (doc mode). */
+  private[plans] def deepMergeType(
+      ta: org.apache.spark.sql.types.DataType,
+      tb: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (ta, tb) match {
+      case (sa: StructType, sb: StructType) =>
+        try Some(mergeStructType(sa, sb, deep = true))
+        catch { case _: LowerException => None }
+      case (MapType(StringType, va, _), MapType(StringType, vb, _)) =>
+        deepMergeType(va, vb)
+          .map(u => MapType(StringType, u, valueContainsNull = true))
+      case (_: StructType, _) | (_, _: StructType) |
+           (_: MapType, _) | (_, _: MapType) => None
+      case (a, b) => unifySameKind(a, b)
+    }
   }
 
   /** JSON-inference-equivalent schema of one ELEMENT of a rowwise
@@ -286,20 +345,18 @@ object Lower {
         // the rowwise rewrite `(expr).t` for chain-writes and `patch $`
         // batches: output rows are the patched TABLE rows, so the
         // schema is the table's with the written fields' types
-        // adjusted. JSON-numeric mixing rule: unmatched rows keep the
-        // old value, so a long column written with doubles infers
-        // DOUBLE (inference unions int and fractional lines).
+        // adjusted. Cross-numeric-kind writes (long column written with
+        // doubles or vice versa) are NOT provable: the inferred type
+        // depends on which rows the fan matches at runtime ([*] fans and
+        // all/zero-match guards see only ONE kind, so inference gives
+        // LONG where a static long∪double union would say DOUBLE, and
+        // long values would render 1.0) — bail to the inference path.
         def numMix(a: org.apache.spark.sql.types.DataType,
                    b: org.apache.spark.sql.types.DataType)
             : Option[org.apache.spark.sql.types.DataType] =
           (jsonEq(a), jsonEq(b)) match {
             case (Some(x), Some(y)) if x == y => Some(x)
-            case (Some(x), Some(y))
-                if Set[org.apache.spark.sql.types.DataType](x, y).subsetOf(
-                  Set(org.apache.spark.sql.types.LongType,
-                      org.apache.spark.sql.types.DoubleType)) =>
-              Some(org.apache.spark.sql.types.DoubleType)
-            case _ => None
+            case _                            => None
           }
         // patch leaves bind ONLY `@` (PatchEval leafEnv) — a bare
         // identifier there is env-scoped, never a row column
@@ -644,7 +701,7 @@ object Lower {
         if (ws.length > 5)
           bail(s"map patch with ${ws.length} writes on $top stays doc-mode")
         val u = ws.foldLeft(mt.valueType) { (acc, w) =>
-          tcl.unifySameKind(acc,
+          unifySameKind(acc,
             w.valueDt.getOrElse(bail(s"map write value type unknown on $top")))
             .getOrElse(bail(s"map write value kind differs from $top's lane"))
         }
@@ -2329,6 +2386,115 @@ object Lower {
     * of the plan the expression runs against. Bare identifiers are row
     * fields; `@` is not addressable at the row level (only inside
     * higher-order args, unsupported here → fallback). */
+  
+  /** Per-row let-binding: evaluate each bound expression ONCE per row
+    * and hand `body` a cheap reference. A higher-order function only
+    * evaluates its ARGUMENT once per row — every outer expression
+    * captured inside the lambda BODY re-evaluates per ELEMENT. So an
+    * op whose lambda references the lane (window's `slice(a, i, n)`,
+    * zip's `get(na, i-1)`, dedupByKey's key array, zscore's mean/sd)
+    * degrades to O(len²)+ when `a` is itself a derived chain — found
+    * live as a whole-table bench lane pinning a core for 18 minutes
+    * re-splitting text inside window(). transform's argument IS
+    * once-per-row, so a one-element array<struct> carries the
+    * bindings in and the body sees lambda-variable field reads. */
+  private def letRow(binds: Seq[Column])(body: Seq[Column] => Column): Column = {
+    val st = struct(binds.zipWithIndex.map { case (b, i) => b.as(s"_b$i") }: _*)
+    get(transform(array(st), r =>
+      body(binds.indices.map(i => r.getField(s"_b$i")))), lit(0))
+  }
+  private def letRow1(bind: Column)(body: Column => Column): Column =
+    letRow(Seq(bind)) { case Seq(b) => body(b) }
+  
+  /** Same-KIND unification for lanes that must hold both sides: exact
+    * match, integral widening to long, fractional widening to double.
+    * An int/float mix stays heterogeneous in the interpreter (JInt
+    * renders "1", JFloat "1.0") — no static lane holds that, so None. */
+  private[Lower] def unifySameKind(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else if (integralDt(a) && integralDt(b)) Some(LongType)
+    else if (fractionalDt(a) && fractionalDt(b)) Some(DoubleType)
+    else None
+  
+  /** True when every value of type `from` re-shapes value-faithfully
+    * into `to` via [[asShape]]: exact match, integral widening to
+    * long, fractional to double (JSON renders agree), or recursive
+    * struct shape-widening (appended fields read null ≡ absent). The
+    * deep map-lane set_path uses this to decide whether UNTOUCHED
+    * entries can live in the written entry's widened shape. */
+  private def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (a: StructType, b: StructType) =>
+      a.fields.forall(f =>
+        b.find(_.name == f.name).exists(g => widensTo(f.dataType, g.dataType)))
+    case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+      ka == kb && widensTo(va, vb)
+    case (a, b) => unifySameKind(a, b).contains(b)
+  }
+  
+  /** TYPE-PRESERVING delete builder, used at and below a map crossing
+    * (the shared value schema cannot drop a field for ONE entry):
+    * inside a STRUCT the leaf NULLS out (≡ absent through the bridge);
+    * at a string-keyed MAP node the LITERAL segment filters the entry
+    * when it is the leaf and rewrites the one entry's value otherwise.
+    * None = the walk statically dies (missing field / non-object
+    * intermediate): delPath's identity. A null node stays null at
+    * every level (delPath's non-object rows). */
+  private def delDeepTP(dt: DataType, segs: List[String]): Option[Column => Column] = {
+    val k = segs.head
+    dt match {
+      case xs: StructType =>
+        xs.find(_.name == k).flatMap { f =>
+          segs.tail match {
+            case Nil => Some { (c: Column) =>
+              letRow1(c) { cc =>
+                when(cc.isNull, cc).otherwise(
+                  struct(xs.fields.toIndexedSeq.map { g =>
+                    (if (g.name == k) lit(null).cast(g.dataType)
+                     else cc.getField(g.name)).as(g.name)
+                  }: _*))
+              }
+            }
+            case rest => delDeepTP(f.dataType, rest).map { inner => (c: Column) =>
+              letRow1(c) { cc =>
+                when(cc.isNull, cc).otherwise(
+                  struct(xs.fields.toIndexedSeq.map { g =>
+                    (if (g.name == k) inner(cc.getField(k))
+                     else cc.getField(g.name)).as(g.name)
+                  }: _*))
+              }
+            }
+          }
+        }
+      case mt: MapType if mt.keyType == StringType =>
+        segs.tail match {
+          case Nil => Some { (c: Column) =>
+            when(c.isNull, c).otherwise(map_from_entries(
+              filter(map_entries(c), e => e.getField("key") =!= lit(k))))
+          }
+          case rest => delDeepTP(mt.valueType, rest).map { inner => (c: Column) =>
+            when(c.isNull, c).otherwise(map_from_entries(
+              transform(map_entries(c), e =>
+                struct(e.getField("key").as("key"),
+                  when(e.getField("key") === lit(k), inner(e.getField("value")))
+                    .otherwise(e.getField("value")).as("value")))))
+          }
+        }
+      case _ => None
+    }
+  }
+  
+  private def integralDt(d: DataType): Boolean = d match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+  private def numericDt(d: DataType): Boolean = d.isInstanceOf[NumericType]
+  private def fractionalDt(d: DataType): Boolean = d match {
+    case FloatType | DoubleType      => true
+    case _: DecimalType              => true
+    case _                           => false
+  }
+  
   /** Row-scope expression lowering.
     *
     * Four binding contexts share this class:
@@ -2574,7 +2740,15 @@ object Lower {
   private def fieldChain(base: Column, baseDt: Option[DataType], steps: Vector[Step]): Column = {
     var c = base
     var dt: Option[DataType] = baseDt
-    steps.foreach {
+    // indexed walk: a step may FUSE with its successor (consumed = 2) —
+    // the heterogeneous values()/entries() display peephole below
+    var si = 0
+    var consumed = 1
+    def nextStep: Option[Step] =
+      if (si + 1 < steps.length) Some(steps(si + 1)) else None
+    while (si < steps.length) {
+    consumed = 1
+    steps(si) match {
       case Step.Field(n) =>
         c = c.getField(n)
         dt = dt.flatMap {
@@ -2733,7 +2907,7 @@ object Lower {
           val b = new EBody(ArrayType(fdt, containsNull = true), args(1).e)
           val bdt = b.dt.getOrElse(bail("update body type unknown"))
           val v = letRow1(c.getField(k))(b(_))
-          c = setPathStructCol(c, Some(st), List(k), v)
+          c = setPathDeepCol(c, Some(st), List(k), v, bdt)
           dt = setPathStructType(Some(st), List(k), bdt)
         case Some(st: StructType)
             if (m == "merge" || m == "deep_merge") && args.nonEmpty &&
@@ -2741,8 +2915,54 @@ object Lower {
           val (c2, dt2) = structMergeMethod(m, c, st, args)
           c = c2; dt = Some(dt2)
         case Some(st: StructType) if structObjOps(m) =>
-          val (c2, dt2) = structObjMethod(m, c, st, args)
-          c = c2; dt = dt2
+          // round-11 display peephole: values()/entries() over a struct
+          // whose field kinds do NOT unify have no single-typed lane —
+          // but when the very NEXT step only consumes their DISPLAY or
+          // their COUNT, the pair fuses: join renders each element
+          // (JValue.display) and len/count need only the present-key
+          // cardinality. Raw read-backs of heterogeneous values keep
+          // the doc-mode bail (a typed lane cannot hold them).
+          def atomic(d: DataType) =
+            numericDt(d) || d == StringType || d == BooleanType
+          def hetero: Boolean =
+            st.fields.forall(f => atomic(f.dataType)) &&
+              st.fields.map(f => Option(f.dataType))
+                .reduceLeft { (a, d) =>
+                  for { x <- a; y <- d; u <- unifySameKind(x, y) } yield u
+                }.isEmpty
+          val fused = (m, nextStep) match {
+            case ("values", Some(Step.Method("join", jargs)))
+                if args.isEmpty && jargs.length <= 1 && hetero =>
+              val sep = jargs.headOption.map(_.e) match {
+                case None               => ""
+                case Some(Lit(JStr(s))) => s
+                case Some(other)        => bail(s"join needs a literal separator: $other")
+              }
+              val parts = st.fields.toIndexedSeq.map(f =>
+                when(c.getField(f.name).isNotNull,
+                  keyOf(c.getField(f.name), f.dataType)))
+              c = coalesce(
+                array_join(filter(array(parts: _*), _.isNotNull), sep),
+                lit(""))
+              dt = Some(StringType)
+              consumed = 2
+              true
+            case ("entries" | "to_pairs",
+                  Some(Step.Method("len" | "length" | "count", Vector())))
+                if args.isEmpty && hetero =>
+              // |entries| = present-key count (objOnly reads null as {})
+              c = size(filter(array(st.fieldNames.toIndexedSeq.map(n =>
+                when(c.getField(n).isNotNull, lit(n))): _*), _.isNotNull))
+                .cast(LongType)
+              dt = Some(LongType)
+              consumed = 2
+              true
+            case _ => false
+          }
+          if (!fused) {
+            val (c2, dt2) = structObjMethod(m, c, st, args)
+            c = c2; dt = dt2
+          }
         case Some(at: ArrayType) if arrayOps(m) =>
           val (c2, dt2) = arrayMethod(m, c, at, args)
           c = c2; dt = dt2
@@ -2764,6 +2984,8 @@ object Lower {
       }
       case Step.Optional => () // Spark navigation is already null-safe
       case other         => bail(s"field-chain step $other")
+    }
+    si += consumed
     }
     c
   }
@@ -3066,12 +3288,19 @@ object Lower {
           else when(cc.isNotNull, exists(cc, x => x <=> vv))
         }
         (if (name == "missing") !posi else posi, Some(BooleanType))
-      case "join" => at.elementType match {
-        case StringType =>
-          val sep = strLit(args, 0, "")
-          (coalesce(array_join(c, sep), lit("")), Some(StringType))
-        case other => bail(s"join lowered only for string lanes, got ${other.simpleString}")
-      }
+      case "join" =>
+        // coercing join: each element takes its DISPLAY form
+        // (JValue.display — strings raw, floats shortest, null elements
+        // render the text "null", NOT dropped); a null receiver reads
+        // as [] → "" (arrOnly)
+        val sep = strLit(args, 0, "")
+        at.elementType match {
+          case t if t == StringType || numericDt(t) || t == BooleanType =>
+            val disp = if (t == StringType) c else transform(c, keyOf(_, t))
+            (coalesce(array_join(disp, sep, "null"), lit("")), Some(StringType))
+          case other =>
+            bail(s"join lowered only for atomic lanes, got ${other.simpleString}")
+        }
 
       // ── element pushes / splices (O:collection.rs:379-404, D:850) ──
       case "collect" => (nz(c), someArr) // array → id, null → [] (M:98-99)
@@ -3373,34 +3602,9 @@ object Lower {
   private def castArr(c: Column, u: DataType): Column =
     c.cast(ArrayType(u, containsNull = true))
 
-  /** Per-row let-binding: evaluate each bound expression ONCE per row
-    * and hand `body` a cheap reference. A higher-order function only
-    * evaluates its ARGUMENT once per row — every outer expression
-    * captured inside the lambda BODY re-evaluates per ELEMENT. So an
-    * op whose lambda references the lane (window's `slice(a, i, n)`,
-    * zip's `get(na, i-1)`, dedupByKey's key array, zscore's mean/sd)
-    * degrades to O(len²)+ when `a` is itself a derived chain — found
-    * live as a whole-table bench lane pinning a core for 18 minutes
-    * re-splitting text inside window(). transform's argument IS
-    * once-per-row, so a one-element array<struct> carries the
-    * bindings in and the body sees lambda-variable field reads. */
-  private def letRow(binds: Seq[Column])(body: Seq[Column] => Column): Column = {
-    val st = struct(binds.zipWithIndex.map { case (b, i) => b.as(s"_b$i") }: _*)
-    get(transform(array(st), r =>
-      body(binds.indices.map(i => r.getField(s"_b$i")))), lit(0))
-  }
-  private def letRow1(bind: Column)(body: Column => Column): Column =
-    letRow(Seq(bind)) { case Seq(b) => body(b) }
+  
 
-  /** Same-KIND unification for lanes that must hold both sides: exact
-    * match, integral widening to long, fractional widening to double.
-    * An int/float mix stays heterogeneous in the interpreter (JInt
-    * renders "1", JFloat "1.0") — no static lane holds that, so None. */
-  private[Lower] def unifySameKind(a: DataType, b: DataType): Option[DataType] =
-    if (a == b) Some(a)
-    else if (integralDt(a) && integralDt(b)) Some(LongType)
-    else if (fractionalDt(a) && fractionalDt(b)) Some(DoubleType)
-    else None
+  
 
   private def atomicElem(d: DataType): Boolean =
     numericDt(d) || d == StringType || d == BooleanType
@@ -3874,6 +4078,11 @@ object Lower {
               case None     => lit(null).cast(tf.dataType)
             }).as(tf.name)
           }: _*))
+      case (MapType(kf, vf, _), mt @ MapType(kt, vt2, _)) if kf == kt =>
+        // Spark's Cast on nested structs is positional, so map values
+        // re-shape per entry instead (field-by-NAME, appended = null)
+        when(c.isNull, lit(null).cast(mt)).otherwise(
+          transform_values(c, (_, v) => asShape(v, vf, vt2)))
       case _ => c.cast(to)
     }
 
@@ -3905,6 +4114,11 @@ object Lower {
               when(yc.isNull, asShape(xc, xs, t))
                 .when(xc.isNull, asShape(yc, ys, t))
                 .otherwise(mergeStructCol(xc, yc, xs, ys, deep))
+            case (xm: MapType, ym: MapType) if deep =>
+              // a null struct FIELD ≡ absent key (bridge): no collision
+              when(yc.isNull, asShape(xc, xm, f.dataType))
+                .when(xc.isNull, asShape(yc, ym, f.dataType))
+                .otherwise(deepMergeMapCol(xc, yc, xm, ym))
             case (xd, yd) =>
               when(yc.isNull, asShape(xc, xd, f.dataType))
                 .otherwise(asShape(yc, yd, f.dataType))
@@ -3912,6 +4126,48 @@ object Lower {
         case (None, None) => bail("unreachable merge field")
       }).as(f.name)
     }: _*)
+  }
+
+  /** deepMerge of two NON-NULL string-keyed map values (round 11):
+    * x's entries in order — collisions merge per [[Lower.deepMergeType]]
+    * (struct/map values recurse, anything else takes `other` wholesale,
+    * a PRESENT-null y entry nulls the key: unlike struct fields, map
+    * entries do NOT bridge null to absent) — then y-only entries append
+    * in y's order (VectorMap `++`). Callers guard whole-value nullness
+    * (deepMerge's null rules live one level up). */
+  private def deepMergeMapCol(
+      a0: Column, b0: Column, ma: MapType, mb: MapType): Column = {
+    val va = ma.valueType
+    val vb = mb.valueType
+    val u = Lower.deepMergeType(va, vb)
+      .getOrElse(bail("deep_merge over mixed map value shapes — doc mode"))
+    def entryOf2(k: Column, v: Column): Column =
+      struct(k.as("key"), v.as("value"))
+    def valMerge(xv: Column, yv: Column): Column = (va, vb) match {
+      case (sa: StructType, sb: StructType) =>
+        when(yv.isNull, lit(null).cast(u))
+          .when(xv.isNull, asShape(yv, sb, u))
+          .otherwise(mergeStructCol(xv, yv, sa, sb, deep = true))
+      case (xm: MapType, ym: MapType) =>
+        when(yv.isNull, lit(null).cast(u))
+          .when(xv.isNull, asShape(yv, ym, u))
+          .otherwise(deepMergeMapCol(xv, yv, xm, ym))
+      case _ => yv.cast(u) // non-object collision: other wins (null too)
+    }
+    letRow(Seq(a0, b0)) { case Seq(aa, oo) =>
+      map_from_entries(concat(
+        transform(map_entries(aa), e =>
+          entryOf2(e.getField("key"),
+            when(!map_contains_key(oo, e.getField("key")),
+              asShape(e.getField("value"), va, u))
+              .otherwise(letRow(Seq(e.getField("value"),
+                  element_at(oo, e.getField("key")))) {
+                case Seq(xv, yv) => valMerge(xv, yv)
+              }))),
+        transform(filter(map_entries(oo),
+            e => !map_contains_key(aa, e.getField("key"))),
+          e => entryOf2(e.getField("key"), asShape(e.getField("value"), vb, u)))))
+    }
   }
 
   /** `merge`/`deep_merge` over a STRUCT receiver with statically
@@ -3945,7 +4201,14 @@ object Lower {
             .when(aa.isNull, asShape(oo, ys, t))
             .otherwise(merged)
         else
-          when(oo.isNull, asShape(aa, accT, t))
+          // objOnly coerces BOTH null sides to {} (Builtins.scala:602):
+          // two nulls merge to an empty object, never null — emit the
+          // non-null all-null-fields struct ({} through the bridge),
+          // matching rename/defaults on null receivers
+          when(aa.isNull && oo.isNull,
+            struct(t.fields.toIndexedSeq.map(f =>
+              lit(null).cast(f.dataType).as(f.name)): _*))
+            .when(oo.isNull, asShape(aa, accT, t))
             .when(aa.isNull, asShape(oo, ys, t))
             .otherwise(merged)
       }
@@ -3979,8 +4242,10 @@ object Lower {
     * the end while the struct keeps schema position — per-row
     * reordering is unrepresentable columnar. On fully-defined rows the
     * orders agree exactly (in-place update / append-at-end).
-    * Dynamic paths, empty segments, and walks into MAP values stay
-    * doc-mode. */
+    * Paths crossing a string-keyed MAP level lower too (round 11): the
+    * literal segment rewrites the ONE entry and the lane's value type
+    * widens when representable ([[setPathDeepType]]). Dynamic paths,
+    * empty segments, and non-widenable map writes stay doc-mode. */
   private def structPathMethod(
       m: String, c: Column, st: StructType,
       args: Vector[Arg]): (Column, DataType) = {
@@ -3998,9 +4263,9 @@ object Lower {
         val segs = segsOf(argE(args, 0))
         val vdt = inferDt(argE(args, 1))
           .getOrElse(bail("set_path value type unknown"))
-        val outT = setPathStructType(Some(st), segs, vdt)
-          .getOrElse(bail("set_path walks into a map lane — doc mode"))
-        (setPathStructCol(c, Some(st), segs, valueExpr(argE(args, 1))), outT)
+        val outT = setPathDeepType(Some(st), segs, vdt)
+          .getOrElse(bail("set_path shape not statically representable — doc mode"))
+        (setPathDeepCol(c, Some(st), segs, valueExpr(argE(args, 1)), vdt), outT)
       case "del_path" =>
         if (args.length != 1) bail("del_path takes (path)")
         delPathStructCol(c, st, segsOf(argE(args, 0)))
@@ -4025,98 +4290,100 @@ object Lower {
     }
   }
 
-  /** Column builder mirroring [[Lower.setPathStructType]] level for
-    * level (the type walk already rejected map segments). */
-  private def setPathStructCol(
+  /** Column builder mirroring [[Lower.setPathDeepType]] level for
+    * level. STRUCT nodes rebuild with the written field updated
+    * in-place / appended; string-keyed MAP nodes (round 11) rewrite the
+    * ONE addressed entry (in place when present, appended at the END
+    * when missing — VectorMap `+`) while every untouched entry
+    * re-shapes into the widened value type with nulls for appended
+    * fields (≡ absent through the bridge). A null map node reads as {}
+    * (setPath's non-object coercion), so the write lands in a
+    * single-entry map. `vdt` is the static type of `v` (the type walk
+    * re-derives each node's widened shape from it). */
+  private def setPathDeepCol(
       c: Column, recvDt: Option[DataType], segs: List[String],
-      v: Column): Column = {
+      v: Column, vdt: DataType): Column = {
     val k = segs.head
-    val fields = recvDt match {
-      case Some(s: StructType) => s.fields.toVector
-      case _                   => Vector.empty[StructField]
-    }
-    val childDt = fields.find(_.name == k).map(_.dataType)
-    val nc: Column = segs.tail match {
-      case Nil  => v
-      case rest =>
-        val childCol = if (childDt.isDefined) c.getField(k) else lit(null)
-        setPathStructCol(childCol, childDt, rest, v)
-    }
-    val names =
-      if (fields.exists(_.name == k)) fields.map(_.name)
-      else fields.map(_.name) :+ k
-    struct(names.map(n => (if (n == k) nc else c.getField(n)).as(n)): _*)
-  }
-
-  /** True when every value of type `from` re-shapes value-faithfully
-    * into `to` via [[asShape]]: exact match, integral widening to
-    * long, fractional to double (JSON renders agree), or recursive
-    * struct shape-widening (appended fields read null ≡ absent). The
-    * deep map-lane set_path uses this to decide whether UNTOUCHED
-    * entries can live in the written entry's widened shape. */
-  private def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
-    case (a, b) if a == b => true
-    case (a: StructType, b: StructType) =>
-      a.fields.forall(f =>
-        b.find(_.name == f.name).exists(g => widensTo(f.dataType, g.dataType)))
-    case (a, b) => unifySameKind(a, b).contains(b)
-  }
-
-  /** Null-out builder for delPath INSIDE a map entry's struct value
-    * (the value type must stay fixed across entries, so the leaf is
-    * nulled — ≡ absent through the bridge — instead of dropped from
-    * the schema). None = the walk statically dies (missing field /
-    * non-struct intermediate): delPath's identity. Bails on map
-    * segments. A null node stays null at every level. */
-  private def nullOutStruct(
-      xs: StructType, segs: List[String]): Option[Column => Column] = {
-    val k = segs.head
-    xs.find(_.name == k) match {
-      case None => None
-      case Some(f) => segs.tail match {
-        case Nil => Some { c =>
-          letRow1(c) { cc =>
-            when(cc.isNull, cc).otherwise(
-              struct(xs.fields.toIndexedSeq.map { g =>
-                (if (g.name == k) lit(null).cast(g.dataType)
-                 else cc.getField(g.name)).as(g.name)
-              }: _*))
+    recvDt match {
+      case Some(mt: MapType) =>
+        val xs = mt.valueType
+        val z: DataType = segs.tail match {
+          case Nil  => unifySameKind(xs, vdt).get
+          case rest => setPathDeepType(Some(xs), rest, vdt).get
+        }
+        val m0 = coalesce(c, map().cast(
+          MapType(StringType, xs, valueContainsNull = true)))
+        val kLit = lit(k)
+        def entryOf2(key: Column, value: Column): Column =
+          struct(key.as("key"), value.as("value"))
+        letRow(Seq(m0, v)) { case Seq(aa, vv) =>
+          def written(old: Column): Column = segs.tail match {
+            case Nil  => vv.cast(z)
+            case rest => setPathDeepCol(old, Some(xs), rest, vv, vdt)
           }
+          // a MISSING entry coerces to {} (setPath's fs.getOrElse(k,
+          // JNull)); through the bridge that is a null value of the
+          // existing entry shape, so the fresh chain is just `written`
+          // over a null node — nested maps/structs keep their lanes
+          def fresh: Column = written(lit(null).cast(xs))
+          when(map_contains_key(aa, kLit),
+            map_from_entries(transform(map_entries(aa), e =>
+              entryOf2(e.getField("key"),
+                when(e.getField("key") === kLit, written(e.getField("value")))
+                  .otherwise(asShape(e.getField("value"), xs, z))))))
+            .otherwise(map_concat(
+              map_from_entries(transform(map_entries(aa), e =>
+                entryOf2(e.getField("key"), asShape(e.getField("value"), xs, z)))),
+              map_from_arrays(array(kLit), array(fresh))))
         }
-        case rest => f.dataType match {
-          case cst: StructType =>
-            nullOutStruct(cst, rest).map { inner => c =>
-              letRow1(c) { cc =>
-                when(cc.isNull, cc).otherwise(
-                  struct(xs.fields.toIndexedSeq.map { g =>
-                    (if (g.name == k) inner(cc.getField(k))
-                     else cc.getField(g.name)).as(g.name)
-                  }: _*))
-              }
-            }
-          case _: MapType => bail("del_path walks into a map lane — doc mode")
-          case _          => None
+      case _ =>
+        val fields = recvDt match {
+          case Some(s: StructType) => s.fields.toVector
+          case _                   => Vector.empty[StructField]
         }
-      }
+        val childDt = fields.find(_.name == k).map(_.dataType)
+        val nc: Column = segs.tail match {
+          case Nil  => v
+          case rest =>
+            val childCol = if (childDt.isDefined) c.getField(k) else lit(null)
+            setPathDeepCol(childCol, childDt, rest, v, vdt)
+        }
+        val names =
+          if (fields.exists(_.name == k)) fields.map(_.name)
+          else fields.map(_.name) :+ k
+        struct(names.map(n => (if (n == k) nc else c.getField(n)).as(n)): _*)
     }
   }
+
+  
+
+  
 
   /** Column builder mirroring [[Lower.delPathStructType]]: None =
     * provable identity (caller keeps the receiver). A null node stays
-    * null at every level — delPath's non-object identity. */
+    * null at every level — delPath's non-object identity. Struct
+    * levels drop the field from the schema; a MAP crossing hands the
+    * remaining walk to the type-preserving [[delDeepTP]]. */
   private def delPathStructCol(
       c: Column, st: StructType, segs: List[String]): Option[(Column, DataType)] =
     delPathStructType(st, segs).map { outT =>
-      def build(cc: Column, ot: StructType, ss: List[String]): Column = {
+      def build(cc: Column, cur: StructType, ot: StructType, ss: List[String]): Column = {
         val k = ss.head
         when(cc.isNull, lit(null).cast(ot)).otherwise(
           struct(ot.fields.toIndexedSeq.map { f =>
             (if (f.name == k && ss.tail.nonEmpty)
-               build(cc.getField(k), f.dataType.asInstanceOf[StructType], ss.tail)
+               cur(k).dataType match {
+                 case inner: StructType =>
+                   build(cc.getField(k), inner,
+                     f.dataType.asInstanceOf[StructType], ss.tail)
+                 case mt: MapType =>
+                   delDeepTP(mt, ss.tail).get.apply(cc.getField(k))
+                 case _ => cc.getField(f.name) // unreachable: type walk guards
+               }
              else cc.getField(f.name)).as(f.name)
           }: _*))
       }
-      (letRow1(c)(cc => build(cc, outT, segs)), outT: DataType)
+      (letRow1(c)(cc => build(cc, st, outT, segs)), outT: DataType)
     }
 
   /** Object-builtin lane over `map<string, V>` columns — the map
@@ -4259,94 +4526,51 @@ object Lower {
           accV = u
         }
         (acc, Some(outMap(accV)))
-      case "deep_merge" if vt.isInstanceOf[StructType] =>
-        // STRUCT-valued lane (round 10): the (object, object) collision
-        // recursion is schema-directed — shapes have STATIC depth, so
-        // colliding keys deep-merge via mergeStructCol into the shape
-        // union, non-colliding entries re-shape with nulls for the
-        // other side's fields (≡ absent through the bridge). Null
-        // rules are deepMerge's: a null ARG wins wholesale (result
-        // null), a null acc takes the arg verbatim, and a null VALUE
-        // at a colliding key follows `(_, other) => other` — null arg
-        // value nulls the entry, null acc value takes the arg's.
-        // Map-of-map lanes keep the doc-mode bail below (their
-        // recursion is per-key dynamic).
-        var accS = c
-        var accV = vt.asInstanceOf[StructType]
+      case "deep_merge" =>
+        // deepMerge recurses on (object, object) collisions
+        // (Builtins.deepMerge:110); static shapes make the recursion
+        // schema-directed to the TYPE's depth (rounds 10-11): struct
+        // AND map values recurse via deepMergeMapCol/mergeStructCol,
+        // non-object collisions take `other` wholesale. Null rules are
+        // deepMerge's: a null ARG wins wholesale (result null), a null
+        // acc takes the arg verbatim, and a PRESENT-null value at a
+        // colliding key follows `(_, other) => other`. Only mixed
+        // struct-vs-map collisions and non-unifiable kinds stay
+        // doc-mode ([[Lower.deepMergeType]] bails).
+        var accC: Column = c
+        var accM: MapType = mt
         args.indices.foreach { i =>
           val e = argE(args, i)
-          val (o, ys, oNull) = inferDt(e) match {
-            case Some(MapType(StringType, s: StructType, _)) =>
+          val (o, om, oNull) = inferDt(e) match {
+            case Some(m2 @ MapType(StringType, _, _)) =>
               val cc = colExpr(e)
-              (cc, s, cc.isNull)
+              (cc, m2, cc.isNull)
             case Some(st2: StructType) =>
               // object literal / struct column arg: fields are keys;
               // one value shape only (a map lane holds one value type)
-              val ys = st2.fields.map(_.dataType).distinct.toSeq match {
-                case Seq(s: StructType) => s
-                case _ => bail("deep_merge struct arg mixes value shapes")
+              val vshape = st2.fields.map(_.dataType).distinct.toSeq match {
+                case Seq(one) => one
+                case _        => bail("deep_merge struct arg mixes value shapes")
               }
               val sc = colExpr(e)
               val entries = st2.fieldNames.map(f =>
                 struct(lit(f).as("key"), sc.getField(f).as("value")))
-              (map_from_entries(array(entries.toIndexedSeq: _*)), ys, sc.isNull)
+              (map_from_entries(array(entries.toIndexedSeq: _*)),
+                MapType(StringType, vshape, valueContainsNull = true), sc.isNull)
             case Some(o2) => bail(s"deep_merge needs an object arg, got ${o2.simpleString}")
             case None     => bail("deep_merge arg type unknown")
           }
-          val xs = accV
-          val t = mergeStructType(xs, ys, deep = true)
-          val mt2 = MapType(StringType, t, valueContainsNull = true)
-          def oAsT(oo: Column) = map_from_entries(transform(map_entries(oo),
-            e2 => entryOf(e2.getField("key"),
-              asShape(e2.getField("value"), ys, t))))
-          val merged = letRow(Seq(accS, o)) { case Seq(aa, oo) =>
-            when(aa.isNull, oAsT(oo)).otherwise(
-              map_from_entries(concat(
-                transform(map_entries(aa), e2 =>
-                  entryOf(e2.getField("key"),
-                    when(!map_contains_key(oo, e2.getField("key")),
-                      asShape(e2.getField("value"), xs, t))
-                      .otherwise(letRow(Seq(e2.getField("value"),
-                          element_at(oo, e2.getField("key")))) {
-                        case Seq(xv, yv) =>
-                          when(yv.isNull, lit(null).cast(t))
-                            .when(xv.isNull, asShape(yv, ys, t))
-                            .otherwise(mergeStructCol(xv, yv, xs, ys, deep = true))
-                      }))),
-                transform(filter(map_entries(oo),
-                    e2 => !map_contains_key(aa, e2.getField("key"))),
-                  e2 => entryOf(e2.getField("key"),
-                    asShape(e2.getField("value"), ys, t))))))
-          }
-          accS = when(oNull, lit(null).cast(mt2)).otherwise(merged)
-          accV = t
+          val t = Lower.deepMergeType(accM, om)
+            .getOrElse(bail("deep_merge value shapes don't merge statically — doc mode"))
+            .asInstanceOf[MapType]
+          val prevC = accC
+          val prevM = accM
+          accC = when(oNull, lit(null).cast(t))
+            .when(prevC.isNull, asShape(o, om, t))
+            .otherwise(deepMergeMapCol(prevC, o, prevM, om))
+          accM = t
         }
-        (accS, Some(outMap(accV)))
-      case "deep_merge" =>
-        // deepMerge recurses only on (object, object) collisions
-        // (Builtins.deepMerge:110) — with statically non-object values
-        // it is merge, EXCEPT its null rule: `(_, other) => other`
-        // makes a null ARG win wholesale (the result goes null), and a
-        // null acc takes the next object arg verbatim. Struct-valued
-        // lanes take the schema-directed case above; map-of-map lanes
-        // stay doc-mode (per-key dynamic recursion).
-        def objLike(d: DataType): Boolean =
-          d.isInstanceOf[StructType] || d.isInstanceOf[MapType]
-        if (objLike(vt))
-          bail("deep_merge over map-of-map lanes recurses dynamically — doc mode")
-        var acc: Column = c
-        var accV: DataType = vt
-        args.indices.foreach { i =>
-          val (o, u, oNull) = mapArgRaw(i)
-          if (objLike(u))
-            bail("deep_merge over object-valued args recurses — doc mode")
-          val mt2 = MapType(StringType, u, valueContainsNull = true)
-          val a = acc.cast(mt2)
-          acc = when(oNull, lit(null).cast(mt2)).otherwise(
-            when(a.isNull, o).otherwise(mergeInPlace(a, o)))
-          accV = u
-        }
-        (acc, Some(outMap(accV)))
+        (accC, Some(accM))
       case "defaults" => // fill only MISSING keys, appended in d's order
         val (d, u) = mapArg(0)
         val a = m0.cast(MapType(StringType, u, valueContainsNull = true))
@@ -4454,94 +4678,55 @@ object Lower {
       case "set_path" if args.length == 2 =>
         // a one-segment literal path is exactly set(k, v) — setPath's
         // VectorMap `+` (create-on-null, in-place-or-append). Deeper
-        // literal paths over STRUCT-valued lanes (round 10) update the
-        // ONE entry's struct via the struct-path machinery: the entry
-        // updates in place (or appends fresh when the key is missing —
-        // setPath's fs.getOrElse(k, JNull) coercion), every other
-        // entry re-shapes into the widened value type with nulls for
-        // appended fields (≡ absent through the bridge). A write that
-        // re-TYPES a field shared with the old shape cannot hold the
-        // untouched entries, and non-struct value lanes would re-kind
-        // per entry — both stay doc-mode.
+        // literal paths (rounds 10-11) run the generalized deep-write
+        // machinery: the addressed entry updates in place (or appends
+        // fresh when missing — setPath's fs.getOrElse(k, JNull)
+        // coercion), every other entry re-shapes into the widened
+        // value type with nulls for appended fields (≡ absent through
+        // the bridge), and the walk may continue through FURTHER
+        // struct and string-keyed map levels. Writes that re-kind a
+        // shared field stay doc-mode ([[setPathDeepType]] bails).
         argE(args, 0) match {
           case Lit(JStr(p)) if !p.contains('.') =>
             mapMethod("set", c, mt, Vector(Arg(None, Lit(JStr(p))), args(1)))
-          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) &&
-              vt.isInstanceOf[StructType] =>
+          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) =>
             val segs = p.split('.').toList
-            val (k, rest) = (segs.head, segs.tail)
-            val xs = vt.asInstanceOf[StructType]
             val vdt = inferDt(argE(args, 1))
               .getOrElse(bail("set_path value type unknown"))
-            val z = setPathStructType(Some(xs), rest, vdt)
-              .getOrElse(bail("set_path walks into a map lane — doc mode"))
-            xs.fields.foreach { f =>
-              if (!widensTo(f.dataType, z(f.name).dataType))
-                bail(s"set_path re-types shared field ${f.name} — doc mode")
-            }
-            val freshT = setPathStructType(None, rest, vdt).get
-            val out = letRow(Seq(m0, valueExpr(argE(args, 1)))) {
-              case Seq(aa, v) =>
-                val kLit = lit(k)
-                when(map_contains_key(aa, kLit),
-                  map_from_entries(transform(map_entries(aa), e =>
-                    entryOf(e.getField("key"),
-                      when(e.getField("key") === kLit,
-                        setPathStructCol(e.getField("value"), Some(xs), rest, v))
-                        .otherwise(asShape(e.getField("value"), xs, z))))))
-                  .otherwise(map_concat(
-                    map_from_entries(transform(map_entries(aa), e =>
-                      entryOf(e.getField("key"),
-                        asShape(e.getField("value"), xs, z)))),
-                    map_from_arrays(array(kLit),
-                      array(asShape(setPathStructCol(lit(null), None, rest, v),
-                        freshT, z)))))
-            }
-            (out, Some(outMap(z)))
+            val z = setPathDeepType(Some(mt), segs, vdt)
+              .getOrElse(bail("set_path shape not statically representable — doc mode"))
+            (setPathDeepCol(c, Some(mt), segs, valueExpr(argE(args, 1)), vdt),
+              Some(z))
           case other => bail(s"set_path lowers only literal paths: $other")
         }
       case "del_path" if args.length == 1 =>
         // JObj(fs - k); a NULL receiver returns unchanged (delPath's
         // non-object case keeps the value) — so no null→{} read here.
-        // Deeper literal paths over STRUCT-valued lanes (round 10)
-        // null out the leaf INSIDE the one entry's struct — a typed
-        // null field ≡ an absent key through the bridge, so the value
-        // type (and every other entry) stays untouched; a walk that
-        // statically dies (missing schema field / non-struct
-        // intermediate) is delPath's identity. Map segments and
-        // non-struct value lanes stay doc-mode.
+        // Deeper literal paths (rounds 10-11) run the generalized
+        // type-preserving delete: map entries FILTER at the leaf,
+        // struct leaves NULL out inside the shared value shape
+        // (≡ absent through the bridge), and the walk crosses further
+        // struct/map levels; a walk that statically dies is delPath's
+        // identity. Dynamic paths stay doc-mode.
         argE(args, 0) match {
-          case Lit(JStr(p)) if !p.contains('.') =>
-            (map_from_entries(filter(map_entries(c),
-              e => e.getField("key") =!= p)), Some(outMap(vt)))
-          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) &&
-              vt.isInstanceOf[StructType] =>
-            val segs = p.split('.').toList
-            val (k, rest) = (segs.head, segs.tail)
-            val xs = vt.asInstanceOf[StructType]
-            nullOutStruct(xs, rest) match {
-              case None => (c, Some(outMap(vt))) // identity walk
-              case Some(build) =>
-                (map_from_entries(transform(map_entries(c), e =>
-                  entryOf(e.getField("key"),
-                    when(e.getField("key") === lit(k),
-                      build(e.getField("value")))
-                      .otherwise(e.getField("value"))))),
-                  Some(outMap(vt)))
-            }
+          case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) =>
+            (delDeepTP(mt, p.split('.').toList)
+              .map(b => b(c)).getOrElse(c), Some(outMap(vt)))
           case other => bail(s"del_path lowers only literal paths: $other")
         }
       case "del_paths" if args.length == 1 =>
-        // fold of del_path over a LITERAL array of one-segment paths
+        // fold of del_path over a LITERAL path array, in order
         argE(args, 0) match {
           case ArrLit(elems) =>
             val ps = elems.map {
-              case graft.jexpr.Expr.ArrElem.One(Lit(JStr(p))) if !p.contains('.') => p
-              case other => bail(s"del_paths lowers only literal one-segment paths: $other")
+              case graft.jexpr.Expr.ArrElem.One(Lit(JStr(p)))
+                  if p.nonEmpty && !p.split('.').exists(_.isEmpty) =>
+                p.split('.').toList
+              case other => bail(s"del_paths lowers only literal paths: $other")
             }
-            (map_from_entries(filter(map_entries(c),
-              e => !ps.map(p => e.getField("key") === lit(p))
-                .foldLeft(lit(false))(_ || _))), Some(outMap(vt)))
+            (ps.foldLeft(c) { (cc, segs) =>
+              delDeepTP(mt, segs).map(b => b(cc)).getOrElse(cc)
+            }, Some(outMap(vt)))
           case other => bail(s"del_paths needs a literal path array: $other")
         }
       case "rename" => // positional rename(old, new) only
@@ -4613,16 +4798,7 @@ object Lower {
       } else (colExpr(e), (_, _) => lit(false)) // kind mismatch never matches
     }
 
-  private def integralDt(d: DataType): Boolean = d match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _                                             => false
-  }
-  private def numericDt(d: DataType): Boolean = d.isInstanceOf[NumericType]
-  private def fractionalDt(d: DataType): Boolean = d match {
-    case FloatType | DoubleType      => true
-    case _: DecimalType              => true
-    case _                           => false
-  }
+  
 
   /** Static Spark type of a row-scope expression, when derivable. Used
     * for array-op decisions (sum zero typing, flat_map shape, map result
@@ -5551,45 +5727,39 @@ object Lower {
       }
     m match {
       case "merge" if args.nonEmpty => unifyAll.map(out)
-      case "deep_merge" if args.nonEmpty && mt.valueType.isInstanceOf[StructType] =>
-        // struct-valued lane: fold the schema-directed shape union the
-        // lowering performs (mergeStructType); args must be struct-
-        // valued maps or one-shape struct literals, like the lowering
-        def argStruct(i: Int): Option[StructType] = inferDt(args(i).e).flatMap {
-          case MapType(StringType, s: StructType, _) => Some(s)
+      case "deep_merge" if args.nonEmpty =>
+        // mirror of the generalized lowering: fold the schema-directed
+        // value union [[Lower.deepMergeType]] performs; args are
+        // string-keyed maps or one-shape struct literals
+        def argM(i: Int): Option[MapType] = inferDt(args(i).e).flatMap {
+          case m2 @ MapType(StringType, _, _) => Some(m2)
           case st: StructType =>
             st.fields.map(_.dataType).distinct.toSeq match {
-              case Seq(s: StructType) => Some(s)
-              case _                  => None
+              case Seq(one) =>
+                Some(MapType(StringType, one, valueContainsNull = true))
+              case _ => None
             }
           case _ => None
         }
-        try args.indices.foldLeft(
-          Option(mt.valueType.asInstanceOf[StructType])) { (acc, i) =>
-          acc.flatMap(x => argStruct(i).map(mergeStructType(x, _, deep = true)))
-        }.map(out)
-        catch { case _: LowerException => None }
-      case "deep_merge" if args.nonEmpty =>
-        unifyAll.filterNot(u => objLike(u) || objLike(mt.valueType)).map(out)
+        args.indices.foldLeft(Option(mt: MapType)) { (acc, i) =>
+          for {
+            a  <- acc
+            o  <- argM(i)
+            t  <- Lower.deepMergeType(a, o)
+            m2 <- Some(t).collect { case m3: MapType => m3 }
+          } yield m2
+        }
       case "defaults" if args.length == 1 => unifyAll.map(out)
       case "set_path" if args.length == 2 =>
         // mirror of the deep map-lane set_path: one-segment paths are
-        // set(k, v); deeper paths over struct-valued lanes widen the
-        // value shape via setPathStructType (shared with the lowering)
+        // set(k, v); deeper paths share [[setPathDeepType]] with the
+        // lowering (struct AND nested-map crossings)
         args(0).e match {
           case Lit(JStr(p)) if !p.contains('.') =>
             inferDt(args(1).e).flatMap(unifySameKind(mt.valueType, _)).map(out)
           case Lit(JStr(p)) if p.nonEmpty && !p.split('.').exists(_.isEmpty) =>
-            mt.valueType match {
-              case xs: StructType =>
-                inferDt(args(1).e).flatMap { vdt =>
-                  setPathStructType(Some(xs), p.split('.').toList.tail, vdt)
-                    .filter(z => xs.fields.forall(f =>
-                      widensTo(f.dataType, z(f.name).dataType)))
-                    .map(out)
-                }
-              case _ => None
-            }
+            inferDt(args(1).e).flatMap(vdt =>
+              setPathDeepType(Some(mt), p.split('.').toList, vdt))
           case _ => None
         }
       case "set" if args.length == 2 =>

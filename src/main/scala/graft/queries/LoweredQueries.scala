@@ -867,6 +867,119 @@ object LoweredQueries extends QueryGroup {
       _ => nested)
   }
 
+  /** Round-11 deep_merge over MAP-OF-MAP and struct-under-map lanes
+    * (Lower.deepMergeType/deepMergeMapCol): the (object, object)
+    * collision recursion is schema-directed to the static type's
+    * depth — colliding map entries deep-merge per level (x-entries in
+    * place, y-only appended — VectorMap `++`), struct values recurse
+    * through mergeStructCol including their MAP-typed fields, and a
+    * PRESENT-null struct field ≡ absent (bridge) so the other side's
+    * value survives. Mixed struct-vs-map collisions and non-unifiable
+    * kinds still bail to doc mode. */
+  private val deepMergeMapL = q(
+    "q_lower_deep_merge_map",
+    """SELECT n_nationkey AS id,
+      |  n_nationkey AS px,
+      |  n_nationkey * 10 AS py,
+      |  7 AS pz,
+      |  n_regionkey AS qx,
+      |  1 AS rw,
+      |  'p,q,r' AS ks,
+      |  n_nationkey AS ax,
+      |  n_regionkey * 2 AS ay,
+      |  n_name AS at,
+      |  upper(n_name) AS bt,
+      |  'a,b' AS sk
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      map(lit("p"), map(lit("x"), col("n_nationkey"), lit("y"), col("n_regionkey")),
+          lit("q"), map(lit("x"), col("n_regionkey"))).as("m1"),
+      map(lit("p"), map(lit("y"), col("n_nationkey") * 10, lit("z"), lit(7)),
+          lit("r"), map(lit("w"), lit(1))).as("m2"),
+      map(lit("a"), struct(map(lit("x"), col("n_nationkey")).as("im"),
+        col("n_name").as("t"))).as("s1"),
+      map(lit("a"), struct(map(lit("y"), col("n_regionkey") * 2).as("im"),
+            lit(null).cast("string").as("t")),
+          lit("b"), struct(map(lit("x"), lit(5)).as("im"),
+            upper(col("n_name")).as("t"))).as("s2"))
+    Lower.compile(
+      """$.nation.sort_by(id).map({
+        |  id: id,
+        |  px: m1.deep_merge(m2).get_path("p.x"),
+        |  py: m1.deep_merge(m2).get_path("p.y"),
+        |  pz: m1.deep_merge(m2).get_path("p.z"),
+        |  qx: m1.deep_merge(m2).get_path("q.x"),
+        |  rw: m1.deep_merge(m2).get_path("r.w"),
+        |  ks: m1.deep_merge(m2).keys().join(","),
+        |  ax: s1.deep_merge(s2).get_path("a.im.x"),
+        |  ay: s1.deep_merge(s2).get_path("a.im.y"),
+        |  at: s1.deep_merge(s2).get_path("a.t"),
+        |  bt: s1.deep_merge(s2).get_path("b.t"),
+        |  sk: s1.deep_merge(s2).keys().join(",")})""".stripMargin,
+      _ => nested)
+  }
+
+  /** Round-11 MID-path map crossings (Lower.setPathDeepType/Col,
+    * delDeepTP): `set_path`/`del_path`/`del_paths` whose literal path
+    * crosses a string-keyed MAP level mid-walk, both ways —
+    * struct→map→struct (`s.m.p.u`) and map→struct→map (`mm.a.im.x`).
+    * The addressed entry rewrites in place (appends at the END when
+    * new), untouched entries re-shape into the widened value type with
+    * nulls (≡ absent through the bridge), deletes FILTER at a map leaf
+    * and NULL OUT inside the shared entry shape, and a walk that dies
+    * (missing entry-struct key) is delPath's identity. */
+  private val setPathMapMidL = q(
+    "q_lower_set_path_map_mid",
+    """SELECT n_nationkey AS id,
+      |  CAST(99 AS BIGINT) AS su,
+      |  CAST(n_nationkey AS BIGINT) AS sq,
+      |  CAST(n_nationkey * 2 AS BIGINT) AS sz,
+      |  CAST(NULL AS BIGINT) AS zq,
+      |  CAST(7 AS BIGINT) AS nw,
+      |  'p,q,zz' AS nk,
+      |  n_regionkey AS dd,
+      |  CAST(NULL AS INTEGER) AS du,
+      |  n_nationkey AS dq,
+      |  'q' AS dk,
+      |  'p,q' AS di,
+      |  CAST(5 AS BIGINT) AS iy,
+      |  CAST(n_nationkey AS BIGINT) AS ix,
+      |  n_name AS it,
+      |  FALSE AS dx,
+      |  n_name AS dt2
+      |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
+    val nested = Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      struct(
+        map(lit("p"), struct(col("n_regionkey").as("u"), col("n_name").as("v")),
+            lit("q"), struct(col("n_nationkey").as("u"), upper(col("n_name")).as("v")))
+          .as("m"),
+        col("n_regionkey").as("dd")).as("s"),
+      map(lit("a"), struct(map(lit("x"), col("n_nationkey")).as("im"),
+        col("n_name").as("t"))).as("mm"))
+    Lower.compile(
+      """$.nation.sort_by(id).map({
+        |  id: id,
+        |  su: s.set_path("m.p.u", 99).get_path("m.p.u"),
+        |  sq: s.set_path("m.p.u", 99).get_path("m.q.u"),
+        |  sz: s.set_path("m.p.z", id * 2).get_path("m.p.z"),
+        |  zq: s.set_path("m.p.z", id * 2).get_path("m.q.z"),
+        |  nw: s.set_path("m.zz.u", 7).get_path("m.zz.u"),
+        |  nk: s.set_path("m.zz.u", 7).m.keys().join(","),
+        |  dd: s.set_path("m.p.u", 99).dd,
+        |  du: s.del_path("m.p.u").get_path("m.p.u"),
+        |  dq: s.del_path("m.p.u").get_path("m.q.u"),
+        |  dk: s.del_path("m.p").m.keys().join(","),
+        |  di: s.del_path("m.nope.u").m.keys().join(","),
+        |  iy: mm.set_path("a.im.y", 5).get_path("a.im.y"),
+        |  ix: mm.set_path("a.im.y", 5).get_path("a.im.x"),
+        |  it: mm.set_path("a.im.y", 5).get_path("a.t"),
+        |  dx: mm.del_path("a.im.x").has_path("a.im.x"),
+        |  dt2: mm.del_paths(["a.im.x"]).get_path("a.t")})""".stripMargin,
+      _ => nested)
+  }
+
   /** Round-10 object builtins over STRUCT lanes
     * (Lower.structObjMethod): keys/len/values/entries as presence-
     * filtered walks of the static fields, pick/omit as typed subsets,
@@ -890,13 +1003,17 @@ object LoweredQueries extends QueryGroup {
       |  n_name AS uf,
       |  CAST(1 AS BIGINT) AS fky,
       |  upper(n_name) AS tv,
-      |  n_regionkey AS tk
+      |  n_regionkey AS tk,
+      |  n_name || '|' || CAST(n_regionkey AS VARCHAR) AS hj,
+      |  CAST(2 AS BIGINT) AS he,
+      |  CAST(n_regionkey AS VARCHAR) AS vj
       |FROM nation ORDER BY id""".stripMargin) { (s, d) =>
     val nested = Tables.nation(s, d).select(
       col("n_nationkey").as("id"),
       struct(struct(col("n_name").as("nm")).as("a"),
         col("n_regionkey").as("dd")).as("x"),
-      struct(col("n_name").as("s1"), upper(col("n_name")).as("s2")).as("m2"))
+      struct(col("n_name").as("s1"), upper(col("n_name")).as("s2")).as("m2"),
+      struct(col("n_name").as("s1"), col("n_regionkey").as("rk")).as("m3"))
     Lower.compile(
       """$.nation.sort_by(id).map({
         |  id: id,
@@ -913,7 +1030,10 @@ object LoweredQueries extends QueryGroup {
         |  uf: x.flatten_keys().unflatten_keys().a.nm,
         |  fky: x.filter_keys(@ == "dd").len(),
         |  tv: m2.transform_values(@.upper()).s1,
-        |  tk: x.transform_keys(@.upper()).DD})""".stripMargin,
+        |  tk: x.transform_keys(@.upper()).DD,
+        |  hj: m3.values().join("|"),
+        |  he: m3.entries().len(),
+        |  vj: m3.pick("rk").values().join(",")})""".stripMargin,
       _ => nested)
   }
 
@@ -1507,6 +1627,7 @@ object LoweredQueries extends QueryGroup {
     rowwiseExplode, rowwiseSetWrite, deepMapL, spreadL,
     rowwiseWalk, rowwiseRec, strEdge, strArr, strCase, arrOps, arrSeq,
     regexFirstL, mapOpsL, mapFieldL, patchMapL, mapHasL, getPathL, typeL,
-    setPathL, setPathDeepL, deepMergeL, mapSetDeepL, structObjL,
+    setPathL, setPathDeepL, deepMergeL, deepMergeMapL, mapSetDeepL,
+    setPathMapMidL, structObjL,
     toJsonMapL, freeFnL, pipeL, rangeL)
 }

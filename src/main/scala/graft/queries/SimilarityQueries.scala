@@ -60,30 +60,117 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed ANN (random hyperplanes) — rows-only by design
-    * (recall < 1). The bound IS the verification: AnnRecallSpec
-    * measures recall@10 = 0.966 vs bruteForceTopK over 50 queries at
-    * these parameters and asserts a 0.85 floor. */
-  private val lshTopK = q("q_ann_lsh", null, tags = Set("noOracle")) {
-    (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-        dim = 64, k = 3, bits = 16, bands = 8)
-        .orderBy("qid", "rk")
+  /** LSH-bucketed ANN (random hyperplanes). Oracle (round 11): the
+    * gaussian plane matrix is deterministic (seed 42), so its exact
+    * double values are INLINED into the SQL as shortest-round-trip
+    * decimals and the dot products fold sequentially (list_reduce) in
+    * the same ascending order HyperplaneSignature uses — IEEE doubles
+    * agree bit-for-bit, so sign bits, band buckets, candidates and the
+    * rounded re-rank all replay exactly. Recall (<1 by construction)
+    * stays covered by AnnRecallSpec's 0.85 floor at these parameters.
+    * (The oracle omits the maxBucket=1000 cap — per-band buckets at
+    * the oracle SF hold ~125 vectors.) */
+  private val lshTopK = q("q_ann_lsh", lshOracleSql) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      dim = 64, k = 3, bits = 16, bands = 8)
+      .orderBy("qid", "rk")
   }
 
-  /** IVF ANN with deterministic coarse centroids — rows-only by
-    * design (recall < 1). AnnRecallSpec measures recall@10 = 0.748 at
-    * nprobe=4/nlist=8 (floor 0.5), rising monotonically to exactly
-    * 1.0 at nprobe=nlist — the recall/cost dial is the contract. */
-  private val ivfTopK = q("q_ann_ivf", null, tags = Set("noOracle")) {
-    (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-        k = 3, nlist = 8, nprobe = 3)
-        .orderBy("qid", "rk")
+  /** IVF ANN with deterministic coarse centroids. Oracle (round 11):
+    * the untrained quantizer picks the first nlist corpus vectors BY ID
+    * (`ORDER BY vec_id LIMIT 8` — plain SQL), and every later stage is
+    * the rounded-cosine algebra the md5 twin already hash-verifies, so
+    * the PRODUCTION query replays end-to-end. AnnRecallSpec's
+    * recall-vs-nprobe contract is unchanged. */
+  private val ivfTopK = q(
+    "q_ann_ivf",
+    """WITH cents AS (
+      |  SELECT vec_id AS centroid_id, embedding AS centv
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |asim AS (
+      |  SELECT e.vec_id AS cid, c.centroid_id,
+      |    ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE))
+      |      / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(c.centv[i] AS DOUBLE) * CAST(c.centv[i] AS DOUBLE)))), 4) AS csim
+      |  FROM embeddings e, cents c, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT cid, centroid_id FROM (
+      |    SELECT cid, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, centroid_id DESC) AS rn
+      |    FROM asim) WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, centroid_id FROM (
+      |    SELECT cid AS qid, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim DESC, centroid_id ASC) AS rn
+      |    FROM asim WHERE cid < 5) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT p.qid, a.cid FROM probes p JOIN assigned a USING (centroid_id)
+      |  WHERE p.qid <> a.cid),
+      |p AS (
+      |  SELECT c.qid, c.cid,
+      |    ROUND(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))
+      |      / (sqrt(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+      |       * sqrt(SUM(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))), 4) AS sim
+      |  FROM cand c
+      |  JOIN embeddings qe ON qe.vec_id = c.qid
+      |  JOIN embeddings ce ON ce.vec_id = c.cid,
+      |  generate_series(1, 64) t(i)
+      |  GROUP BY c.qid, c.cid)
+      |SELECT qid, cid, sim, rk FROM (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      |  FROM p)
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** The q_ann_lsh oracle: exact gaussian plane literals (the same
+    * `new Random(42)` stream Similarity.planes draws; Double.toString
+    * round-trips, and DuckDB parses decimals to the nearest double) +
+    * sequential per-plane dot folds + the proven rounded-cosine
+    * re-rank idiom. */
+  private def lshOracleSql: String = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val bitExprs = planes.zipWithIndex.map { case (w, j) =>
+      val wl = w.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, 65), d ->
+         |    CAST(embedding[d] AS DOUBLE) * ($wl)[d])),
+         |  (acc, x) -> acc + x) >= 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(${bitExprs.mkString(" + ")} AS BIGINT) AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, b AS band, (sig >> (b * 2)) & 3 AS bucket
+       |  FROM s, generate_series(0, 7) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+       |  WHERE a.vec_id < 5 AND a.vec_id <> c.vec_id),
+       |p AS (
+       |  SELECT cd.qid, cd.cid,
+       |    ROUND(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))
+       |      / (sqrt(SUM(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+       |       * sqrt(SUM(CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))), 4) AS sim
+       |  FROM cand cd
+       |  JOIN embeddings qe ON qe.vec_id = cd.qid
+       |  JOIN embeddings ce ON ce.vec_id = cd.cid,
+       |  generate_series(1, 64) t(i)
+       |  GROUP BY cd.qid, cd.cid)
+       |SELECT qid, cid, sim, rk FROM (
+       |  SELECT qid, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       |  FROM p)
+       |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
   /** The ENTIRE LSH ANN pipeline, engine-portably: md5-derived integer

@@ -186,15 +186,115 @@ object TextQueries extends QueryGroup {
       .orderBy("id")
   }
 
-  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify —
-    * rows-only: candidates depend on xxhash64 banding DuckDB can't
-    * reproduce; the exact-Jaccard verifier is oracled as
-    * q_ngram_jaccard and recall is asserted in DedupSpec. */
-  private val minhashPairs = q("q_minhash_pairs", null, tags = Set("noOracle")) {
-    (s, d) =>
-      Dedup.minhashNearDups(
-        Tables.documents(s, d), "doc_id", "text", minJaccard = 0.2)
-        .orderBy("id_a", "id_b")
+  /** DuckDB replay of the PRODUCTION xxhash64 simhash pipeline
+    * (Dedup.simhashNearDups, radius 4): XXH64 token hashes →
+    * strict-majority bit votes → 4×16-bit bands → Hamming verify. */
+  private def simhashXxSql: String = {
+    import XxSql._
+    val tok =
+      s"SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents"
+    val th = stagedSelect(tok, hashBytesStages("t", BigInt(42), "x_"),
+      Seq("doc_id", "x_out AS h"))
+    s"""WITH th AS ($th),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) * 2 > COUNT(*)
+       |         THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END AS bit
+       |  FROM th, generate_series(0, 63) s(j)
+       |  GROUP BY doc_id, j),
+       |sh AS (SELECT doc_id, CAST(SUM(bit) AS UBIGINT) AS sh FROM bits GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, sh, j AS band, (sh >> (j*16)) & 65535 AS bucket
+       |  FROM sh, generate_series(0, 3) s(j))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  MIN(CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT)) AS hamming
+       |FROM band a JOIN band b
+       |  ON a.doc_id < b.doc_id AND a.band = b.band AND a.bucket = b.bucket
+       |GROUP BY 1, 2
+       |HAVING hamming <= 4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of the PRODUCTION xxhash64 MinHash+LSH pipeline
+    * (Dedup.minhashNearDups, k=16, bands=4, minJaccard=0.2): XXH64
+    * token hashes → word-3-gram XXH64 folds → distinct gram sets → 16
+    * salted lanes (hashInt∘hashLong, signed mins, MaxValue when empty)
+    * → per-band bucket = XXH64(band:int, csv-of-lanes:string) → bucket
+    * join → exact Jaccard ≥ 0.2. */
+  private def minhashXxSql: String = {
+    import XxSql._
+    val maxLong = "9223372036854775807"
+    val tok =
+      s"""SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t,
+         |    generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+         |  FROM documents""".stripMargin
+    val th = stagedSelect(tok, hashBytesStages("t", BigInt(42), "x_"),
+      Seq("doc_id", "pos", "x_out AS th"))
+    // gram = H(H(a,b),c) with H(x,y) = hashLong(y, hashLong(x, 42)) —
+    // exactly Text.gramHashes' zip_with fold over xxhash64(a, b)
+    val gramStages =
+      hashLongStages("t1", "CAST(42 AS UBIGINT)", "a_") ++
+        hashLongStages("t2", "a_out", "b_") ++
+        hashLongStages("b_out", "CAST(42 AS UBIGINT)", "c_") ++
+        hashLongStages("t3", "c_out", "g_")
+    val gramsBase =
+      """SELECT a.doc_id, a.th AS t1, b.th AS t2, c.th AS t3
+        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2""".stripMargin
+    val grams = stagedSelect(gramsBase, gramStages, Seq("doc_id", "g_out AS g"))
+    val laneExprs = (0 until 16).map(i =>
+      s"${u2s(hashIntLitExpr(i, "hl_out"))} AS lane$i")
+    val lanes = stagedSelect("SELECT DISTINCT doc_id, g FROM grams",
+      hashLongStages("g", "CAST(42 AS UBIGINT)", "hl_"),
+      Seq("doc_id", "g") ++ laneExprs)
+    val mins = (0 until 16)
+      .map(i => s"COALESCE(MIN(lane$i), $maxLong) AS l$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val seed = hashIntLit(b, 42L)
+      val cols = (0 until 4).map(i => s"CAST(l${b * 4 + i} AS VARCHAR)").mkString(", ")
+      stagedSelect(
+        s"SELECT doc_id, concat_ws(',', $cols) AS bs FROM sig",
+        hashBytesStages("bs", seed, "x_"),
+        Seq("doc_id", s"$b AS band", "x_out AS bucket"))
+    }
+    val jac = """ROUND(CAST(LENGTH(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                |        / GREATEST(LENGTH(list_distinct(sa.sh || sb.sh)), 1), 4)""".stripMargin
+    s"""WITH th AS ($th),
+       |grams AS ($grams),
+       |lanes AS ($lanes),
+       |sig AS (
+       |  SELECT d.doc_id, $mins
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN lanes ON d.doc_id = lanes.doc_id
+       |  GROUP BY d.doc_id),
+       |banded AS (${bandSelects.mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id),
+       |shs AS (
+       |  SELECT doc_id, list(DISTINCT g) AS sh FROM grams GROUP BY doc_id)
+       |SELECT c.id_a, c.id_b, $jac AS jaccard
+       |FROM cand c
+       |JOIN shs sa ON sa.doc_id = c.id_a
+       |JOIN shs sb ON sb.doc_id = c.id_b
+       |WHERE $jac >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verify.
+    * Oracle (round 11): the ENTIRE xxhash64 production pipeline is
+    * replayed by [[minhashXxSql]] — DuckDB recomputes Spark's XXH64
+    * token hashes, the word-3-gram folds, all 16 salted signature
+    * lanes, the 4 band buckets and the exact-Jaccard verify via the
+    * graft.queries.XxSql mod-2^64 emulation, so the rows-only gap the
+    * md5 twin used to cover is closed with ZERO production change.
+    * (The oracle omits the maxBucket=1000 cap — bucket sizes at the
+    * oracle SF are two orders of magnitude below it.) */
+  private val minhashPairs = q("q_minhash_pairs", minhashXxSql) { (s, d) =>
+    Dedup.minhashNearDups(
+      Tables.documents(s, d), "doc_id", "text", minJaccard = 0.2)
+      .orderBy("id_a", "id_b")
   }
 
   /** The ENTIRE MinHash+LSH pipeline, engine-portably (md5 lanes, md5
@@ -234,13 +334,13 @@ object TextQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash values + banded near-dup pairs — rows-only: the 64-bit
-    * simhash rides xxhash64 token hashes DuckDB can't reproduce;
-    * Hamming-radius correctness is asserted in DedupSpec. */
-  private val simhashPairs = q("q_simhash_pairs", null, tags = Set("noOracle")) {
-    (s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", radius = 4)
-        .orderBy("id_a", "id_b")
+  /** SimHash values + banded near-dup pairs. Oracle (round 11): DuckDB
+    * replays the production 64-bit pipeline exactly — Spark XXH64 token
+    * hashes via [[graft.queries.XxSql]], strict-majority bit votes,
+    * 4×16-bit band buckets, Hamming verify at radius 4. */
+  private val simhashPairs = q("q_simhash_pairs", simhashXxSql) { (s, d) =>
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", radius = 4)
+      .orderBy("id_a", "id_b")
   }
 
   /** The ENTIRE SimHash pipeline, engine-portably (60-bit md5-prefix

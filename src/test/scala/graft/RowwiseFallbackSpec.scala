@@ -180,10 +180,9 @@ class RowwiseFallbackSpec extends SparkSpec {
       """$.nation.omit("n_comment")""",
       """$.supplier.map({k: s_suppkey, big: s_acctbal when s_acctbal > 100})""",
       // chain-write / patch rewrites `(expr).table` (round-10 widening):
-      // table schema with the written fields' types adjusted — a long
-      // column written with doubles unions to DOUBLE like inference
+      // table schema with the written fields' types adjusted — only
+      // SAME-json-kind writes are provable (see the cross-kind test)
       """$.documents{lang == "en"}.n_chars.modify(@ * 2)""",
-      """$.documents{lang == "en"}.n_chars.set(@ * 1.5)""",
       """$.supplier{s_acctbal < 0}.delete()""",
       """patch $ { documents[*].n_chars: @ * 2 when @ < 50, documents[*].lang: @.upper() }""")
     exprs.foreach { e =>
@@ -209,6 +208,34 @@ class RowwiseFallbackSpec extends SparkSpec {
       assert(graft.plans.Lower.rowwiseStaticSchema(src.schema, plan.get._2).isEmpty,
         s"should NOT prove: $e")
     }
+  }
+
+  test("cross-numeric-kind writes keep the inference path (no 1.0-vs-1 drift)") {
+    // round-10 ADVICE: the inferred kind of a long column written with
+    // doubles depends on which rows the fan matches at RUNTIME — a [*]
+    // fan or an all/zero-match guard leaves only ONE numeric kind in the
+    // JSON, so inference gives LONG where a static long∪double union
+    // said DOUBLE (long values would then parse as doubles and render
+    // 1.0). Cross-kind writes must therefore not prove a static schema.
+    Seq(
+      """$.documents{lang == "en"}.n_chars.set(@ * 1.5)""", // long ← double, guarded
+      """$.documents[*].n_chars.set(@ * 1.5)""",            // long ← double, all rows
+      """patch $ { documents[*].n_chars: @ * 1.5 }""").foreach { e =>
+      val plan = Graft.rowwisePlan(e)
+      assert(plan.isDefined, e)
+      val src = graft.core.Tables(spark, sf, plan.get._1)
+      assert(graft.plans.Lower.rowwiseStaticSchema(src.schema, plan.get._2).isEmpty,
+        s"cross-kind write must not prove: $e")
+    }
+    // behavioral pin: a zero-match guard leaves every n_chars a LONG —
+    // the inference path keeps them longs (renders 42, never 42.0),
+    // matching the whole-document interpreter bit-for-bit
+    val e = """$.documents{lang == "zz-none"}.n_chars.set(@ * 1.5)"""
+    val rw  = Graft.rowwiseCompile(spark, sf, e).get
+    val doc = Graft.docFallback(spark, sf, s"($e).documents")
+    val got = rowsOf(rw)
+    assert(got.nonEmpty && got == rowsOf(doc))
+    assert(!got.head.matches(""".*"n_chars":\d+\.0.*"""), got.head)
   }
 
   test("provable chains compile with ZERO interpreter work (no inference scan)") {

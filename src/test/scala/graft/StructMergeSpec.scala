@@ -37,7 +37,22 @@ class StructMergeSpec extends SparkSpec {
     StructField("nest", MapType(StringType, valSt, valueContainsNull = true),
       nullable = true),
     StructField("nest2", MapType(StringType, valSt2, valueContainsNull = true),
-      nullable = true)))
+      nullable = true),
+    // round 11: map-of-map lanes + struct receivers with MAP fields
+    StructField("mom", MapType(StringType,
+      MapType(StringType, LongType, valueContainsNull = true),
+      valueContainsNull = true), nullable = true),
+    StructField("mom2", MapType(StringType,
+      MapType(StringType, LongType, valueContainsNull = true),
+      valueContainsNull = true), nullable = true),
+    StructField("mix", StructType(Seq(
+      StructField("n", LongType),
+      StructField("mp", MapType(StringType, LongType,
+        valueContainsNull = true)))), nullable = true),
+    StructField("mix2", StructType(Seq(
+      StructField("mp", MapType(StringType, LongType,
+        valueContainsNull = true)),
+      StructField("m2", LongType))), nullable = true)))
 
   /** Nulls at every level: whole cfg (3), cfg.a (6), cfg.a.b (9),
     * meta (evens), whole nest (5), null nest ENTRY value (7), null
@@ -66,7 +81,43 @@ class StructMergeSpec extends SparkSpec {
           keys((i + 2 * j) % 3) ->
             Row(java.lang.Long.valueOf(i * 2L), java.lang.Long.valueOf(j.toLong))
         }: _*)
-      Row(i.toLong, cfg, meta, nest, nest2)
+      // map-of-map: whole null (8), null ENTRY value (14 first key),
+      // empty inner map (15), overlapping + disjoint keys vs mom2 (16)
+      val mom =
+        if (i == 8) null
+        else ListMap((0 until i % 3).map { j =>
+          keys((i + j) % 3) -> (
+            if (i == 14 && j == 0) null
+            else if (i == 15) ListMap.empty[String, java.lang.Long]
+            else ListMap(
+              "x"        -> java.lang.Long.valueOf(i + j * 10L),
+              s"k${j % 2}" -> java.lang.Long.valueOf(j.toLong)))
+        }: _*)
+      val mom2 =
+        if (i == 16) null
+        else ListMap((0 until (i + 1) % 3).map { j =>
+          keys((i + 2 * j) % 3) -> (
+            if (i == 18 && j == 0) null
+            else ListMap(
+              "x" -> java.lang.Long.valueOf(i * 2L),
+              "z" -> java.lang.Long.valueOf(j + 100L)))
+        }: _*)
+      // struct receivers with a MAP field: whole null (17), null map
+      // field (19), overlapping inner keys
+      val mix =
+        if (i == 17) null
+        else Row(java.lang.Long.valueOf(i.toLong),
+          if (i == 19) null
+          else ListMap("k" -> java.lang.Long.valueOf(i % 7L),
+                       s"w$i" -> java.lang.Long.valueOf(2L)))
+      val mix2 =
+        if (i == 20) null
+        else Row(
+          if (i == 21) null
+          else ListMap("k" -> java.lang.Long.valueOf(i + 50L),
+                       "z" -> java.lang.Long.valueOf(9L)),
+          java.lang.Long.valueOf(i * 5L))
+      Row(i.toLong, cfg, meta, nest, nest2, mom, mom2, mix, mix2)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), docType)
   }
@@ -195,6 +246,65 @@ class StructMergeSpec extends SparkSpec {
       s"$N.deep_merge($$.nest2).keys()",
       s"$N.deep_merge($$.nest2).len()"
     ).foreach(differential(_))
+  }
+
+  test("deep_merge over map-of-map and map-fielded struct lanes matches the interpreter (round 11)") {
+    // identity del_path prefixes keep the chains off the root
+    // chain-WRITE shape (isRootChainWrite), like $N/$N2 above
+    val M  = "$.mom.del_path(\"zz9\")"
+    val M2 = "$.mom2.del_path(\"zz9\")"
+    val X  = "$.mix.del_path(\"zz9\")"
+    val X2 = "$.mix2.del_path(\"zz9\")"
+    Seq(
+      // map-of-map: colliding entries recurse one level (inner maps
+      // merge in place / append), a PRESENT-null entry value follows
+      // `(_, other) => other`, disjoint keys append in arg order
+      s"$M.deep_merge($M2)",
+      s"$M2.deep_merge($M)",
+      s"$M.deep_merge($M2).get_path(\"p.x\")",
+      s"$M.deep_merge($M2).get_path(\"p.z\")",
+      s"$M.deep_merge($M2).keys()",
+      s"$M.deep_merge($M2).len()",
+      // shallow merge replaces colliding inner maps wholesale
+      s"$M.merge($M2)",
+      // struct receivers whose common field is MAP-typed: deep_merge
+      // recurses into the maps; a null struct FIELD ≡ absent (bridge)
+      s"$X.deep_merge($X2)",
+      s"$X2.deep_merge($X)",
+      s"$X.deep_merge($X2).get_path(\"mp.k\")",
+      s"$X.deep_merge($X2).get_path(\"mp.z\")",
+      s"$X.deep_merge($X2).n"
+    ).foreach(differential(_))
+    // a struct-literal arg against a map-of-map lane would need its
+    // struct values held in the map's map-value lane — stays doc-mode
+    refuses(s"$M.deep_merge({p: {x: 9}})")
+  }
+
+  test("heterogeneous values/entries fuse with display consumers (round 11)") {
+    // cfg.a = {b: long, c: string}: no single-typed value lane exists,
+    // but join consumes only DISPLAY forms and len only the present-key
+    // count — the fieldChain peephole fuses those pairs; raw read-backs
+    // stay doc-mode
+    Seq(
+      "$.cfg.a.values().join(\",\")",
+      "$.cfg.a.values().join(\"\")",
+      "$.cfg.a.entries().len()",
+      "$.cfg.a.entries().count()",
+      // homogeneous atomic lanes keep the raw values() lane, and the
+      // widened display-join now covers numeric arrays too
+      "$.nest2.values().len()"
+    ).foreach(differential(_))
+    refuses("$.cfg.a.values()")            // raw heterogeneous read-back
+    refuses("$.cfg.a.entries()")
+    refuses("$.cfg.a.values().first()")    // non-display consumer
+    // manufactured-present-null doctrine: pick writes a missed/null key
+    // as PRESENT null — the interpreter's values() then yields [null]
+    // (join → "null") while the bridge view reads it absent ([] → "").
+    // The typed lane keeps the bridge view; pinned explicitly here.
+    val doc = struct(docType.fieldNames.map(col): _*)
+    val pj = Jetro.evalNative("$.cfg.a.pick(\"b\").values().join(\",\")", doc, docType).get
+    val row9 = docs.filter(col("id") === 9L).select(pj).collect().head
+    assert(row9.getString(0) == "", s"bridge view expected '', got $row9")
   }
 
   test("deep set_path/del_path into map<string, struct> entries matches the interpreter") {

@@ -32,7 +32,12 @@ class StructPathSpec extends SparkSpec {
     StructField("mix", StructType(Seq(
       StructField("n", LongType),
       StructField("mp", MapType(StringType, LongType,
-        valueContainsNull = true)))), nullable = true)))
+        valueContainsNull = true)))), nullable = true),
+    StructField("mm", MapType(StringType, StructType(Seq(
+      StructField("im", MapType(StringType, LongType,
+        valueContainsNull = true)),
+      StructField("t", StringType))), valueContainsNull = true),
+      nullable = true)))
 
   /** Null at every level somewhere in the corpus: whole cfg (row 3),
     * cfg.a (row 6), cfg.a.b (row 9), cfg.a.c (row 12), mix (row 4). */
@@ -49,7 +54,20 @@ class StructPathSpec extends SparkSpec {
         if (i % 24 == 4) null
         else Row(java.lang.Long.valueOf(i.toLong),
           scala.collection.immutable.ListMap("k" -> java.lang.Long.valueOf(i % 7L)))
-      Row(i.toLong, cfg, meta, mix)
+      // map→struct→map shape, with nulls at every level somewhere:
+      // whole mm (row 5), one entry's value (row 7), inner im (row 10)
+      val mm =
+        if (i % 24 == 5) null
+        else scala.collection.immutable.ListMap(
+          "a" -> (if (i % 24 == 7) null
+                  else Row(
+                    if (i % 24 == 10) null
+                    else scala.collection.immutable.ListMap(
+                      "x" -> java.lang.Long.valueOf(i % 4L)),
+                    s"t$i")),
+          "b" -> Row(scala.collection.immutable.ListMap(
+            "x" -> java.lang.Long.valueOf(i % 3L)), s"u$i"))
+      Row(i.toLong, cfg, meta, mix, mm)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), docType)
   }
@@ -183,12 +201,43 @@ class StructPathSpec extends SparkSpec {
     deleteExprs.foreach(differential(_))
   }
 
-  test("dynamic paths, empty segments, map walks, and empty-struct drops stay doc-mode") {
+  test("paths crossing a MAP level lower and match the interpreter (round 11)") {
+    Seq(
+      // struct→map: in-place entry write, appended entry, deletes
+      "$.mix.set_path(\"mp.k\", 5)",
+      "$.mix.set_path(\"mp.new\", 9)",
+      "$.mix.set_path(\"mp.k\", $.id * 2)",
+      "$.mix.del_path(\"mp.k\")",
+      "$.mix.del_path(\"mp.nope\")",
+      "$.mix.del_paths([\"mp.k\", \"n\"])",
+      // read-backs through the rewritten type (dtOf mirror)
+      "$.mix.set_path(\"mp.z\", 1).get_path(\"mp.z\")",
+      "$.mix.set_path(\"mp.z\", 1).has_path(\"mp.z\")",
+      "$.mix.del_path(\"mp.k\").get_path(\"mp.k\")",
+      // map→struct→map, both write directions + deletes + identity
+      "$.mm.set_path(\"a.im.y\", 5)",
+      "$.mm.set_path(\"a.im.x\", $.id)",
+      "$.mm.set_path(\"a.t\", \"zz\")",
+      "$.mm.set_path(\"c.im.x\", 1)",     // fresh entry, nested map kept
+      "$.mm.del_path(\"a.im.x\")",
+      "$.mm.del_path(\"a.t\")",           // struct leaf inside map: null-out
+      "$.mm.del_path(\"a.nope\")",
+      "$.mm.del_paths([\"a.im.x\", \"b.t\"])",
+      "$.mm.set_path(\"a.im.y\", 5).get_path(\"a.im.y\")",
+      "$.mm.del_path(\"a.im.x\").has_path(\"a.im.x\")"
+    ).foreach(differential(_))
+  }
+
+  test("dynamic paths, empty segments, kind flips, and empty-struct drops stay doc-mode") {
     refuses("$.cfg.set_path($.meta.x, 1)")       // dynamic path
     refuses("$.cfg.set_path(\"a..b\", 1)")       // empty segment
     refuses("$.cfg.set_path(\"\", 1)")           // empty path
-    refuses("$.mix.set_path(\"mp.k\", 1)")       // walks into a map value
-    refuses("$.mix.del_path(\"mp.k\")")          // same on delete
+    // a map-entry write that re-KINDS the shared value type has no
+    // static lane (long entries can't live beside a string entry)
+    refuses("$.mix.set_path(\"mp.k\", \"s\")")
+    // writing THROUGH a non-object map VALUE coerces one entry to an
+    // object — untouched long entries can't widen into that shape
+    refuses("$.mix.set_path(\"mp.k.q\", 1)")
     refuses("$.meta.del_path(\"x\")")            // would drop every field
     refuses("$.cfg.del_path(\"a.b\").del_path(\"a.c\")") // fold empties a
   }
