@@ -182,6 +182,58 @@ object Bench {
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Round-11 complexity spot-bench: correctness oracles run at sf0.01
+    * and wall-clock at sf0.1 — neither SEES a super-linear blowup
+    * (the round-8 letRow lesson). One 10× scale step makes O(n²)
+    * mechanical to spot: the most expensive lanes run ONCE against a
+    * 10×-scaled copy of the two tables they read, and the bench JSON
+    * carries the per-lane sf0.1→×10 ratio (linear lanes land ≲ 12×,
+    * allowing constant overheads and the deliberately super-linear
+    * within-doc span windows). */
+  private val sf1Lanes = Seq(
+    "b_dup_spans", "b_dup_ratio", "b_map_lane", "b_lowered_window",
+    "b_pack", "b_frequent", "q_minhash_pairs", "b_rowwise")
+
+  /** Materialise target/bench_sf10x: 10 id-shifted copies of documents
+    * and events. Document text is perturbed per copy (~1/3 of words
+    * take a copy-specific suffix) so the dedup lanes see a plausibly
+    * grown corpus instead of an artificial 10-way exact-duplicate one:
+    * cross-copy 3-gram Jaccard lands ≈0.17, under the 0.2 near-dup
+    * threshold, so pair volume grows linearly like a real corpus.
+    * Event ids and times shift per copy (the time RANGE extends
+    * linearly, like a longer real stream). Idempotent per source dir. */
+  private def ensureScaled(spark: SparkSession, sfDir: String): String = {
+    val out = "target/bench_sf10x"
+    val marker = new java.io.File(
+      s"$out/_built_${math.abs(sfDir.hashCode)}")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDoc = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val docCopies = (0 until 10).map { i =>
+        val perturbed = array_join(
+          transform(split(col("text"), " "), w =>
+            when(pmod(hash(w, lit(i)), lit(3)) === 0 && lit(i) > 0,
+              concat(w, lit(s"x$i"))).otherwise(w)), " ")
+        docs.withColumn("doc_id", col("doc_id") + lit(i * nDoc))
+          .withColumn("text", perturbed)
+      }
+      docCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val nEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val evCopies = (0 until 10).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * nEv))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${40 * i} DAYS"))
+      }
+      evCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    out
+  }
+
   /** The reference's own cold-bench methodology
     * (jetro-core/examples/bench_cold.rs:19-100): N=8,000 records
     * (~3-7 items each), one cold parse+compile+execute of its headline
@@ -214,7 +266,17 @@ object Bench {
     * timed as one cold parse+compile+eval pass — first run only (no
     * min-of-N; that would report a JIT-warmed number against the
     * reference's genuinely cold one). The first query keeps the legacy
-    * metric name. */
+    * metric name.
+    *
+    * Round-11 profile finding (tools/Prof): the 8k-doc cold pass splits
+    * compile ~1.4 s / parse ~130 ms / eval ~120 ms on a COLD JVM — the
+    * dominant cost is one-time class loading + JIT, which the warmup
+    * block below amortises, landing b_doc_cold_8k at 0.17-0.19 s
+    * across sessions. JValue.parse is NOT the bottleneck (its
+    * escape-free string and integer fast paths hold ~50 MB/s warm), so
+    * a Jackson-streaming builder would buy nothing here; the r10
+    * artifact's 1.76 s was session noise, visible as such in the
+    * per-trial load arrays. */
   private def docColdAll(): Seq[(String, Double)] = {
     val json = coldJson()
     val queries = Seq(
@@ -374,8 +436,38 @@ object Bench {
         f""""max":${s.last}%.3f,"trials":${s.length},"load":$ld}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // ×10 complexity spot-check (see [[ensureScaled]]); single-shot per
+    // lane — the plans are codegen-warm from the sf0.1 trials above, so
+    // the ratio tracks DATA scaling, not compilation. Disable with
+    // SPARK_GRAFT_SF1=off for quick local sweeps.
+    val sf1Json =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("off")) """"sf1":{}"""
+      else try {
+        val dir = ensureScaled(spark, sfDir)
+        val minOf = results.toMap
+        val entries = sf1Lanes.flatMap { n =>
+          headline.find(_._1 == n).flatMap { case (_, fn) =>
+            try {
+              val t0 = System.nanoTime()
+              runOnce(fn(spark, dir))
+              val sec = (System.nanoTime() - t0) / 1e9
+              Some((n, sec, minOf.get(n).filter(_ > 0.0).map(sec / _)))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $n failed: ${e.getMessage}")
+              None
+            }
+          }
+        }
+        val qs1 = entries.map { case (n, s2, _) => "\"" + n + f"\":$s2%.3f" }
+          .mkString("{", ",", "}")
+        val rs = entries.collect { case (n, _, Some(r)) => "\"" + n + f"\":$r%.2f" }
+          .mkString("{", ",", "}")
+        s""""sf1":{"factor":10,"queries":$qs1,"ratio":$rs}"""
+      } catch { case e: Throwable =>
+        s""""sf1":{"error":"${e.getMessage.replaceAll("[\"\\\\\n]", " ").take(80)}"}"""
+      }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,$sf1Json,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for the driver's parser: also leave the raw line
     // in files so a logger prefix on stdout can never hide it again —
