@@ -380,7 +380,10 @@ object Graft {
     val maxRows = spark.conf
       .get("spark.graft.docFallback.maxRows", "1000000").toLong
     val docFields = tables.toVector.sorted.map { t =>
-      val tdf = Tables(spark, sfDir, t)
+      // stored-order access: the document array's element order IS the
+      // table's stored row order (first/nth/enumerate semantics), so
+      // the collector must bypass the scan-spread repartition
+      val tdf = Tables.stored(spark, sfDir, t)
       val n = tdf.count()
       if (n > maxRows) throw new IllegalStateException(
         s"expression does not lower relationally and the document " +

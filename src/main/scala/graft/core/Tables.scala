@@ -22,10 +22,57 @@ object Tables {
     // here, and without the reroute they'd only work if some earlier
     // events accessor had already set the session conf
     if (name == "events") events(spark, sfDir)
+    else spread(raw(spark, sfDir, name), spark, s"$sfDir/$name.parquet")
+
+  /** Stored-order access: the raw scan with NO scan-spread repartition.
+    * Document-mode semantics depend on the table's stored row order
+    * (`$.t.first()`, enumerate, keep-first dedup over the document
+    * array), so the doc-rung collector must see rows exactly as the
+    * parquet lays them out. Relational/rowwise consumers use [[apply]].
+    */
+  def stored(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") eventsNorm(raw(spark, sfDir, name))
     else raw(spark, sfDir, name)
 
-  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  // ── scan-spread: repartition unsplittable inputs across the cluster ──
+  // The local testdata ships one single-row-group parquet file per
+  // table, so every scan is ONE task no matter the core count — exactly
+  // the "one huge unsplittable file" input-skew case (optimization
+  // guide §2.5): all per-row work (HOF lanes, the rowwise interpreter,
+  // map-side partial aggregation) serializes on one core until the
+  // first exchange. Remedy per the guide: repartition immediately after
+  // the read — but ONLY when the scan actually under-parallelises
+  // (scan partitions < cores), so at production scale, where files are
+  // split properly, the check is false and no exchange is added. The
+  // round-robin pass moves each row once (narrow columns, before any
+  // per-row compute) and is deterministic under retry
+  // (sortBeforeRepartition). `spark.graft.scan.spread=false` disables.
+  private val scanPartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  private def spread(df: DataFrame, spark: SparkSession, path: String): DataFrame = {
+    if (!spark.conf.get("spark.graft.scan.spread", "true").toBoolean) return df
+    val want = spark.sparkContext.defaultParallelism
+    if (want <= 2) return df
+    // tiny dimension tables (region/nation/…) gain nothing from 32
+    // half-empty tasks; the byte floor is conf'able for other layouts
+    val minBytes =
+      spark.conf.get("spark.graft.scan.spread.minBytes", "262144").toLong
+    val bytes =
+      try new java.io.File(path).length()
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes < minBytes) return df
+    val have = scanPartsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, path),
+      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+    if (have * 2 >= want) df else df.repartition(want)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
@@ -41,10 +88,11 @@ object Tables {
     * TimestampType column — with the session zone pinned to UTC that is
     * exactly the value DuckDB sees, so oracle comparisons on `ts` agree.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsNorm(spread(raw(s, d, "events"), s, s"$d/events.parquet"))
+
+  private def eventsNorm(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val df = raw(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -1697,17 +1697,26 @@ object Lower {
     val b = math.max(conf, math.max(back, fwd).toLong + 1L)
     val g = withGlobalRn(df, ordCols, "__grn")
     val pos = (col("__grn") - 1) % b
-    val base = g.withColumn("__blk", ((col("__grn") - 1) / b).cast("long"))
-      .withColumn("__carry", lit(false))
-    var aug = base
-    if (back > 0) aug = aug.unionByName(
-      base.filter(pos >= b - back)
-        .withColumn("__blk", col("__blk") + 1)
-        .withColumn("__carry", lit(true)))
-    if (fwd > 0) aug = aug.unionByName(
-      base.filter(pos < fwd)
-        .withColumn("__blk", col("__blk") - 1)
-        .withColumn("__carry", lit(true)))
+    // Each row fans out to its own block plus (when it sits in a block's
+    // boundary band) the neighbouring block — ONE generate pass instead
+    // of union-of-filtered-branches: the union form re-executed the
+    // whole global-row-number subtree (range shuffle → per-partition
+    // aggregate → prefix window → broadcast join → running window) once
+    // per branch, which the plan showed as a full duplicate of the
+    // machinery (2× Sort+Window+Join over the data even with exchange
+    // reuse). The explode adds only the ≤(back+fwd) carry copies per
+    // block boundary and keeps a single lineage.
+    val home = ((col("__grn") - 1) / b).cast("long")
+    val nextCarry =
+      if (back > 0) when(pos >= b - back, home + 1) else lit(null).cast("long")
+    val prevCarry =
+      if (fwd > 0) when(pos < fwd, home - 1) else lit(null).cast("long")
+    val aug = g
+      .withColumn("__home", home)
+      .withColumn("__blk",
+        explode(array_compact(array(col("__home"), nextCarry, prevCarry))))
+      .withColumn("__carry", col("__blk") =!= col("__home"))
+      .drop("__home")
     val w = Window.partitionBy("__blk").orderBy("__grn")
     compute(aug, w).filter(!col("__carry")).drop("__grn", "__blk", "__carry")
   }
@@ -2020,7 +2029,12 @@ object Lower {
         case Unary("-", Lit(JInt(n))) => -n
         case e                        => bail(s"nth: expected integer, got $e")
       }
-      if (i >= 0) df.offset(i.toInt).limit(1)
+      // MUST sort explicitly: offset/limit over the physical row order
+      // silently returns the wrong row when the scan order differs from
+      // the active order (latent until round 11's scan-spread
+      // repartition permuted the base tables; orders.parquet happens to
+      // be stored sorted by o_orderkey, which masked it)
+      if (i >= 0) orderedDf(st).offset(i.toInt).limit(1)
       else {
         val rev = st.order.map { case (e, d) =>
           val c = cl.colExpr(e); if (d) c.asc else c.desc

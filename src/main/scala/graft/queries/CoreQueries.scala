@@ -38,19 +38,23 @@ object CoreQueries extends QueryGroup {
   }
 
   /** `map(expr)` projection with arithmetic — SURVEY §2.2 (M:84-85).
-    * Exact decimal product (see [[Num]]) rendered as double. */
+    * Exact decimal product (see [[Num]]) rendered as double.
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    * `revenue` completes the total order — without it the tie order was
+    * physical-row-order luck on both engines (flushed out when round
+    * 11's scan-spread permuted the base scan). */
   private val mapProject = q(
     "q_map_project",
     s"""SELECT l_orderkey, l_linenumber,
       |  CAST(${Num.sqlRevenue("l_extendedprice", "l_discount")} AS DOUBLE) AS revenue
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin) {
     (s, d) =>
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           Num.frevenue(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "revenue")
   }
 
   /** Grouped aggregation suite (`sum/avg/min/max/count`) — SURVEY §2.4.
