@@ -114,7 +114,11 @@ object Bench {
       // object-builtin map lane over ALL events (the oracle twin
       // filters to a 3k slice for the gate)
       "b_map_lane" -> ((s: SparkSession, d: String) => {
-        val ev = Tables.events(s, d).select(
+        // spread BELOW the from_json: the JSON parse is itself per-row
+        // heavy, so an unsplittable scan must fan out before it (the
+        // compiler's own spread wraps the resolver, which would land
+        // ABOVE this projection)
+        val ev = Tables.spreadCompute(Tables.events(s, d)).select(
           org.apache.spark.sql.functions.col("event_id"),
           org.apache.spark.sql.functions.from_json(
             org.apache.spark.sql.functions.col("props"),
@@ -130,7 +134,8 @@ object Bench {
       // map-column patch + membership + dot-path over ALL events —
       // the round-9 map write/read lanes at whole-table scale
       "b_map_patch" -> ((s: SparkSession, d: String) => {
-        val ev = Tables.events(s, d).select(
+        // spread below the from_json — see b_map_lane
+        val ev = Tables.spreadCompute(Tables.events(s, d)).select(
           org.apache.spark.sql.functions.col("event_id"),
           org.apache.spark.sql.functions.from_json(
             org.apache.spark.sql.functions.col("props"),
@@ -405,11 +410,12 @@ object Bench {
     // reuse (the persist still works during the trial) while making
     // each trial cold on data. Plan/codegen warmth is untouched —
     // that's the amortisation min-of-N is meant to keep.
-    def dropCachedData(): Unit = {
-      graft.Graft.clearRowwiseCache()
-      try spark.sharedState.cacheManager.clearCache()
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    def dropCachedData(): Unit =
+      if (!sys.env.get("SPARK_GRAFT_DROPCACHE").contains("off")) {
+        graft.Graft.clearRowwiseCache()
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] =
       try {
         dropCachedData()

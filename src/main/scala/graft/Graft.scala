@@ -277,7 +277,8 @@ object Graft {
       session: SparkSession, sfDir: String, table: String, expr: String)
   private final case class RowwiseGen(
       ds: org.apache.spark.sql.Dataset[String],
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      static: Boolean)
 
   private val rowwiseCacheCap = 4
   private val rowwiseCache =
@@ -337,12 +338,15 @@ object Graft {
           // _corrupt_record, exactly as docFallback's read.json does) —
           // the static path only ever proves object streams, where no
           // corrupt-record line can occur.
-          val src = Tables(spark, sfDir, table)
+          // per-row interpreter work dwarfs one narrow-row shuffle, so
+          // spread an under-parallelised scan first (rowwise chains are
+          // per-row independent — input order never matters here)
+          val src = Tables.spreadCompute(Tables(spark, sfDir, table))
           val ds = rowwiseJson(src, table, evalExpr)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val schema = Lower.rowwiseStaticSchema(src.schema, evalExpr)
-            .getOrElse(spark.read.json(ds).schema)
-          val g = RowwiseGen(ds, schema)
+          val staticSchema = Lower.rowwiseStaticSchema(src.schema, evalExpr)
+          val schema = staticSchema.getOrElse(spark.read.json(ds).schema)
+          val g = RowwiseGen(ds, schema, staticSchema.isDefined)
           // two concurrent misses on the same key can both reach here;
           // re-check under the lock so exactly one generation survives
           // and the loser's persisted blocks are released (a bare
@@ -361,7 +365,23 @@ object Graft {
             }
           }
         }
-        spark.read.schema(gen.schema).json(gen.ds)
+        // STATIC path: parse with the from_json EXPRESSION, not
+        // DataFrameReader.json — the reader form calls `.rdd` on the
+        // string dataset, and under AQE a plan carrying an exchange
+        // (the compute-spread) then materialises its query stages AT
+        // COMPILE TIME, running the interpreter pass eagerly. from_json
+        // keeps the whole pipeline lazy. Semantically identical here:
+        // the static walker only ever proves OBJECT streams, where no
+        // corrupt-record line can occur, and both forms drive the same
+        // JacksonParser in PERMISSIVE mode. The inference path keeps
+        // the reader form — its schema may carry _corrupt_record
+        // semantics from bare-scalar streams.
+        if (gen.static) {
+          import org.apache.spark.sql.functions.{col, from_json}
+          gen.ds.select(
+            from_json(col(gen.ds.columns.head), gen.schema).as("__r"))
+            .select(col("__r.*"))
+        } else spark.read.schema(gen.schema).json(gen.ds)
     }
 
   /** Document-mode fallback: build `{table: [rows…]}` for every table

@@ -22,13 +22,13 @@ object Tables {
     // here, and without the reroute they'd only work if some earlier
     // events accessor had already set the session conf
     if (name == "events") events(spark, sfDir)
-    else spread(raw(spark, sfDir, name), spark, s"$sfDir/$name.parquet")
+    else raw(spark, sfDir, name)
 
-  /** Stored-order access: the raw scan with NO scan-spread repartition.
-    * Document-mode semantics depend on the table's stored row order
-    * (`$.t.first()`, enumerate, keep-first dedup over the document
-    * array), so the doc-rung collector must see rows exactly as the
-    * parquet lays them out. Relational/rowwise consumers use [[apply]].
+  /** Stored-order access: the raw scan, guaranteed free of any
+    * compute-spread repartition. Document-mode semantics depend on the
+    * table's stored row order (`$.t.first()`, enumerate, keep-first
+    * dedup over the document array), so the doc-rung collector must see
+    * rows exactly as the parquet lays them out.
     */
   def stored(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") eventsNorm(raw(spark, sfDir, name))
@@ -40,37 +40,38 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  // ── scan-spread: repartition unsplittable inputs across the cluster ──
+  // ── compute-spread: repartition unsplittable inputs under HEAVY
+  //    per-row operators ──
   // The local testdata ships one single-row-group parquet file per
   // table, so every scan is ONE task no matter the core count — exactly
   // the "one huge unsplittable file" input-skew case (optimization
-  // guide §2.5): all per-row work (HOF lanes, the rowwise interpreter,
-  // map-side partial aggregation) serializes on one core until the
-  // first exchange. Remedy per the guide: repartition immediately after
-  // the read — but ONLY when the scan actually under-parallelises
-  // (scan partitions < cores), so at production scale, where files are
-  // split properly, the check is false and no exchange is added. The
-  // round-robin pass moves each row once (narrow columns, before any
-  // per-row compute) and is deterministic under retry
-  // (sortBeforeRepartition). `spark.graft.scan.spread=false` disables.
-  private val scanPartsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
-
-  private def spread(df: DataFrame, spark: SparkSession, path: String): DataFrame = {
+  // guide §2.5): per-row work serializes on one core until the first
+  // exchange. Remedy per the guide: repartition immediately after the
+  // read. Round 11 first applied this to EVERY table read and measured
+  // the full bench both ways: per-row-HEAVY lanes (interpreter rungs,
+  // string-split array chains, map-object rebuilds, shingle/minhash
+  // signatures) win 1.2×–3.3×, but scan-light lanes LOSE 1.3×–2.3× —
+  // the round-robin exchange ships every row that a map-side partial
+  // aggregate would have collapsed in place, and its deterministic
+  // local sort (sortBeforeRepartition) runs inside the single scan
+  // task. So the spread is NOT a table-read policy; the specific
+  // operators whose per-row cost measurably exceeds one narrow-row
+  // shuffle call [[spreadCompute]] on their input themselves.
+  //
+  // Scale-adaptive by construction: the trigger compares the actual
+  // scan partition count against the cluster's defaultParallelism — at
+  // production scale, where files are split properly, the check is
+  // false and no exchange is added. `spark.graft.scan.spread=false`
+  // disables globally.
+  def spreadCompute(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a streaming frame
+    val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.scan.spread", "true").toBoolean) return df
     val want = spark.sparkContext.defaultParallelism
     if (want <= 2) return df
-    // tiny dimension tables (region/nation/…) gain nothing from 32
-    // half-empty tasks; the byte floor is conf'able for other layouts
-    val minBytes =
-      spark.conf.get("spark.graft.scan.spread.minBytes", "262144").toLong
-    val bytes =
-      try new java.io.File(path).length()
-      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-    if (bytes < minBytes) return df
-    val have = scanPartsMemo.computeIfAbsent(
-      (spark.sparkContext.applicationId + "/" + spark.sparkContext.startTime, path),
-      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+    val have =
+      try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => return df }
     if (have * 2 >= want) df else df.repartition(want)
   }
 
@@ -89,7 +90,7 @@ object Tables {
     * exactly the value DuckDB sees, so oracle comparisons on `ts` agree.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    eventsNorm(spread(raw(s, d, "events"), s, s"$d/events.parquet"))
+    eventsNorm(raw(s, d, "events"))
 
   private def eventsNorm(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

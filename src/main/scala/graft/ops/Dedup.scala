@@ -46,7 +46,11 @@ object Dedup {
     */
   def withShingleHashes(
       df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
+    // tokenize+shingle is per-row HEAVY: spread an under-parallelised
+    // scan so the signature pass uses the whole cluster (r11 measurement;
+    // no-op when the scan is already split)
+    graft.core.Tables.spreadCompute(df)
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
       .select(col("id"), array_distinct(Text.gramHashes(col("th"), 3)).as("sh"))
 
   /** MinHash signatures: (id, sh = hashed shingles, sig[k]) — computed
@@ -159,7 +163,7 @@ object Dedup {
       array_min(transform(col("ss"), s => md5(concat(s, lit("#" + l)))))
         .as(s"__l$l")
     }
-    val signed = df
+    val signed = graft.core.Tables.spreadCompute(df)
       .select(col(idCol).as("id"),
         array_distinct(Text.charShingles(textCol, 8)).as("ss"))
       .select(col("id") +: col("ss") +: laneCols: _*)
@@ -206,7 +210,8 @@ object Dedup {
       radius: Int = 8): DataFrame = {
     val th = transform(Text.tokens(col(textCol)),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val h = df.select(col(idCol).as("id"), simhash60Portable(th).as("sh"))
+    val h = graft.core.Tables.spreadCompute(df)
+      .select(col(idCol).as("id"), simhash60Portable(th).as("sh"))
     val banded = h.select(
       col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
@@ -263,7 +268,7 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       radius: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val h = df
+    val h = graft.core.Tables.spreadCompute(df)
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
       .select(col("id"), simhash(col("th")).as("sh64"))
     val banded = capBuckets(h.select(
@@ -318,10 +323,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // hash AFTER the explode: md5 runs codegen'd over flat rows instead
     // of interpreted inside a transform lambda (~3x on the gram pass)
-    val grams = df.select(col(idCol).as("__doc"),
-      posexplode(Text.wordNgrams(Text.tokens(col(textCol)), n))
-        .as(Seq("pos", "g")))
-      .select(col("__doc"), col("pos"), md5(col("g")).as("h"))
+    // tokenize + n-gram explode is per-row heavy — spread an
+    // under-parallelised scan first (both gram passes inherit it).
+    // Gram identity is xxhash64, not md5: the hash never reaches the
+    // output (only per-gram occurrence counts keyed by it do), so any
+    // injective-enough hash computes the same spans — and xxhash64 is
+    // codegen'd, allocation-free, and an 8-byte shuffle key instead of
+    // a 32-char hex string (guide §2.3 "narrower types").
+    val grams = graft.core.Tables.spreadCompute(df)
+      .select(col(idCol).as("__doc"),
+        posexplode(Text.wordNgrams(Text.tokens(col(textCol)), n))
+          .as(Seq("pos", "g")))
+      .select(col("__doc"), col("pos"), xxhash64(col("g")).as("h"))
     val hot =
       if (crossDocOnly)
         grams.groupBy("h").agg(count(lit(1)).as("__df"),
@@ -416,8 +429,11 @@ object Dedup {
     // excluded for the same reason: length/levenshtein comparisons on
     // null would drop the row silently inside the join filter, so the
     // policy is made explicit (and testable) up front.
-    val base = df.select(block.as("__blk"),
-      col(idCol).as("__id"), col(textCol).as("__t"))
+    // the capped path's bounded-buffer partial aggregate does per-row
+    // buffer work in the scan stage — spread an under-parallelised scan
+    val base = graft.core.Tables.spreadCompute(df)
+      .select(block.as("__blk"),
+        col(idCol).as("__id"), col(textCol).as("__t"))
       .where(col("__blk").isNotNull && col("__t").isNotNull)
     // The cap keeps the maxBlock SMALLEST ids per block (deterministic,
     // oracle-replayable). NOT the row_number window idiom — that sorts

@@ -89,7 +89,10 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // per-row cosine against every broadcast query is heavy compute —
+    // spread an under-parallelised corpus scan (r11 measurement: 0.62×)
+    val c = graft.core.Tables.spreadCompute(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // the candidate set per query is the WHOLE corpus, so the re-rank
     // must be the bounded k-buffer aggregate: a per-qid row_number
     // window here would sort corpus-sized groups — at 100 TB that is

@@ -459,10 +459,29 @@ object Lower {
     }
   }
 
+  // Per-row-HEAVY operator families, from the round-11 spread
+  // measurement (OPTIMIZATION_r11.md): string-split array fan-outs and
+  // map-object rebuild chains cost far more per row than one narrow-row
+  // shuffle, so an under-parallelised scan below them is worth
+  // spreading (Tables.spreadCompute); every other lowered family
+  // measured FASTER without the extra exchange (its map-side partial
+  // aggregation or range shuffle already parallelises the work). Patch
+  // blocks rebuild the written container per row — same class. Matched
+  // on the expression text: a false positive only adds one narrow
+  // exchange on an unsplittable scan, never changes results.
+  private val heavyPerRow = java.util.regex.Pattern.compile(
+    """\.(split|transform_values|transform_keys|invert|filter_keys|flatten_keys|unflatten_keys)\s*\(""")
+
+  private def spreadIfHeavy(
+      expr: String, resolve: String => DataFrame): String => DataFrame =
+    if (heavyPerRow.matcher(expr).find() || expr.trim.startsWith("patch"))
+      t => graft.core.Tables.spreadCompute(resolve(t))
+    else resolve
+
   /** Compile `expr` against a table resolver. The expression must be a
     * rooted chain whose first step names a table (`$.orders…`). */
   def compile(expr: String, resolve: String => DataFrame): DataFrame =
-    compileAst(parseCached(expr), resolve)
+    compileAst(parseCached(expr), spreadIfHeavy(expr, resolve))
 
   def tryCompile(expr: String, resolve: String => DataFrame): Option[DataFrame] =
     try Some(compile(expr, resolve))
@@ -1678,10 +1697,39 @@ object Lower {
 
   /** Global 1-based row number over `ordCols` without a single-task
     * barrier. Ties (equal keys) get an arbitrary stable intra-order,
-    * same as the unpartitioned-window mapping this replaces. */
-  private def withGlobalRn(df: DataFrame, ordCols: Seq[Column], out: String): DataFrame =
-    runningOverOrder(df, ordCols, lit(1L), sum,
-      (pre, w) => coalesce(pre, lit(0L)) + w, out)
+    * same as the unpartitioned-window mapping this replaces.
+    *
+    * Cheaper than `runningOverOrder(lit(1L), sum, …)` by one FULL-DATA
+    * exchange and one window sort (r11, guide §2.4): the running
+    * count(1) within a range partition is just the row's position in
+    * the partition's sort order, and after `sortWithinPartitions` that
+    * position is the low 33 bits of `monotonically_increasing_id()`
+    * (documented encoding: partition id ≪ 33 | record index) — no
+    * Window, so no hashpartitioning(__pid) re-shuffle of the data. The
+    * per-partition COUNTS (for the exclusive prefix) aggregate on the
+    * unsorted side of the same exchange (partial-agged, ≤ #partitions
+    * rows), so Catalyst reuses the range exchange for both consumers.
+    * Tie order within equal keys is the partition-local physical order
+    * after the sort — exactly as arbitrary-but-stable as the
+    * row_number() form this replaces. */
+  private def withGlobalRn(df: DataFrame, ordCols: Seq[Column], out: String): DataFrame = {
+    val ranged = df.repartitionByRange(ordCols: _*)
+    val counts = ranged
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__t"))
+    val offs = counts.select(col("__pid"),
+      sum(col("__t")).over(
+        Window.partitionBy(onePartition(col("__pid")))
+          .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        .as("__pre"))
+    ranged.sortWithinPartitions(ordCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lidx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, coalesce(col("__pre"), lit(0L)) + col("__lidx") + 1)
+      .drop("__pid", "__lidx", "__pre")
+  }
 
   /** Run `compute(aug, w)` where `w` is a by-block window whose frames
     * see `back` rows before / `fwd` rows after every row; the computed

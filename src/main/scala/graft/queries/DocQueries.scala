@@ -24,7 +24,12 @@ object DocQueries extends QueryGroup {
     * runs on ONE shuffle instead of hash-for-agg + range-for-sort
     * (measured 0.78s → 0.47s on the sf0.1 floor). */
   private def liByOrder(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.lineitem(s, d).repartitionByRange(col("l_orderkey"))
+    // spreadCompute first: on an unsplittable single-task scan the range
+    // exchange's sampling pass and map side otherwise run on one core
+    // under the per-row interpreter lanes (measured 0.75–0.92× with the
+    // spread vs without, r11 bench)
+    Tables.spreadCompute(Tables.lineitem(s, d))
+      .repartitionByRange(col("l_orderkey"))
 
   /** Per-order nested JSON doc built from lineitem: `{"items":[{"qty":…,
     * "price":…}, …]}`. Quantities are integral doubles, so float sums

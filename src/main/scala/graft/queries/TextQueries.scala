@@ -599,7 +599,9 @@ object TextQueries extends QueryGroup {
       |FROM t2, n GROUP BY value, total
       |HAVING COUNT(*) * 30 >= total
       |ORDER BY value""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    // spread BEFORE the tokenize+explode so the Misra-Gries partial
+    // aggregate runs cluster-wide on an unsplittable scan (r11: 0.91×)
+    val toks = Tables.spreadCompute(Tables.documents(s, d))
       .select(explode(Text.tokens(col("text"))).as("value"))
       .where(col("value") =!= "")
     graft.ops.Frequent.heavyHitters(toks, "value", denom = 30L)

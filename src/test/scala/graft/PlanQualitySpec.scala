@@ -360,13 +360,28 @@ class PlanQualitySpec extends SparkSpec {
     val shaped = Tables(spark, sf, "events").select(col("event_id"),
       from_json(col("props"), "map<string,bigint>",
         new java.util.HashMap[String, String]()).as("props"))
-    val patched = graft.plans.Lower.compile(
+    // the patch REWRITE itself must not need any data-dependent shuffle;
+    // patch chains are per-row HEAVY so the compiler adds the
+    // compute-spread on under-parallelised scans (r11) — that input-
+    // layout remedy is orthogonal to the rewrite shape pinned here, so
+    // assert with it off, then separately pin that the spread (when on)
+    // is the ONLY exchange and is round-robin directly over the scan
+    spark.conf.set("spark.graft.scan.spread", "false")
+    try {
+      val patched = graft.plans.Lower.compile(
+        """patch $ { events[*].props.k: @ * 2 when @ < 50,
+          |          events[*].props.z: 9 }""".stripMargin, _ => shaped)
+      val plan = patched.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      val opt = patched.queryExecution.optimizedPlan.toString
+      assert("(?m)^\\s*\\+?-? ?Project".r.findAllIn(opt).length <= 2, opt)
+    } finally spark.conf.set("spark.graft.scan.spread", "true")
+    val spreadPlan = graft.plans.Lower.compile(
       """patch $ { events[*].props.k: @ * 2 when @ < 50,
         |          events[*].props.z: 9 }""".stripMargin, _ => shaped)
-    val plan = patched.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
-    val opt = patched.queryExecution.optimizedPlan.toString
-    assert("(?m)^\\s*\\+?-? ?Project".r.findAllIn(opt).length <= 2, opt)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(spreadPlan).length
+      == "RoundRobinPartitioning".r.findAllIn(spreadPlan).length, spreadPlan)
   }
 
   test("snapshot diff shuffles digests, never payload columns") {
