@@ -473,21 +473,28 @@ object Bench {
           headline.find(_._1 == n).flatMap { case (_, fn) =>
             try {
               dropCachedData()
+              val ld = loadAvg1()
               val t0 = System.nanoTime()
               runOnce(fn(spark, dir))
               val sec = (System.nanoTime() - t0) / 1e9
-              Some((n, sec, minOf.get(n).filter(_ > 0.0).map(sec / _)))
+              Some((n, sec, minOf.get(n).filter(_ > 0.0).map(sec / _), ld))
             } catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 $n failed: ${e.getMessage}")
               None
             }
           }
         }
-        val qs1 = entries.map { case (n, s2, _) => "\"" + n + f"\":$s2%.3f" }
+        val qs1 = entries.map { case (n, s2, _, _) => "\"" + n + f"\":$s2%.3f" }
           .mkString("{", ",", "}")
-        val rs = entries.collect { case (n, _, Some(r)) => "\"" + n + f"\":$r%.2f" }
+        val rs = entries.collect { case (n, _, Some(r), _) => "\"" + n + f"\":$r%.2f" }
           .mkString("{", ",", "}")
-        s""""sf1":{"factor":10,"queries":$qs1,"ratio":$rs}"""
+        // single-shot runs at session end are the noisiest numbers in
+        // the artifact — the load marker lets a reader adjudicate an
+        // outlier ratio (r11 saw 1.5×–15× swings on one lane purely
+        // from end-of-session pressure) without a re-run
+        val ls = entries.map { case (n, _, _, ld) => "\"" + n + f"\":$ld%.2f" }
+          .mkString("{", ",", "}")
+        s""""sf1":{"factor":10,"queries":$qs1,"ratio":$rs,"load":$ls}"""
       } catch { case e: Throwable =>
         s""""sf1":{"error":"${e.getMessage.replaceAll("[\"\\\\\n]", " ").take(80)}"}"""
       }
@@ -504,7 +511,9 @@ object Bench {
         java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     writeLine(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
-    writeLine("bench_latest.json")
+    // the committed artifact must always be a FULL run — a filtered
+    // local iteration (CLI regex) must not clobber it
+    if (args.isEmpty) writeLine("bench_latest.json")
     spark.stop()
     // re-print AFTER shutdown so the JSON is the LAST stdout line — the
     // tail capture then always contains one complete copy
