@@ -117,8 +117,13 @@ object Bench {
         // spread BELOW the from_json: the JSON parse is itself per-row
         // heavy, so an unsplittable scan must fan out before it (the
         // compiler's own spread wraps the resolver, which would land
-        // ABOVE this projection)
-        val ev = Tables.spreadCompute(Tables.events(s, d)).select(
+        // ABOVE this projection). Project (event_id, props) BEFORE the
+        // spread so the exchange ships only the two columns the lane
+        // reads, not the whole events row (guide §2.3)
+        val ev = Tables.spreadCompute(Tables.events(s, d)
+          .select(
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.col("props"))).select(
           org.apache.spark.sql.functions.col("event_id"),
           org.apache.spark.sql.functions.from_json(
             org.apache.spark.sql.functions.col("props"),
@@ -134,8 +139,12 @@ object Bench {
       // map-column patch + membership + dot-path over ALL events —
       // the round-9 map write/read lanes at whole-table scale
       "b_map_patch" -> ((s: SparkSession, d: String) => {
-        // spread below the from_json — see b_map_lane
-        val ev = Tables.spreadCompute(Tables.events(s, d)).select(
+        // spread below the from_json, narrow projection first — see
+        // b_map_lane
+        val ev = Tables.spreadCompute(Tables.events(s, d)
+          .select(
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.col("props"))).select(
           org.apache.spark.sql.functions.col("event_id"),
           org.apache.spark.sql.functions.from_json(
             org.apache.spark.sql.functions.col("props"),

@@ -466,22 +466,128 @@ object Lower {
   // spreading (Tables.spreadCompute); every other lowered family
   // measured FASTER without the extra exchange (its map-side partial
   // aggregation or range shuffle already parallelises the work). Patch
-  // blocks rebuild the written container per row — same class. Matched
-  // on the expression text: a false positive only adds one narrow
-  // exchange on an unsplittable scan, never changes results.
-  private val heavyPerRow = java.util.regex.Pattern.compile(
-    """\.(split|transform_values|transform_keys|invert|filter_keys|flatten_keys|unflatten_keys)\s*\(""")
+  // blocks rebuild the written container per row — same class. A false
+  // positive only adds one narrow exchange on an unsplittable scan,
+  // never changes results.
+  private val heavyMethods = Set(
+    "split", "transform_values", "transform_keys", "invert",
+    "filter_keys", "flatten_keys", "unflatten_keys")
+
+  // Positional table ops that read PHYSICAL row order when no explicit
+  // sort is active (first/take/skip and slices do NOT bail unordered —
+  // stored parquet order IS their documented doc-mode semantics). The
+  // spread permutes physical order, so a chain that applies one of
+  // these while unordered must never be spread (the q_nth latent-bug
+  // class from r11, ADVICE r11 item 1). Every other order-dependent op
+  // (last, nth, enumerate, window family, take_while, implode, …)
+  // bails to doc mode when unordered, and doc mode reads the un-spread
+  // Tables.stored path.
+  private val positionalMethods = Set("first", "take", "skip", "drop")
+
+  // Steps that re-group rows through their own exchange (aggregations,
+  // zips, the distributed order machinery): a heavy op ABOVE one of
+  // these gains nothing from a scan-level spread — the exchange already
+  // re-parallelised — so the heavy scan stops there (ADVICE r11 item 4:
+  // scope the spread to the segment below the first aggregation).
+  private val regroupMethods = Set(
+    "group_by", "count_by", "index_by", "pivot", "unique", "distinct",
+    "unique_by", "zip", "zip_longest", "enumerate", "window", "chunk",
+    "batch", "pairwise", "rolling_sum", "rolling_avg", "rolling_min",
+    "rolling_max", "lag", "lead", "diff_window", "pct_change",
+    "cum_max", "cum_min", "accumulate", "zscore", "implode")
+
+  /** Expression children for the spread decision's FULL descent —
+    * unlike [[rewrite]] this enters lambda bodies, comprehension
+    * clauses and patch fields, because a heavy HOF inside a map shape
+    * or patch value is exactly the per-row cost the spread targets. */
+  private def spreadChildren(e: Expr): Seq[Expr] = e match {
+    case Chain(b, steps)   => b +: steps.flatMap(stepExprs)
+    case Pipe(b, steps)    => b +: steps.collect { case PipeStep.Forward(f) => f }
+    case Binary(_, l, r)   => Seq(l, r)
+    case Unary(_, i)       => Seq(i)
+    case IfElse(c, t, f)   => Seq(c, t, f)
+    case TryElse(b, d)     => Seq(b, d)
+    case Lambda(_, b)      => Seq(b)
+    case Let(bs, bd)       => bs.map(_._2) :+ bd
+    case Comp(_, k, v, cls, cond) => (k +: cls.map(_._2)) ++ v ++ cond
+    case GlobalCall(_, as) => as.map(_.e)
+    case Cast(i, _)        => Seq(i)
+    case KindIs(i, _, _)   => Seq(i)
+    case FString(ps)       => ps.collect { case FPart.Interp(i, _) => i }
+    case ArrLit(es)        => es.map {
+      case ArrElem.One(a) => a
+      case ArrElem.Spread(a) => a
+    }
+    case ObjLit(fs)        => fs.flatMap {
+      case ObjField.KV(k, v, w)   => Seq(k, v) ++ w
+      case ObjField.OptKV(k, v)   => Seq(k, v)
+      case ObjField.Dyn(k, v)     => Seq(k, v)
+      case ObjField.Spread(s)     => Seq(s)
+      case ObjField.SpreadDeep(s) => Seq(s)
+      case _                      => Nil
+    }
+    case Patch(t, fields)  => t +: fields.flatMap(f =>
+      f.value.toSeq ++ f.when.toSeq ++
+        f.path.collect { case PatchStep.WildIf(p) => p })
+    case _                 => Nil
+  }
+
+  private def stepExprs(s: Step): Seq[Expr] = s match {
+    case Step.Method(_, as)     => as.map(_.e)
+    case Step.DeepMethod(_, as) => as.map(_.e)
+    case Step.Index(i)          => Seq(i)
+    case Step.DynField(i)       => Seq(i)
+    case Step.InlineFilter(p)   => Seq(p)
+    case Step.MapShape(p, sh)   => p.toSeq :+ sh
+    case _                      => Nil
+  }
+
+  private def hasHeavy(e: Expr): Boolean = e match {
+    case _: Patch => true // rebuilds the written container per row
+    case Chain(_, steps) if steps.exists {
+        case Step.Method(n, _) => heavyMethods(n)
+        case _                 => false
+      } => true
+    case other => spreadChildren(other).exists(hasHeavy)
+  }
+
+  /** AST-driven spread decision (r12; replaces the r11 text regex —
+    * string literals containing ".split(" no longer trigger it, and the
+    * scope/order rules below are checkable against parsed structure).
+    * True when per-row-heavy work sits below the first row-regrouping
+    * step AND no positional op reads unsorted physical order. */
+  private[plans] def shouldSpread(ast: Expr): Boolean = ast match {
+    case Chain(Root, steps) =>
+      var ordered = false  // an explicit sort is active
+      var scanning = true  // still below the first row-regrouping step
+      var heavy = false
+      var safe = true
+      steps.foreach {
+        case Step.Slice(_, _) => if (!ordered) safe = false
+        case Step.Method(n, as) =>
+          if (positionalMethods(n) && !ordered) safe = false
+          if (scanning && (heavyMethods(n) || as.exists(a => hasHeavy(a.e))))
+            heavy = true
+          if (n == "sort" || n == "sort_by") ordered = true
+          else if (regroupMethods(n)) { scanning = false; ordered = false }
+        case s =>
+          if (scanning && stepExprs(s).exists(hasHeavy)) heavy = true
+      }
+      safe && heavy
+    case other => hasHeavy(other)
+  }
 
   private def spreadIfHeavy(
-      expr: String, resolve: String => DataFrame): String => DataFrame =
-    if (heavyPerRow.matcher(expr).find() || expr.trim.startsWith("patch"))
-      t => graft.core.Tables.spreadCompute(resolve(t))
+      ast: Expr, resolve: String => DataFrame): String => DataFrame =
+    if (shouldSpread(ast)) t => graft.core.Tables.spreadCompute(resolve(t))
     else resolve
 
   /** Compile `expr` against a table resolver. The expression must be a
     * rooted chain whose first step names a table (`$.orders…`). */
-  def compile(expr: String, resolve: String => DataFrame): DataFrame =
-    compileAst(parseCached(expr), spreadIfHeavy(expr, resolve))
+  def compile(expr: String, resolve: String => DataFrame): DataFrame = {
+    val ast = parseCached(expr)
+    compileAst(ast, spreadIfHeavy(ast, resolve))
+  }
 
   def tryCompile(expr: String, resolve: String => DataFrame): Option[DataFrame] =
     try Some(compile(expr, resolve))
@@ -1669,11 +1775,29 @@ object Lower {
   //     have exactly B ≥ k+1 rows (except the last), so one hop of
   //     carries is always sufficient. Carries are dropped afterwards.
 
+  /** Partition count for the order machinery's range exchanges, passed
+    * EXPLICITLY (`repartitionByRange(N, …)`). Both helpers read the SAME
+    * range exchange from two consumers (the per-partition aggregate and
+    * the row side) and join on `spark_partition_id()` — correctness
+    * therefore requires the two reads to observe identical partitioning.
+    * A user-specified partition count (REPARTITION_BY_NUM) is exactly
+    * what pins that: AQE never coalesces or locally re-reads a
+    * user-numbered repartition, so both consumers read all N reducer
+    * partitions as written, and exchange/stage reuse (asserted by
+    * OrderMachinerySpec) makes them the same physical stage. Derived
+    * from the session's shuffle-partition conf — scale-adaptive, not a
+    * local constant; `spark.graft.lower.rangeParts` overrides. */
+  private def rangeParts(df: DataFrame): Int = {
+    val conf = df.sparkSession.conf
+    math.max(1, conf.get("spark.graft.lower.rangeParts",
+      conf.get("spark.sql.shuffle.partitions", "200")).toInt)
+  }
+
   private[graft] def runningOverOrder(
       df: DataFrame, ordCols: Seq[Column], lane: Column,
       aggFn: Column => Column, combine: (Column, Column) => Column,
       out: String): DataFrame = {
-    val parted = df.repartitionByRange(ordCols: _*)
+    val parted = df.repartitionByRange(rangeParts(df), ordCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lane", lane)
     val perPid = parted.groupBy("__pid").agg(aggFn(col("__lane")).as("__t"))
@@ -1713,7 +1837,7 @@ object Lower {
     * after the sort — exactly as arbitrary-but-stable as the
     * row_number() form this replaces. */
   private def withGlobalRn(df: DataFrame, ordCols: Seq[Column], out: String): DataFrame = {
-    val ranged = df.repartitionByRange(ordCols: _*)
+    val ranged = df.repartitionByRange(rangeParts(df), ordCols: _*)
     val counts = ranged
       .groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__t"))

@@ -365,7 +365,10 @@ class PlanQualitySpec extends SparkSpec {
     // compute-spread on under-parallelised scans (r11) — that input-
     // layout remedy is orthogonal to the rewrite shape pinned here, so
     // assert with it off, then separately pin that the spread (when on)
-    // is the ONLY exchange and is round-robin directly over the scan
+    // is the ONLY exchange and is the deterministic xxhash64 hash
+    // repartition directly over the scan (r12: round-robin's
+    // sortBeforeRepartition ran a full local sort inside the single
+    // scan task; the hash key is also retry-deterministic)
     spark.conf.set("spark.graft.scan.spread", "false")
     try {
       val patched = graft.plans.Lower.compile(
@@ -381,7 +384,7 @@ class PlanQualitySpec extends SparkSpec {
         |          events[*].props.z: 9 }""".stripMargin, _ => shaped)
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(spreadPlan).length
-      == "RoundRobinPartitioning".r.findAllIn(spreadPlan).length, spreadPlan)
+      == "hashpartitioning\\(xxhash64".r.findAllIn(spreadPlan).length, spreadPlan)
   }
 
   test("snapshot diff shuffles digests, never payload columns") {
